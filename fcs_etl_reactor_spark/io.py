@@ -1,0 +1,91 @@
+"""Fixture-table loaders and the name→DataFrame registry.
+
+SURVEY.md §2.1: S1 (parquet scan), S6 (table registry). The oracle
+(DuckDB) sees the identical parquet files, so loaders add no casts —
+schema fidelity is part of the correctness contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+#: Dimension tables small enough to broadcast at ANY scale factor —
+#: region/nation are bounded by geography (5/25 rows at 100 TB too).
+BROADCAST_DIMS = {"region", "nation"}
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S1: columnar parquet scan; Catalyst pushes filters/projection.
+
+    events.ts is physically TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects; read it as long nanos and convert to a
+    microsecond timestamp (floor, matching DuckDB's ns→us behavior).
+
+    Session timezone is pinned to UTC here — the driver hands us its
+    own SparkSession and calendar functions (year/month/unix_timestamp)
+    follow the session tz; the DuckDB oracle is tz-naive.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """S6: register every fixture table as a temp view for spark.sql()."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """S2: the reference's interchange format (header CSV)."""
+    reader = spark.read.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_parquet(
+    df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    """S5: partitioned parquet sink — partition big outputs by a
+    low-cardinality key (sample_id / date) so downstream scans prune."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """S3: manifest/config ingest."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -1,0 +1,206 @@
+"""Deduplication operators (SURVEY.md §2.11 L1/L2 + north-star dedup
+family): exact hash dedup, n-gram Jaccard, MinHash+LSH banding, SimHash.
+
+Scale design (the 100 TB rule: never materialize O(n²)):
+- exact: shuffle key is the content digest — perfectly balanced unless
+  one document dominates (then salt);
+- jaccard: candidate pairs come from an inverted-index (shingle) join —
+  cost Σ |posting list|², which LSH banding caps for web-scale corpora;
+- minhash_lsh: per-doc signatures are expression-generated xxhash64
+  permutations (no Python), banding turns near-dup search into an
+  equality groupBy on (band, band_hash) — the classic
+  shingle→minhash→band→bucket-join pipeline;
+- simhash: 64-bit weighted-projection fingerprint; near-dups differ in
+  ≤ k bits, found by banding the fingerprint into 4 × 16-bit keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """L1: keep the lowest-id row per normalized-content SHA-256."""
+    hashed = df.withColumn(
+        "__content_hash", F.sha2(F.lower(F.trim(F.col(text_col))), 256)
+    )
+    w = Window.partitionBy("__content_hash").orderBy(id_col)
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__content_hash")
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document, as (id, shingle) rows.
+
+    Pure expression pipeline: split → positional transform → explode.
+    """
+    w = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + off) for off in range(n)]
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥
+    threshold. Candidate generation is an inverted-index self-join on
+    the shingle — documents with no shingle in common are never paired.
+    """
+    sh = shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+) -> DataFrame:
+    """MinHash signature per document: sig[p] = min over shingles of
+    xxhash64(shingle, seed=p). Expression-generated (one JVM hash per
+    permutation), aggregated with min() — a single groupBy, no Python.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(p))).alias(f"h{p}")
+        for p in range(num_perm)
+    ]
+    sig = sh.groupBy(id_col).agg(*mins)
+    return sig.select(
+        F.col(id_col), F.array(*[F.col(f"h{p}") for p in range(num_perm)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """L2: LSH banding over MinHash signatures → candidate near-dup
+    pairs (doc_a < doc_b, with the count of agreeing bands).
+
+    rows-per-band r = num_perm/bands; collision prob ≈ 1-(1-s^r)^bands
+    for Jaccard s. Banding is an equality shuffle on (band, hash) —
+    no pairwise comparison outside a bucket.
+    """
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm)
+    band_rows = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[F.element_at("signature", b * r + i + 1) for i in range(r)]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = band_rows.select(F.col(id_col).alias("doc_a"), "band", "band_hash")
+    b = band_rows.select(F.col(id_col).alias("doc_b"), "band", "band_hash")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """SimHash fingerprint: sign of the per-bit sum of token hashes.
+
+    For each bit position: Σ_tokens (bit set ? +1 : −1); fingerprint
+    bit = sum > 0. Implemented as explode → per-bit conditional sums →
+    bit-OR assembly; all JVM expressions.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    h = F.xxhash64("tok")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    sums = toks.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_candidates(
+    df: DataFrame, id_col: str, text_col: str, band_bits: int = 16
+) -> DataFrame:
+    """Near-dup candidates: docs whose simhash agrees on ≥1 of the
+    64/band_bits bands (Hamming-distance pigeonhole)."""
+    fp = simhash(df, id_col, text_col)
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    bands = fp.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", b * band_bits).bitwiseAND(F.lit(mask))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    a = bands.select(F.col(id_col).alias("doc_a"), "band", "band_key")
+    b = bands.select(F.col(id_col).alias("doc_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )

@@ -1,0 +1,188 @@
+"""Embedding similarity search (SURVEY.md §2.11 L3/L7).
+
+Two paths:
+- ``cosine_topk_exact``: brute-force cosine top-k via positional
+  explode + exact decimal dot products. Oracle-checkable (bit-identical
+  to DuckDB) — the correctness baseline.
+- ``cosine_topk_fast``: zip_with/aggregate JVM fold over the arrays —
+  no explode/shuffle for the dot product, one crossJoin with the
+  (broadcast) query side. The bench path.
+- ``lsh_topk``: random-hyperplane LSH bucketing so only same-bucket
+  pairs are compared — the 100 TB path (candidate volume ∝ Σ bucket²,
+  tunable by the number of hyperplanes). Seeded & deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fcs_etl_reactor_spark.functions.exact import fsum as _fsum_local
+
+def _norms_exact(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Exact L2 norm per vector via posexplode + deterministic
+    floor-scaled integer sum of squares (functions.exact.fsum)."""
+    from fcs_etl_reactor_spark.functions.exact import fsum
+
+    x = F.col("x").cast("double")
+    return (
+        df.select(F.col(id_col), F.explode(F.col(vec_col)).alias("x"))
+        .groupBy(id_col)
+        .agg(fsum(x * x, "norm_sq"))
+        .select(F.col(id_col), F.sqrt("norm_sq").alias("norm"))
+    )
+
+
+def cosine_topk_exact(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, match_id, cosine, rn) with rn ≤ k.
+
+    Dot products via positional join of exploded vectors with decimal
+    accumulation — deterministic across engines and partitionings.
+    """
+    qx = queries.select(
+        F.col(id_col).alias("query_id"), F.posexplode(vec_col).alias("pos", "qx")
+    )
+    cx = corpus.select(
+        F.col(id_col).alias("match_id"), F.posexplode(vec_col).alias("pos", "cx")
+    )
+    dots = (
+        qx.join(cx, "pos")
+        .groupBy("query_id", "match_id")
+        .agg(_fsum_local(F.col("qx").cast("double") * F.col("cx").cast("double"), "dot"))
+    )
+    qn = _norms_exact(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("norm").alias("qnorm")
+    )
+    cn = _norms_exact(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("match_id"), F.col("norm").alias("cnorm")
+    )
+    cos = (F.col("dot") / (F.col("qnorm") * F.col("cnorm"))).alias("cosine")
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "match_id")
+    return (
+        dots.join(F.broadcast(qn), "query_id")
+        .join(F.broadcast(cn), "match_id")
+        .select("query_id", "match_id", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def _dot_fold(a, b):
+    """JVM-side dot product: zip_with multiply + left-fold sum."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_topk_fast(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force cosine top-k with array folds (no positional
+    explode): broadcast the query side, fold dot/norms per pair in
+    whole-stage codegen. O(|Q|·|C|·d) flops, zero shuffle until the
+    final per-query top-k."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.sqrt(_dot_fold(F.col(vec_col), F.col(vec_col))).alias("qnorm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("cv"),
+        F.sqrt(_dot_fold(F.col(vec_col), F.col(vec_col))).alias("cnorm"),
+    )
+    pairs = c.crossJoin(F.broadcast(q))
+    cos = (_dot_fold(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm"))).alias(
+        "cosine"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "match_id")
+    return (
+        pairs.select("query_id", "match_id", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes (LCG-based so
+    no numpy dependency in the plan; quality is fine for bucketing)."""
+    state = seed & 0x7FFFFFFF
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            row.append((state / float(1 << 31)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH: bucket = bits of sign(v·h_i).
+
+    Expression-generated per-plane dot products (constant-folded plane
+    weights) — like compensation, a pure codegen projection.
+    """
+    dim = 64  # fixture embedding length; parameterize for other corpora
+    planes = random_hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        dot = None
+        for j, wgt in enumerate(plane):
+            term = F.element_at(F.col(vec_col), j + 1).cast("double") * F.lit(wgt)
+            dot = term if dot is None else dot + term
+        bit = F.when(dot > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
+    return df.withColumn(out_col, bucket)
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: compare only same-bucket pairs.
+
+    At 100 TB the bucket equi-join replaces the crossJoin: candidate
+    volume drops by ~2^n_planes (recall traded via n_planes; for higher
+    recall union several plane seeds)."""
+    q = lsh_bucket(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        "qv", n_planes, seed,
+    )
+    c = lsh_bucket(
+        corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv")),
+        "cv", n_planes, seed,
+    )
+    pairs = q.join(c, "bucket")
+    qnorm = F.sqrt(_dot_fold(F.col("qv"), F.col("qv")))
+    cnorm = F.sqrt(_dot_fold(F.col("cv"), F.col("cv")))
+    cos = (_dot_fold(F.col("qv"), F.col("cv")) / (qnorm * cnorm)).alias("cosine")
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "match_id")
+    return (
+        pairs.select("query_id", "match_id", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )

@@ -1,0 +1,378 @@
+"""Aggregations (SURVEY.md §2.4 A1-A13).
+
+All group-bys here rely on Spark's automatic partial (map-side)
+aggregation: each scan partition reduces to ≤|groups| rows before the
+shuffle, so shuffle volume is O(groups × partitions), not O(rows) —
+the property that makes these plans 100 TB-safe.
+
+Float determinism: plain double sums drift between engines; anything
+summed here goes through the decimal-cast trick (functions.exact) or,
+for transcendental pipelines (geo-mean, stddev), is composed from
+decimal sums with identical final-step IEEE arithmetic in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fcs_etl_reactor_spark.functions.exact import davg, dsum, o_davg, o_dsum
+from fcs_etl_reactor_spark.io import load
+from fcs_etl_reactor_spark.queries import query
+
+# --------------------------------------------------------------------------
+# q20 — basic stats per group (A1/A2): count/sum/min/max/avg.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q20_basic_stats",
+    oracle=f"""
+    SELECT
+      event_type,
+      COUNT(*) AS n,
+      {o_dsum("value", "sum_value")},
+      MIN(value) AS min_value,
+      MAX(value) AS max_value,
+      {o_davg("value", "avg_value")},
+      COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q20_basic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", "sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        davg("value", "avg_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q21 — dispersion (A3): stddev/variance composed from exact decimal
+# sums: var = (Σx² − (Σx)²/n) / (n−1). Both engines then run the same
+# IEEE double ops on identical inputs → bit-identical output.
+# (Σx² needs more fractional digits: DECIMAL with scale 8.)
+# --------------------------------------------------------------------------
+
+_VAR_SQL = """
+    WITH s AS (
+      SELECT
+        event_type,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(value * value AS DECIMAL(24,8))) AS DOUBLE) AS sxx
+      FROM events GROUP BY event_type
+    )
+    SELECT
+      event_type,
+      (sxx - sx * sx / n) / (n - 1) AS var_samp_value,
+      SQRT((sxx - sx * sx / n) / (n - 1)) AS stddev_samp_value,
+      (sxx - sx * sx / n) / n AS var_pop_value
+    FROM s
+"""
+
+
+@query("q21_dispersion", oracle=_VAR_SQL)
+def q21_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(24,8)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    var_samp = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    var_pop = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / F.col("n")
+    return s.select(
+        "event_type",
+        var_samp.alias("var_samp_value"),
+        F.sqrt(var_samp).alias("stddev_samp_value"),
+        var_pop.alias("var_pop_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q22 — geometric mean / geo-SD (A4): THE core FCS statistic
+# (per-channel MEFL geo-means in the reference pipeline, SURVEY §0.2
+# step 4). exp(mean(ln x)) over x>0. ln/exp differ in the last ulp
+# between libm implementations, so the mean of ln goes through the
+# decimal trick and the result is rounded to 9 significant-stable
+# decimals in BOTH engines.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q22_geomean",
+    oracle="""
+    SELECT
+      event_type,
+      ROUND(EXP(CAST(SUM(CAST(LN(value) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)), 9)
+        AS geo_mean_value
+    FROM events
+    WHERE value > 0
+    GROUP BY event_type
+    """,
+)
+def q22_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("value") > 0)
+    mean_ln = (
+        F.sum(F.log(F.col("value")).cast("decimal(18,9)")).cast("double")
+        / F.count(F.lit(1))
+    )
+    return e.groupBy("event_type").agg(F.round(F.exp(mean_ln), 9).alias("geo_mean_value"))
+
+
+# --------------------------------------------------------------------------
+# q23 — exact percentiles / median (A5): per-channel quantiles of the
+# FCS summarize step. Exact (not approx) so the oracle matches; at
+# 100 TB you'd flip to percentile_approx and drop the oracle claim.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q23_percentiles",
+    oracle="""
+    SELECT
+      l_returnflag,
+      ROUND(QUANTILE_CONT(l_quantity, 0.5), 6) AS median_qty,
+      ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 6) AS p25_price,
+      ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 6) AS p75_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q23_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("p75_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q24 — grouping sets / rollup (A8) with grouping_id.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q24_rollup",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      GROUPING(l_returnflag, l_linestatus) AS gid,
+      COUNT(*) AS n,
+      {o_dsum("l_quantity", "sum_qty")}
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q24_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity", "sum_qty"),
+    ).select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+
+
+# --------------------------------------------------------------------------
+# q25 — filtered / conditional aggregation (A9).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q25_conditional_agg",
+    oracle=f"""
+    SELECT
+      user_id,
+      COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+      COUNT(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+      {o_dsum("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END", "purchase_value")}
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q25_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchases"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_clicks"),
+        dsum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(F.lit(0.0)),
+            "purchase_value",
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# q26 — collect aggregates (A10): per-group sorted lists/sets.
+# array_sort forces a deterministic element order (collect_list order
+# is partition-dependent otherwise).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q26_collect",
+    oracle="""
+    SELECT
+      n_regionkey,
+      LIST(n_name ORDER BY n_name) AS nations,
+      LIST(DISTINCT n_nationkey ORDER BY n_nationkey) AS nation_keys
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def q26_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_sort(F.collect_list("n_name")).alias("nations"),
+        F.array_sort(F.collect_set("n_nationkey")).alias("nation_keys"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q27 — histogram / binning (A11): the FCS "histogram CSV" output on a
+# log10 grid (SURVEY §0.2 step 5). floor((log10 x − lo)/step) in both
+# engines; bins with no events are absent (join a bin grid to densify).
+# --------------------------------------------------------------------------
+
+_HIST_LO, _HIST_STEP, _HIST_N = -2.0, 0.25, 20
+
+
+@query(
+    "q27_log_histogram",
+    oracle=f"""
+    SELECT
+      event_type,
+      LEAST(GREATEST(CAST(FLOOR((LOG10(value) - ({_HIST_LO})) / {_HIST_STEP}) AS BIGINT),
+            0), {_HIST_N - 1}) AS bin,
+      COUNT(*) AS n
+    FROM events
+    WHERE value > 0
+    GROUP BY 1, 2
+    """,
+)
+def q27_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("value") > 0)
+    raw_bin = F.floor((F.log10("value") - F.lit(_HIST_LO)) / F.lit(_HIST_STEP))
+    bin_ = F.least(F.greatest(raw_bin.cast("bigint"), F.lit(0)), F.lit(_HIST_N - 1))
+    return (
+        e.select("event_type", bin_.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q28 — correlation / covariance (A12): channel-vs-channel QC stat,
+# composed from decimal sums for cross-engine determinism.
+# corr = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+# --------------------------------------------------------------------------
+
+_CORR_SQL = """
+    WITH s AS (
+      SELECT
+        l_returnflag,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,8)) ) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS syy,
+        CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(26,8))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT
+      l_returnflag,
+      ROUND((n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 9)
+        AS corr_qty_price,
+      ROUND((sxy - sx * sy / n) / (n - 1), 4) AS covar_samp_qty_price
+    FROM s
+"""
+
+
+@query("q28_corr_covar", oracle=_CORR_SQL)
+def q28_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    s = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double").alias("sy"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(24,8)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("l_extendedprice") * F.col("l_extendedprice")).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("syy"),
+        F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(26,8)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    covar = (sxy - sx * sy / n) / (n - 1)
+    return s.select(
+        "l_returnflag",
+        F.round(corr, 9).alias("corr_qty_price"),
+        F.round(covar, 4).alias("covar_samp_qty_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q29 — arg-max / arg-min (A13): the single most valuable order per
+# customer segment-month. max_by needs a unique extremum for
+# determinism: o_totalprice ties are broken impossible-in-fixture but
+# we guard by keying on (price, orderkey) pairs.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q29_argmax",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderstatus, o_orderkey, o_totalprice,
+        ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                           ORDER BY o_totalprice DESC, o_orderkey DESC) AS rtop,
+        ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                           ORDER BY o_totalprice ASC, o_orderkey DESC) AS rbot
+      FROM orders
+    )
+    SELECT o_orderstatus,
+      MAX(CASE WHEN rtop = 1 THEN o_orderkey END) AS top_orderkey,
+      MAX(CASE WHEN rtop = 1 THEN o_totalprice END) AS top_totalprice,
+      MAX(CASE WHEN rbot = 1 THEN o_orderkey END) AS bottom_orderkey
+    FROM ranked GROUP BY o_orderstatus
+    """,
+)
+def q29_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", F.struct("o_totalprice", "o_orderkey")).alias("top_orderkey"),
+        F.max("o_totalprice").alias("top_totalprice"),
+        F.min_by(
+            "o_orderkey", F.struct(F.col("o_totalprice"), (-F.col("o_orderkey")).alias("nk"))
+        ).alias("bottom_orderkey"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q30 — approx distinct (A7): HLL — the 100 TB cardinality-estimation
+# path. No oracle (approx, engine-specific sketch): rows-only check.
+# --------------------------------------------------------------------------
+
+
+@query("q30_approx_distinct")
+def q30_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.approx_count_distinct("event_id", 0.01).alias("approx_events"),
+    )

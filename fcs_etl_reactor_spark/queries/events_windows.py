@@ -1,0 +1,146 @@
+"""Batch twins of the streaming windowed operators (SURVEY.md §2.10).
+
+Each Structured Streaming op in fcs_etl_reactor_spark.streaming has a
+batch-equivalent here using the SAME window arithmetic, so the oracle
+can verify the windowing math (the streaming forms themselves get
+memory-sink tests — no SQL oracle exists for incremental execution).
+
+Time-bucket arithmetic is done in epoch seconds (floor(epoch/width)*width)
+in the oracle so there is no reliance on engine-specific bucket-origin
+conventions; Spark's window() aligns to the Unix epoch, which the
+explicit arithmetic reproduces exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fcs_etl_reactor_spark.functions.exact import dsum, o_dsum
+from fcs_etl_reactor_spark.io import load
+from fcs_etl_reactor_spark.queries import query
+
+# --------------------------------------------------------------------------
+# q95 — tumbling window (T1 twin): events per 10-minute bucket per type.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q95_tumbling_window",
+    oracle=f"""
+    SELECT
+      TO_TIMESTAMP(FLOOR(EPOCH(ts) / 600) * 600) AS win_start,
+      event_type,
+      COUNT(*) AS n,
+      {o_dsum("value", "sum_value")}
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q95_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"), "event_type", "n", "sum_value"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q96 — sliding window (T2 twin): 10-minute window sliding every 5.
+# Every event lands in exactly two windows: starts floor5(ts) and
+# floor5(ts) − 5 min — the oracle materializes both assignments.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q96_sliding_window",
+    oracle="""
+    WITH assigned AS (
+      SELECT TO_TIMESTAMP(FLOOR(EPOCH(ts) / 300) * 300) AS win_start, event_type
+      FROM events
+      UNION ALL
+      SELECT TO_TIMESTAMP(FLOOR(EPOCH(ts) / 300) * 300 - 300), event_type
+      FROM events
+    )
+    SELECT win_start, event_type, COUNT(*) AS n
+    FROM assigned
+    GROUP BY win_start, event_type
+    """,
+)
+def q96_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+    )
+
+
+# --------------------------------------------------------------------------
+# q97 — sessionization (T3 twin): 30-minute-gap sessions per user via
+# lag → gap flag → running sum (the window-function sessionizer). The
+# streaming twin uses session_window(ts, '30 minutes'); session bounds
+# agree because both define a session break as gap > 30 min.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q97_sessionization",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+        CASE WHEN LAG(ts) OVER w IS NULL
+               OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           {o_dsum("value", "session_value")}
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def q97_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "value",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+                > 1_800_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = flagged.select(
+        "user_id", "ts", "value", F.sum("new_sess").over(w2).alias("session_id")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "session_value"),
+    )

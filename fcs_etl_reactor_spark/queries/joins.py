@@ -1,0 +1,257 @@
+"""Joins (SURVEY.md §2.3 J1-J8).
+
+Scale strategy per join, stated where it matters:
+- star joins shuffle on the fact's FK; dims ≤ O(MB) are broadcast so
+  the fact table never shuffles for them (J2);
+- non-equi joins always broadcast the provably-small side to avoid a
+  cartesian shuffle (J6);
+- the as-of join is the union+window rewrite (J7) — one shuffle on the
+  join key, no O(n^2) theta join, state bounded per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fcs_etl_reactor_spark.functions.exact import dsum, o_dsum
+from fcs_etl_reactor_spark.io import load
+from fcs_etl_reactor_spark.queries import query
+
+# --------------------------------------------------------------------------
+# q10 — star-schema inner join chain (J1+J2): lineitem ⋈ orders ⋈ customer
+# ⋈ nation ⋈ region, revenue per nation. nation/region are broadcast
+# (bounded-size dims); customer⋈orders⋈lineitem shuffle on their keys.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q10_star_join_revenue",
+    oracle=f"""
+    SELECT
+      n.n_name,
+      {o_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+      COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name
+    """,
+)
+def q10_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    dims = F.broadcast(
+        n.join(F.broadcast(r.filter(F.col("r_name").isin("ASIA", "EUROPE"))),
+               n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(dims, c.c_nationkey == dims.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q11 — left outer join + count of matches (J3): orders with their
+# lineitem counts, including orders with none.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q11_outer_join_counts",
+    oracle="""
+    SELECT o.o_orderkey, COUNT(l.l_orderkey) AS n_items
+    FROM orders o
+    LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey
+    """,
+)
+def q11_outer_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left")
+        .groupBy(o.o_orderkey)
+        .agg(F.count(l.l_orderkey).alias("n_items"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q12/q13 — semi + anti join (J4). Semi/anti never widen rows, so they
+# beat IN-subquery materialization at scale.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q12_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    )
+    """,
+)
+def q12_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "q13_anti_join",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey
+    )
+    """,
+)
+def q13_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    l = load(spark, sf_dir, "lineitem")
+    return p.join(l, p.p_partkey == l.l_partkey, "left_anti").select("p_partkey", "p_name")
+
+
+# --------------------------------------------------------------------------
+# q14 — cross join (J5): bounded grid only (region × order-status domain);
+# both sides are tiny and broadcastable — never cross-join unbounded tables.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q14_cross_join_grid",
+    oracle="""
+    SELECT r.r_name, s.o_orderstatus
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+)
+def q14_cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    s = load(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.select("r_name").crossJoin(F.broadcast(s))
+
+
+# --------------------------------------------------------------------------
+# q15 — non-equi (theta) join (J6): supplier balance strictly between
+# band edges derived from nation aggregates. Broadcast the tiny side so
+# Spark plans BroadcastNestedLoopJoin instead of a cartesian shuffle.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q15_theta_join_bands",
+    oracle="""
+    SELECT s.s_suppkey, b.band_id
+    FROM supplier s
+    JOIN (
+      SELECT 0 AS band_id, 0.0 AS lo, 2500.0 AS hi
+      UNION ALL SELECT 1, 2500.0, 5000.0
+      UNION ALL SELECT 2, 5000.0, 7500.0
+      UNION ALL SELECT 3, 7500.0, 10001.0
+    ) b ON s.s_acctbal >= b.lo AND s.s_acctbal < b.hi
+    """,
+)
+def q15_theta_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    bands = spark.createDataFrame(
+        [(0, 0.0, 2500.0), (1, 2500.0, 5000.0), (2, 5000.0, 7500.0), (3, 7500.0, 10001.0)],
+        "band_id INT, lo DOUBLE, hi DOUBLE",
+    )
+    return (
+        s.join(
+            F.broadcast(bands),
+            (s.s_acctbal >= bands.lo) & (s.s_acctbal < bands.hi),
+        )
+        .select("s_suppkey", "band_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q16 — as-of join (J7): for every click event, the user's most recent
+# purchase at-or-before it. Implemented as union + ordered window with
+# last(ignorenulls) — ONE shuffle on user_id, per-key sequential scan,
+# no range-join blowup. DuckDB's native ASOF JOIN is the oracle.
+# At 100 TB this beats a range self-join by orders of magnitude: state
+# per key is a single "last purchase" value.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q16_asof_join",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts, p.ts AS purchase_ts, p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+)
+def q16_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    from fcs_etl_reactor_spark.operators.asof import asof_join
+
+    return asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["ts", "value"],
+        aliases=["purchase_ts", "purchase_value"],
+    ).select("event_id", "user_id", "ts", "purchase_ts", "purchase_value")
+
+
+# --------------------------------------------------------------------------
+# q17 — self-join (J8): consecutive-order pairs per customer within 30
+# days. Self-join on the equi key (customer) with a window pre-filter
+# keeps the pair count linear in orders-per-customer.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q17_order_pairs",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             LEAD(o_orderkey) OVER w AS next_orderkey,
+             LEAD(o_orderdate) OVER w AS next_orderdate
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT o_custkey, o_orderkey, next_orderkey
+    FROM seq
+    WHERE next_orderdate IS NOT NULL
+      AND next_orderdate <= o_orderdate + INTERVAL 30 DAY
+    """,
+)
+def q17_order_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.lead("o_orderdate").over(w).alias("next_orderdate"),
+    )
+    return seq.filter(
+        F.col("next_orderdate").isNotNull()
+        & (F.col("next_orderdate") <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    ).select("o_custkey", "o_orderkey", "next_orderkey")

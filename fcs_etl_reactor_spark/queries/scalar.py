@@ -1,0 +1,267 @@
+"""Scalar-function surface (SURVEY.md §2.8 F1-F8): string, date/time,
+math, JSON, map/struct, hash, casts. All JVM-side built-ins — these
+stay inside WholeStageCodegen, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fcs_etl_reactor_spark.io import load
+from fcs_etl_reactor_spark.queries import query
+
+# --------------------------------------------------------------------------
+# q60 — string functions (F1).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q60_string_funcs",
+    oracle="""
+    SELECT
+      c_custkey,
+      UPPER(c_name) AS name_upper,
+      LOWER(c_mktsegment) AS seg_lower,
+      SUBSTR(c_name, 1, 8) AS name_prefix,
+      LENGTH(c_name) AS name_len,
+      CONCAT(c_mktsegment, '#', CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+      REPLACE(c_name, 'Customer', 'Cust') AS name_short,
+      TRIM(c_name) AS name_trim,
+      CAST(STRPOS(c_name, '#') AS INTEGER) AS hash_pos
+    FROM customer
+    """,
+)
+def q60_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.concat(
+            F.col("c_mktsegment"), F.lit("#"), F.col("c_nationkey").cast("string")
+        ).alias("seg_nation"),
+        F.regexp_replace("c_name", "Customer", "Cust").alias("name_short"),
+        F.trim(F.col("c_name")).alias("name_trim"),
+        F.instr(F.col("c_name"), "#").alias("hash_pos"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q61 — regex + split (F1): token extraction — regexp_extract and
+# split agree between engines on RE2-compatible patterns.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q61_regex",
+    oracle="""
+    SELECT
+      p_partkey,
+      REGEXP_EXTRACT(p_name, '([a-z]+)', 1) AS first_word,
+      CAST(LENGTH(STRING_SPLIT(p_name, ' ')) AS INTEGER) AS n_words,
+      CASE WHEN REGEXP_MATCHES(p_type, 'STANDARD|PROMO') THEN 1 ELSE 0 END AS is_std_promo
+    FROM part
+    """,
+)
+def q61_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+        F.when(F.col("p_type").rlike("STANDARD|PROMO"), 1).otherwise(0).alias("is_std_promo"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q62 — date/time functions (F2): calendar math on order dates.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q62_datetime",
+    oracle="""
+    SELECT
+      o_orderkey,
+      CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+      CAST(MONTH(o_orderdate) AS INTEGER) AS order_month,
+      CAST(DAYOFMONTH(o_orderdate) AS INTEGER) AS order_day,
+      CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due_date,
+      CAST(DATEDIFF('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INTEGER)
+        AS days_since_epoch_start,
+      CAST(EPOCH(o_orderdate) AS BIGINT) AS epoch_s
+    FROM orders
+    """,
+)
+def q62_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        ).alias("days_since_epoch_start"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q63 — math functions (F3): log10 is load-bearing for FCS transforms.
+# Per-row transcendental results are rounded to 9 dp to absorb libm
+# last-ulp differences between JVM and C implementations.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q63_math_funcs",
+    oracle="""
+    SELECT
+      event_id,
+      ROUND(LOG10(value), 9) AS log10_value,
+      ROUND(LN(value), 9) AS ln_value,
+      ROUND(SQRT(value), 9) AS sqrt_value,
+      ROUND(POW(value, 0.5), 9) AS pow_half,
+      ABS(value - 100) AS abs_centered,
+      ROUND(value, 1) AS value_round1,
+      CAST(FLOOR(value) AS BIGINT) AS value_floor,
+      CAST(CEIL(value) AS BIGINT) AS value_ceil,
+      CAST(SIGN(value - 100) AS INTEGER) AS sign_centered,
+      GREATEST(value, 100.0) AS geq100,
+      LEAST(value, 100.0) AS leq100
+    FROM events
+    WHERE value > 0
+    """,
+)
+def q63_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("value") > 0)
+    return e.select(
+        "event_id",
+        F.round(F.log10("value"), 9).alias("log10_value"),
+        F.round(F.log("value"), 9).alias("ln_value"),
+        F.round(F.sqrt("value"), 9).alias("sqrt_value"),
+        F.round(F.pow("value", F.lit(0.5)), 9).alias("pow_half"),
+        F.abs(F.col("value") - 100).alias("abs_centered"),
+        F.round(F.col("value"), 1).alias("value_round1"),
+        F.floor("value").alias("value_floor"),
+        F.ceil("value").alias("value_ceil"),
+        F.signum(F.col("value") - 100).cast("int").alias("sign_centered"),
+        F.greatest(F.col("value"), F.lit(100.0)).alias("geq100"),
+        F.least(F.col("value"), F.lit(100.0)).alias("leq100"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q64 — JSON extraction (F6) over events.props.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q64_json_extract",
+    oracle="""
+    SELECT
+      event_id,
+      CAST(props->>'k' AS INTEGER) AS k,
+      CAST(JSON_VALID(props) AS INTEGER) AS is_valid
+    FROM events
+    """,
+)
+def q64_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.when(F.get_json_object("props", "$.k").isNotNull(), 1)
+        .otherwise(0)
+        .alias("is_valid"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q65 — hashing (F7): stable digests for dedup keys. md5/sha are
+# engine-portable; xxhash64 is Spark-specific (kept out of oracles).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q65_hashing",
+    oracle="""
+    SELECT
+      doc_id,
+      MD5(text) AS md5_hex,
+      SHA256(text) AS sha256_hex
+    FROM documents
+    """,
+)
+def q65_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),
+        F.sha2(F.col("text"), 256).alias("sha256_hex"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q66 — casts across the type lattice (F8), ANSI semantics.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q66_casts",
+    oracle="""
+    SELECT
+      l_orderkey,
+      CAST(l_quantity AS INTEGER) AS qty_i,
+      CAST(l_quantity AS VARCHAR) AS qty_s,
+      CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price_2dp,
+      CAST(l_linenumber AS DOUBLE) AS line_d,
+      CAST(l_shipdate AS DATE) AS ship_day,
+      CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_day_s
+    FROM lineitem
+    WHERE l_linenumber <= 2
+    """,
+)
+def q66_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 2)
+    return l.select(
+        "l_orderkey",
+        F.col("l_quantity").cast("int").alias("qty_i"),
+        F.col("l_quantity").cast("decimal(18,1)").cast("string").alias("qty_s"),
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("double").alias("price_2dp"),
+        F.col("l_linenumber").cast("double").alias("line_d"),
+        F.col("l_shipdate").cast("date").alias("ship_day"),
+        F.col("l_shipdate").cast("date").cast("string").alias("ship_day_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q67 — map/struct construction + field access (F5).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q67_struct_map",
+    oracle="""
+    SELECT
+      n_nationkey,
+      {'n_name': n_name, 'n_regionkey': n_regionkey} AS nation_struct,
+      STRUCT_EXTRACT({'n_name': n_name, 'n_regionkey': n_regionkey}, 'n_name') AS sname
+    FROM nation
+    """,
+)
+def q67_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    st = F.struct(F.col("n_name"), F.col("n_regionkey"))
+    return n.select(
+        "n_nationkey",
+        st.alias("nation_struct"),
+        st.getField("n_name").alias("sname"),
+    )

@@ -1,0 +1,283 @@
+"""Text-analysis operators for LLM-corpus pipelines
+(SURVEY.md §2.11 L4/L5 + north-star text ops: language-ID, quality
+scoring, token counting, fingerprinting, n-gram Jaccard near-dup).
+
+Scale shapes:
+- token pipelines are explode → groupBy(term): shuffle volume is the
+  token count, partial agg collapses per-partition duplicates first;
+- doc⨯doc similarity is NEVER materialized — candidate pairs come from
+  an inverted-index join (shared shingle) so cost is Σ posting² not n²;
+- everything is JVM built-ins (split/explode/agg) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fcs_etl_reactor_spark.functions.exact import o_dsum
+from fcs_etl_reactor_spark.io import load
+from fcs_etl_reactor_spark.queries import query
+
+# --------------------------------------------------------------------------
+# q80 — tokenize + term frequencies (L4): global top terms. Exercises
+# split/explode/agg; deterministic (integer counts, full output).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q80_term_counts",
+    oracle="""
+    SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+    FROM (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+    )
+    WHERE term <> ''
+    GROUP BY term
+    """,
+)
+def q80_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q81 — TF-IDF (L4): classic two-pass — doc-term counts joined to
+# document frequencies; idf = ln(N / df) rounded for libm parity. The
+# df table is small (vocab-sized) → broadcast join against the big
+# doc-term side.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q81_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks WHERE term <> '' GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term,
+           ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 9) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    """,
+)
+def q81_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()  # tiny driver-side scalar; at scale use a broadcast agg
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    return tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 9
+        ).alias("tfidf"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q82 — lexicon tagging (L5): token ⋈ broadcast sentiment lexicon →
+# per-doc score. The PAPERS.md "dictionary join" pattern: the lexicon
+# is constant-sized, so this is a broadcast hash join at any corpus
+# size.
+# --------------------------------------------------------------------------
+
+_LEXICON = {
+    "fast": 2, "big": 1, "small": -1, "slow": -2, "error": -3, "value": 1,
+}
+
+
+@query(
+    "q82_lexicon_score",
+    oracle=f"""
+    WITH lex(term, score) AS (VALUES
+      {", ".join(f"('{t}', {s})" for t, s in sorted(_LEXICON.items()))}
+    ), toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(SUM(l.score), 0) AS BIGINT) AS sentiment,
+           CAST(COUNT(l.term) AS BIGINT) AS n_matched
+    FROM toks t LEFT JOIN lex l USING (term)
+    GROUP BY t.doc_id
+    """,
+)
+def q82_lexicon_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    lex = d.sparkSession.createDataFrame(
+        sorted(_LEXICON.items()), "term STRING, score INT"
+    )
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    return (
+        toks.join(F.broadcast(lex), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.coalesce(F.sum("score"), F.lit(0)).cast("bigint").alias("sentiment"),
+            F.count("score").alias("n_matched"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q83 — quality scoring (north-star): length / word-length / stopword
+# ratio — pure expression arithmetic, deterministic.
+# --------------------------------------------------------------------------
+
+_STOPWORDS = ["a", "the", "of", "and", "to"]
+
+
+@query(
+    "q83_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, n_chars, STRING_SPLIT(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+      CAST(LENGTH(toks) AS BIGINT) AS n_tokens,
+      CAST(n_chars AS DOUBLE) / LENGTH(toks) AS avg_token_len,
+      CAST(LENGTH(LIST_FILTER(toks, t -> LIST_CONTAINS({_STOPWORDS!r}, t))) AS DOUBLE)
+        / LENGTH(toks) AS stopword_ratio,
+      CASE WHEN LENGTH(toks) BETWEEN 20 AND 1000
+            AND CAST(n_chars AS DOUBLE) / LENGTH(toks) BETWEEN 3 AND 12
+           THEN 1 ELSE 0 END AS quality_pass
+    FROM t
+    """,
+)
+def q83_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("bigint")
+    avg_len = F.col("n_chars").cast("double") / F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(F.lit(_STOPWORDS), t))).cast(
+            "double"
+        )
+        / F.size(toks)
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        avg_len.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        F.when((n_tokens.between(20, 1000)) & (avg_len.between(3, 12)), 1)
+        .otherwise(0)
+        .alias("quality_pass"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q84 — language-ID heuristic (north-star): stopword-profile match
+# rate. (Fixture text is synthetic so the interesting part is the
+# operator shape: higher-order array ops, no UDF.)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q84_language_id",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id, lang,
+      CAST(LENGTH(LIST_FILTER(toks, x -> LIST_CONTAINS({_STOPWORDS!r}, x))) AS DOUBLE)
+        / LENGTH(toks) AS en_score,
+      CASE WHEN CAST(LENGTH(LIST_FILTER(toks, x -> LIST_CONTAINS({_STOPWORDS!r}, x))) AS DOUBLE)
+        / LENGTH(toks) > 0.05 THEN 'en' ELSE 'other' END AS lang_pred
+    FROM t
+    """,
+)
+def q84_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    score = F.size(
+        F.filter(toks, lambda x: F.array_contains(F.lit(_STOPWORDS), x))
+    ).cast("double") / F.size(toks)
+    return d.select(
+        "doc_id",
+        "lang",
+        score.alias("en_score"),
+        F.when(score > 0.05, "en").otherwise("other").alias("lang_pred"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q85 — document fingerprint (north-star): canonicalize (lower, trim,
+# collapse whitespace) → MD5. The dedup-join key for exact matching
+# across formatting variants.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q85_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def q85_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias(
+            "fingerprint"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# q86 — n-gram Jaccard near-dup (north-star dedup family): 3-shingle
+# sets, candidate pairs via inverted-index self-join (only docs sharing
+# a shingle are ever paired — the LSH-free exact variant), Jaccard =
+# |∩| / |∪|. Restricted to doc_id < 200 to bound the demo; the operator
+# itself scales as Σ posting-list².
+# --------------------------------------------------------------------------
+
+_JACCARD_MAX_DOC = 200
+_JACCARD_THRESHOLD = 0.2
+
+
+@query(
+    "q86_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents
+      WHERE doc_id < {_JACCARD_MAX_DOC}
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM toks, UNNEST(GENERATE_SERIES(1, GREATEST(LENGTH(w) - 2, 0))) AS g(i)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(p.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.n_common) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE CAST(p.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.n_common)
+          >= {_JACCARD_THRESHOLD}
+    """,
+)
+def q86_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _JACCARD_MAX_DOC)
+    return ngram_jaccard_pairs(
+        d, id_col="doc_id", text_col="text", n=3, threshold=_JACCARD_THRESHOLD
+    )

@@ -1,0 +1,161 @@
+"""Vector / embedding queries (SURVEY.md §2.8 F4 array functions,
+§2.11 L3 similarity search)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fcs_etl_reactor_spark.functions.exact import fsum
+from fcs_etl_reactor_spark.io import load
+from fcs_etl_reactor_spark.operators.similarity import (
+    cosine_topk_exact,
+    lsh_topk,
+)
+from fcs_etl_reactor_spark.queries import query
+
+# --------------------------------------------------------------------------
+# q90 — array function surface (F4): size/slice/element/contains +
+# exact L2 norm via unnest + decimal sum (order-independent).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q90_vector_norms",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, label, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+             GENERATE_SUBSCRIPTS(embedding, 1) AS i
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(MAX(label) AS INTEGER) AS label,
+           COUNT(*) AS dim,
+           SQRT(CAST(SUM(CAST(FLOOR(v * v * 1000000000000.0) AS HUGEINT)) AS DOUBLE)
+                / 1000000000000.0) AS l2_norm,
+           CAST(SUM(CAST(FLOOR(v * 1000000000000.0) AS HUGEINT)) AS DOUBLE)
+                / 1000000000000.0 AS comp_sum,
+           MAX(CASE WHEN i = 1 THEN v END) AS first_component
+    FROM x
+    GROUP BY vec_id
+    """,
+)
+def q90_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select("vec_id", "label", F.posexplode("embedding").alias("pos", "v"))
+    v = F.col("v").cast("double")
+    return x.groupBy("vec_id").agg(
+        F.max("label").alias("label"),
+        F.count(F.lit(1)).alias("dim"),
+        F.sqrt(fsum(v * v, "s").cast("double")).alias("l2_norm"),
+        fsum(v, "comp_sum"),
+        F.max(F.when(F.col("pos") == 0, v)).alias("first_component"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q91 — exact cosine top-k (L3): label-0 vectors query the label-1
+# corpus for their 5 nearest neighbors. Decimal dot products keep the
+# ranking bit-identical to the DuckDB oracle.
+# --------------------------------------------------------------------------
+
+_TOPK = 5
+
+
+@query(
+    "q91_cosine_topk",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id, label,
+             CAST(UNNEST(embedding) AS DOUBLE) AS v,
+             GENERATE_SUBSCRIPTS(embedding, 1) AS i
+      FROM embeddings
+    ), norms AS (
+      SELECT vec_id,
+             SQRT(CAST(SUM(CAST(FLOOR(v * v * 1000000000000.0) AS HUGEINT)) AS DOUBLE)
+                  / 1000000000000.0) AS norm
+      FROM x GROUP BY vec_id
+    ), dots AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS match_id,
+             CAST(SUM(CAST(FLOOR(a.v * b.v * 1000000000000.0) AS HUGEINT)) AS DOUBLE)
+                  / 1000000000000.0 AS dot
+      FROM x a JOIN x b ON a.i = b.i
+      WHERE a.label = 0 AND b.label = 1
+      GROUP BY a.vec_id, b.vec_id
+    ), scored AS (
+      SELECT d.query_id, d.match_id,
+             d.dot / (nq.norm * nm.norm) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY d.query_id
+                                ORDER BY d.dot / (nq.norm * nm.norm) DESC,
+                                         d.match_id) AS rn
+      FROM dots d
+      JOIN norms nq ON d.query_id = nq.vec_id
+      JOIN norms nm ON d.match_id = nm.vec_id
+    )
+    SELECT query_id, match_id, cosine, rn FROM scored WHERE rn <= {_TOPK}
+    """,
+)
+def q91_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return cosine_topk_exact(
+        e.filter(F.col("label") == 0),
+        e.filter(F.col("label") == 1),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=_TOPK,
+    )
+
+
+# --------------------------------------------------------------------------
+# q92 — LSH-bucketed approximate top-k (L7): the scale path. Approx →
+# rows-only check (bucketing is engine-specific).
+# --------------------------------------------------------------------------
+
+
+@query("q92_lsh_topk")
+def q92_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return lsh_topk(
+        e.filter(F.col("label") == 0),
+        e.filter(F.col("label") == 1),
+        k=_TOPK,
+        n_planes=6,
+    )
+
+
+# --------------------------------------------------------------------------
+# q93 — centroid per class (doubles as "embedding aggregation"):
+# per-label mean vector component — unnest → group — plus cohesion
+# (avg cosine of members to their centroid would need two passes; the
+# per-component mean is the building block).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q93_label_centroids",
+    oracle="""
+    WITH x AS (
+      SELECT label,
+             CAST(UNNEST(embedding) AS DOUBLE) AS v,
+             GENERATE_SUBSCRIPTS(embedding, 1) AS i
+      FROM embeddings
+    )
+    SELECT CAST(label AS INTEGER) AS label, CAST(i AS INTEGER) AS component,
+           CAST(SUM(CAST(FLOOR(v * 1000000000000.0) AS HUGEINT)) AS DOUBLE)
+                / 1000000000000.0 / COUNT(*) AS centroid_v,
+           COUNT(*) AS n
+    FROM x GROUP BY label, i
+    """,
+)
+def q93_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return (
+        x.groupBy(F.col("label"), (F.col("pos") + 1).cast("int").alias("component"))
+        .agg(
+            (
+                fsum(F.col("v").cast("double"), "s").cast("double") / F.count(F.lit(1))
+            ).alias("centroid_v"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -1,0 +1,255 @@
+"""Window functions (SURVEY.md §2.5 W1-W6) + per-group normalization (C5).
+
+Window partitioning shuffles once on the partition key and sorts within
+partitions — the same cost envelope as a group-by. Every ORDER BY here
+carries a unique tiebreaker column so ranking is total and both engines
+agree row-for-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fcs_etl_reactor_spark.io import load
+from fcs_etl_reactor_spark.queries import query
+
+# --------------------------------------------------------------------------
+# q40 — ranking family (W1): row_number / rank / dense_rank / ntile.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q40_ranking",
+    oracle="""
+    SELECT
+      o_custkey, o_orderkey,
+      ROW_NUMBER() OVER w AS rn,
+      RANK() OVER w AS rnk,
+      DENSE_RANK() OVER w AS drnk,
+      NTILE(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q40_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q41 — lag/lead offsets (W2): inter-event gap per user — the classic
+# sessionization primitive.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q41_event_gaps",
+    oracle="""
+    SELECT
+      user_id, event_id, ts,
+      LAG(event_id) OVER w AS prev_event_id,
+      EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) AS gap_micros,
+      LEAD(event_type) OVER w AS next_event_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q41_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_micros"),
+        F.lead("event_type").over(w).alias("next_event_type"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q42 — running / framed aggregates (W3): cumulative revenue per
+# customer. Decimal-cast inside the window sum keeps the prefix sums
+# exact and order-independent of partitioning.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q42_running_total",
+    oracle="""
+    SELECT
+      o_custkey, o_orderkey, o_orderdate,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS running_spend,
+      CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS running_orders
+    FROM orders
+    """,
+)
+def q42_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+        F.count(F.lit(1)).over(w).alias("running_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q43 — ECDF (W4): empirical CDF per channel — the FCS plotting
+# primitive (cume_dist over value order). percent_rank alongside.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q43_ecdf",
+    oracle="""
+    SELECT
+      event_type, event_id, value,
+      CUME_DIST() OVER w AS ecdf,
+      PERCENT_RANK() OVER w AS pct_rank
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def q43_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return e.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.cume_dist().over(w).alias("ecdf"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q44 — top-k per group (W5): top-3 orders per customer. The window
+# filter runs map-side after one shuffle — never a global sort.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q44_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q44_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# q45 — first/last in group (W6): each user's first and latest event —
+# expressed as min_by/max_by (one aggregation, no window needed; at
+# scale this is cheaper than a window because partial agg kicks in).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q45_first_last",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rfirst,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rlast
+      FROM events
+    )
+    SELECT user_id,
+      MAX(CASE WHEN rfirst = 1 THEN event_id END) AS first_event_id,
+      MAX(CASE WHEN rlast = 1 THEN event_id END) AS last_event_id,
+      MIN(ts) AS first_ts,
+      MAX(ts) AS last_ts
+    FROM ranked GROUP BY user_id
+    """,
+)
+def q45_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.min_by("event_id", F.struct("ts", "event_id")).alias("first_event_id"),
+        F.max_by("event_id", F.struct("ts", "event_id")).alias("last_event_id"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q46 — per-group normalization (C5): z-score within event_type, from
+# exact decimal sums (same composition as q21) joined back — a
+# broadcast join of the tiny stats table against the fact.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q46_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT
+        event_type,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(value * value AS DECIMAL(24,8))) AS DOUBLE) AS sxx
+      FROM events GROUP BY event_type
+    )
+    SELECT
+      e.event_id, e.event_type, e.value,
+      (e.value - s.sx / s.n)
+        / SQRT((s.sxx - s.sx * s.sx / s.n) / (s.n - 1)) AS zscore
+    FROM events e JOIN s USING (event_type)
+    """,
+)
+def q46_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(24,8)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    std = F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1))
+    return (
+        e.join(F.broadcast(s), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            ((F.col("value") - mean) / std).alias("zscore"),
+        )
+    )

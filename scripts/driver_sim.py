@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Simulate the DRIVER's view of this repo: import __spark_entry__,
+run entry() on a vanilla SparkSession, then run every queries() entry
+at sf0.01 and hash-compare against oracle_sql() via DuckDB — the same
+row-count + schema + order-insensitive value-hash the driver records.
+"""
+
+import hashlib
+import sys
+
+sys.path.insert(0, ".")
+
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as ent
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon_cell(v):
+    import datetime as dt
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if hasattr(v, "asDict"):
+        d = v.asDict()
+        return "{" + ",".join(f"{k}:{canon_cell(d[k])}" for k in sorted(d)) + "}"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{canon_cell(v[k])}" for k in sorted(v)) + "}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def value_hash(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(canon_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main():
+    # vanilla session — deliberately NOT our tuned factory; the driver
+    # brings its own. Keep default shuffle partitions etc.
+    spark = SparkSession.builder.master("local[16]").appName("driver-sim").getOrCreate()
+
+    # t1 smoke
+    df = ent.entry(spark)
+    rows = df.collect()
+    print(f"t1 smoke: entry() -> {len(rows)} rows, schema={[f.name for f in df.schema.fields]}")
+    assert len(rows) > 0
+
+    qs = ent.queries()
+    oracles = ent.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+    n_pass = n_rowsonly = 0
+    fails = []
+    for name, fn in qs.items():
+        sdf = fn(spark, SF)
+        srows = sdf.collect()
+        scols = sdf.columns
+        if name not in oracles:
+            n_rowsonly += 1
+            print(f"  [rows-only] {name}: {len(srows)} rows")
+            continue
+        orows = con.execute(oracles[name]).fetchall()
+        ocols = [d[0] for d in con.description]
+        ok_schema = sorted(scols) == sorted(ocols)
+        ok_count = len(srows) == len(orows)
+        ok_hash = value_hash(srows, scols) == value_hash(orows, ocols)
+        if ok_schema and ok_count and ok_hash:
+            n_pass += 1
+        else:
+            fails.append((name, ok_schema, ok_count, ok_hash))
+            print(f"  [FAIL] {name}: schema={ok_schema} count={ok_count} hash={ok_hash}")
+    print(f"t2: {n_pass}/{len(oracles)} oracle pairs hash-match; {n_rowsonly} rows-only entries ran")
+    if fails:
+        print("FAILURES:", fails)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
