@@ -17,20 +17,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from fcs_etl_reactor_spark.functions.exact import fsum as _fsum_local
+_SCALE = 1e12
 
-def _norms_exact(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """Exact L2 norm per vector via posexplode + deterministic
-    floor-scaled integer sum of squares (functions.exact.fsum)."""
-    from fcs_etl_reactor_spark.functions.exact import fsum
 
-    x = F.col("x").cast("double")
-    return (
-        df.select(F.col(id_col), F.explode(F.col(vec_col)).alias("x"))
-        .groupBy(id_col)
-        .agg(fsum(x * x, "norm_sq"))
-        .select(F.col(id_col), F.sqrt("norm_sq").alias("norm"))
+def _dot_scaled(a, b) -> F.Column:
+    """Deterministic dot product: per-element FLOOR((x*y)*1e12) → long,
+    sequential integer fold (order-free because integers are exact),
+    back to double. Bit-identical to an unnest+HUGEINT-sum oracle, but
+    runs as a single whole-stage-codegen array fold — no explode, no
+    shuffle.
+    """
+    scaled = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.floor((x.cast("double") * y.cast("double")) * F.lit(_SCALE)).cast(
+            "long"
+        ),
     )
+    total = F.aggregate(scaled, F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return total.cast("double") / F.lit(_SCALE)
 
 
 def cosine_topk_exact(
@@ -42,32 +47,29 @@ def cosine_topk_exact(
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, match_id, cosine, rn) with rn ≤ k.
 
-    Dot products via positional join of exploded vectors with decimal
-    accumulation — deterministic across engines and partitionings.
+    Plan: broadcast the (smaller) query side, crossJoin against the
+    corpus so each corpus partition scans independently — the only
+    shuffle is the final per-query top-k window over |Q|·k-bounded
+    data. Deterministic scaled-integer dot products keep parity with
+    the SQL oracle at any partitioning.
     """
-    qx = queries.select(
-        F.col(id_col).alias("query_id"), F.posexplode(vec_col).alias("pos", "qx")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.sqrt(_dot_scaled(F.col(vec_col), F.col(vec_col))).alias("qnorm"),
     )
-    cx = corpus.select(
-        F.col(id_col).alias("match_id"), F.posexplode(vec_col).alias("pos", "cx")
+    c = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("cv"),
+        F.sqrt(_dot_scaled(F.col(vec_col), F.col(vec_col))).alias("cnorm"),
     )
-    dots = (
-        qx.join(cx, "pos")
-        .groupBy("query_id", "match_id")
-        .agg(_fsum_local(F.col("qx").cast("double") * F.col("cx").cast("double"), "dot"))
+    pairs = c.crossJoin(F.broadcast(q))
+    cos = (_dot_scaled(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm"))).alias(
+        "cosine"
     )
-    qn = _norms_exact(queries, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("norm").alias("qnorm")
-    )
-    cn = _norms_exact(corpus, id_col, vec_col).select(
-        F.col(id_col).alias("match_id"), F.col("norm").alias("cnorm")
-    )
-    cos = (F.col("dot") / (F.col("qnorm") * F.col("cnorm"))).alias("cosine")
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "match_id")
     return (
-        dots.join(F.broadcast(qn), "query_id")
-        .join(F.broadcast(cn), "match_id")
-        .select("query_id", "match_id", cos)
+        pairs.select("query_id", "match_id", cos)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
     )
