@@ -137,13 +137,13 @@ def lsh_bucket(
     n_planes: int = 8,
     seed: int = 42,
     out_col: str = "bucket",
+    dim: int = 64,
 ) -> DataFrame:
     """Random-hyperplane (sign) LSH: bucket = bits of sign(v·h_i).
 
     Expression-generated per-plane dot products (constant-folded plane
     weights) — like compensation, a pure codegen projection.
     """
-    dim = 64  # fixture embedding length; parameterize for other corpora
     planes = random_hyperplanes(dim, n_planes, seed)
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
@@ -164,6 +164,7 @@ def lsh_topk(
     k: int = 5,
     n_planes: int = 8,
     seed: int = 42,
+    dim: int = 64,
 ) -> DataFrame:
     """Approximate cosine top-k: compare only same-bucket pairs.
 
@@ -172,11 +173,11 @@ def lsh_topk(
     recall union several plane seeds)."""
     q = lsh_bucket(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
-        "qv", n_planes, seed,
+        "qv", n_planes, seed, dim=dim,
     )
     c = lsh_bucket(
         corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv")),
-        "cv", n_planes, seed,
+        "cv", n_planes, seed, dim=dim,
     )
     pairs = q.join(c, "bucket")
     qnorm = F.sqrt(_dot_fold(F.col("qv"), F.col("qv")))

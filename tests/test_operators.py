@@ -1,0 +1,168 @@
+"""Unit tests for custom operators on tiny literal frames
+(SURVEY.md §5.2-3): hand-computed goldens, no oracle dependency."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fcs_etl_reactor_spark.operators.asof import asof_join
+from fcs_etl_reactor_spark.operators.compensation import compensate
+from fcs_etl_reactor_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+    simhash_candidates,
+)
+from fcs_etl_reactor_spark.operators.similarity import (
+    cosine_topk_exact,
+    cosine_topk_fast,
+    lsh_topk,
+)
+
+
+def _ts(s):
+    return f"TIMESTAMP '{s}'"
+
+
+class TestAsofJoin:
+    def test_backward_inclusive(self, spark):
+        left = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00", "a"), (1, "2024-01-01 12:00:00", "b"),
+             (2, "2024-01-01 11:00:00", "c")],
+            "k INT, t STRING, tag STRING",
+        ).withColumn("t", F.col("t").cast("timestamp"))
+        right = spark.createDataFrame(
+            [(1, "2024-01-01 09:00:00", 10.0), (1, "2024-01-01 11:30:00", 20.0),
+             (2, "2024-01-01 12:00:00", 30.0)],
+            "k INT, t STRING, v DOUBLE",
+        ).withColumn("t", F.col("t").cast("timestamp"))
+        out = asof_join(left, right, on="k", left_ts="t", right_ts="t",
+                        right_values=["v"], aliases=["last_v"])
+        got = {r["tag"]: r["last_v"] for r in out.collect()}
+        # a: only 09:00 purchase before 10:00 -> 10.0
+        # b: 11:30 before 12:00 -> 20.0
+        # c: right event at 12:00 is AFTER 11:00 -> null
+        assert got == {"a": 10.0, "b": 20.0, "c": None}
+
+    def test_equal_ts_is_inclusive(self, spark):
+        left = spark.createDataFrame([(1, "2024-01-01 10:00:00")], "k INT, t STRING")
+        left = left.withColumn("t", F.col("t").cast("timestamp"))
+        right = spark.createDataFrame([(1, "2024-01-01 10:00:00", 5.0)], "k INT, t STRING, v DOUBLE")
+        right = right.withColumn("t", F.col("t").cast("timestamp"))
+        out = asof_join(left, right, on="k", left_ts="t", right_ts="t",
+                        right_values=["v"], aliases=["v"])
+        assert out.collect()[0]["v"] == 5.0
+
+
+class TestCompensation:
+    def test_identity_matrix(self, spark):
+        df = spark.createDataFrame([(1.0, 2.0)], "c1 DOUBLE, c2 DOUBLE")
+        out = compensate(df, ["c1", "c2"], [[1.0, 0.0], [0.0, 1.0]], keep=[])
+        row = out.collect()[0]
+        assert row["comp_c1"] == 1.0 and row["comp_c2"] == 2.0
+
+    def test_spillover(self, spark):
+        df = spark.createDataFrame([(10.0, 4.0)], "c1 DOUBLE, c2 DOUBLE")
+        out = compensate(df, ["c1", "c2"], [[1.0, -0.5], [-0.25, 1.0]], keep=[])
+        row = out.collect()[0]
+        assert row["comp_c1"] == 10.0 - 2.0  # 1.0*10 - 0.5*4
+        assert row["comp_c2"] == -2.5 + 4.0  # -0.25*10 + 1.0*4
+
+
+class TestDedup:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "the quick brown fox jumps over the lazy cat"),
+                (3, "The Quick Brown Fox Jumps Over The Lazy Dog".lower()),
+                (4, "completely different words entirely unrelated text here"),
+            ],
+            "doc_id INT, text STRING",
+        )
+
+    def test_exact_dedup_keeps_lowest_id(self, spark):
+        out = exact_dedup(self._docs(spark), "text", "doc_id")
+        ids = sorted(r["doc_id"] for r in out.collect())
+        assert ids == [1, 2, 4]  # 3 is an exact dup of 1 after lower()
+
+    def test_shingles(self, spark):
+        df = spark.createDataFrame([(1, "a b c d")], "doc_id INT, text STRING")
+        got = sorted(r["shingle"] for r in shingles(df, "doc_id", "text", 3).collect())
+        assert got == ["a b c", "b c d"]
+
+    def test_jaccard_near_dup_found(self, spark):
+        out = ngram_jaccard_pairs(self._docs(spark), "doc_id", "text", n=3, threshold=0.3)
+        pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.collect()}
+        assert (1, 3) in pairs and pairs[(1, 3)] == 1.0  # identical shingle sets
+        assert (1, 2) in pairs and 0.5 < pairs[(1, 2)] < 1.0
+        assert not any(4 in p for p in pairs)
+
+    def test_minhash_identical_docs_share_signature(self, spark):
+        sig = {
+            r["doc_id"]: r["signature"]
+            for r in minhash_signatures(self._docs(spark), "doc_id", "text").collect()
+        }
+        assert sig[1] == sig[3]
+        assert sig[1] != sig[4]
+
+    def test_minhash_lsh_candidates(self, spark):
+        out = minhash_lsh_pairs(self._docs(spark), "doc_id", "text", bands=16)
+        pairs = {(r["doc_a"], r["doc_b"]): r["n_bands"] for r in out.collect()}
+        assert pairs[(1, 3)] == 16  # identical docs agree on all bands
+        assert (1, 2) in pairs  # near-dup caught by some band
+        assert not any(4 in p for p in pairs)
+
+    def test_simhash_hamming(self, spark):
+        fp = {r["doc_id"]: r["simhash"] for r in simhash(self._docs(spark), "doc_id", "text").collect()}
+        assert fp[1] == fp[3]
+        ham_12 = bin(fp[1] ^ fp[2]).count("1")
+        ham_14 = bin(fp[1] ^ fp[4]).count("1")
+        assert ham_12 < ham_14
+        cands = {(r["doc_a"], r["doc_b"]) for r in
+                 simhash_candidates(self._docs(spark), "doc_id", "text").collect()}
+        assert (1, 3) in cands
+
+
+class TestSimilarity:
+    def _vecs(self, spark):
+        rows = [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+            (4, [0.0, 0.0, 1.0]),
+        ]
+        return spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>")
+
+    def test_exact_topk_ranks_by_cosine(self, spark):
+        v = self._vecs(spark)
+        out = cosine_topk_exact(v.filter("vec_id = 1"), v.filter("vec_id > 1"), k=2)
+        got = [(r["match_id"], r["rn"]) for r in out.orderBy("rn").collect()]
+        assert got == [(2, 1), (3, 2)]
+
+    def test_fast_matches_exact_ranking(self, spark):
+        v = self._vecs(spark)
+        a = cosine_topk_exact(v, v, k=3).select("query_id", "match_id", "rn")
+        b = cosine_topk_fast(v, v, k=3).select("query_id", "match_id", "rn")
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_lsh_self_match(self, spark):
+        v = self._vecs(spark)
+        out = lsh_topk(v, v, k=1, n_planes=2, dim=3)
+        got = {r["query_id"]: r["match_id"] for r in out.collect()}
+        # every vector's nearest same-bucket neighbor is itself
+        assert all(q == m for q, m in got.items())
+
+
+class TestExactHelpers:
+    def test_dsum_partition_invariance(self, spark):
+        from fcs_etl_reactor_spark.functions.exact import dsum
+
+        vals = [(float(i) * 0.01,) for i in range(1, 2001)]
+        one = spark.createDataFrame(vals, "x DOUBLE").coalesce(1)
+        many = spark.createDataFrame(vals, "x DOUBLE").repartition(17)
+        a = one.agg(dsum("x", "s")).collect()[0]["s"]
+        b = many.agg(dsum("x", "s")).collect()[0]["s"]
+        assert a == b == pytest.approx(20010.0 * 0.001 * 1000)
