@@ -1,0 +1,55 @@
+"""Custom stateful streaming — SURVEY.md §2.10 T6.
+
+Running per-key counters via ``applyInPandasWithState``: arbitrary
+user state (count, sum, last-seen) maintained per user_id across
+micro-batches. State lives in the executor state store; the operator
+shuffles each micro-batch by key once.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+COUNTER_OUTPUT_SCHEMA = (
+    "user_id BIGINT, n_events BIGINT, total_value DOUBLE, last_event_id BIGINT"
+)
+COUNTER_STATE_SCHEMA = "n BIGINT, total DOUBLE, last_id BIGINT"
+
+
+def _update_counters(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        n, total, last_id = state.get
+    else:
+        n, total, last_id = 0, 0.0, -1
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            last_id = int(pdf.loc[pdf["ts"].idxmax(), "event_id"])
+    state.update((n, total, last_id))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total],
+            "last_event_id": [last_id],
+        }
+    )
+
+
+def running_user_counters(stream):
+    """Per-user running (count, sum, latest-event) emitted every
+    micro-batch — the T6 stateful pattern. Output mode: update."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _update_counters,
+        outputStructType=COUNTER_OUTPUT_SCHEMA,
+        stateStructType=COUNTER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,126 @@
+"""Structured Streaming tests (SURVEY.md §5.2-4): memory sink +
+availableNow trigger, and batch-twin equivalence — the streamed result
+over a finite input must equal the batch computation on the same data.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fcs_etl_reactor_spark.io import load
+from fcs_etl_reactor_spark.streaming.stateful import running_user_counters
+from fcs_etl_reactor_spark.streaming.windows import (
+    dedup_stream,
+    enrich_with_dim,
+    read_events_stream,
+    session_aggregate,
+    sliding_counts,
+    to_memory_sink,
+    tumbling_counts,
+)
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Finite streaming input: the sf0.001 events table re-written as
+    4 parquet files (micro-batch boundaries) with micro-ts schema."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    load(spark, SF_SMALL, "events").repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _run(spark, stream_df, name, mode="append"):
+    q = to_memory_sink(stream_df, name, mode)
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+class TestWindowedStreaming:
+    def test_tumbling_equals_batch_twin(self, spark, events_dir):
+        # complete output mode on a finite input: every window emits
+        # regardless of watermark, so streamed == batch exactly
+        stream = read_events_stream(spark, events_dir)
+        got = _run(spark, tumbling_counts(stream), "t_tumbling", mode="complete")
+        batch = load(spark, SF_SMALL, "events").groupBy(
+            F.window("ts", "10 minutes").alias("win"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n")).select(
+            F.col("win.start").alias("win_start"), "event_type", "n"
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+    def test_sliding_equals_batch_twin(self, spark, events_dir):
+        stream = read_events_stream(spark, events_dir)
+        got = _run(spark, sliding_counts(stream), "t_sliding", mode="complete")
+        batch = load(spark, SF_SMALL, "events").groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("win"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n")).select(
+            F.col("win.start").alias("win_start"), "event_type", "n"
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+    def test_session_equals_batch_twin(self, spark, events_dir):
+        from fcs_etl_reactor_spark.queries import QUERIES
+
+        stream = read_events_stream(spark, events_dir)
+        got = _run(spark, session_aggregate(stream), "t_session", mode="complete")
+        twin = QUERIES["q97_sessionization"](spark, SF_SMALL).select(
+            "user_id", "session_start", "n_events", "session_value"
+        )
+        got_cmp = got.select("user_id", "session_start", "n_events", "session_value")
+        assert sorted(map(tuple, got_cmp.collect())) == sorted(map(tuple, twin.collect()))
+
+
+class TestWatermark:
+    def test_watermark_drops_late_events(self, spark, events_dir):
+        """T4: with per-file micro-batches over time-unordered files,
+        the watermark advances between batches and late events are
+        dropped — streamed totals must be <= batch totals, never >."""
+        stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+        got = _run(spark, tumbling_counts(stream, watermark="1 hour"), "t_wm")
+        batch_total = load(spark, SF_SMALL, "events").count()
+        streamed_total = got.agg(F.sum("n")).collect()[0][0]
+        assert streamed_total <= batch_total
+        # and every (window, type) count is <= its batch twin
+        batch = load(spark, SF_SMALL, "events").groupBy(
+            F.window("ts", "10 minutes").alias("win"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("bn")).select(
+            F.col("win.start").alias("win_start"), "event_type", "bn"
+        )
+        joined = got.join(batch, ["win_start", "event_type"], "left")
+        assert joined.filter("n > bn").count() == 0
+
+
+class TestStatefulStreaming:
+    def test_dedup_stream(self, spark, events_dir):
+        stream = read_events_stream(spark, events_dir)
+        got = _run(spark, dedup_stream(stream), "t_dedup")
+        n_batch = load(spark, SF_SMALL, "events").count()
+        assert got.count() == n_batch  # event_id already unique
+        assert got.select("event_id").distinct().count() == n_batch
+
+    def test_stream_static_join(self, spark, events_dir):
+        dim = spark.createDataFrame(
+            [(t, i) for i, t in enumerate(["click", "view", "purchase", "signup", "error"])],
+            "event_type STRING, type_code INT",
+        )
+        stream = read_events_stream(spark, events_dir)
+        got = _run(spark, enrich_with_dim(stream, dim, "event_type"), "t_enrich")
+        assert got.filter("type_code IS NULL").count() == 0
+        assert got.count() == load(spark, SF_SMALL, "events").count()
+
+    def test_running_counters_final_state_matches_batch(self, spark, events_dir):
+        stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+        got = _run(spark, running_user_counters(stream), "t_counters", mode="update")
+        # memory sink in update mode appends every emission; the LAST
+        # emission per user is the final state.
+        final = (
+            got.withColumn("rn", F.monotonically_increasing_id())
+            .orderBy(F.col("rn").desc())
+            .dropDuplicates(["user_id"])
+        )
+        batch = load(spark, SF_SMALL, "events").groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events")
+        )
+        got_counts = {r["user_id"]: r["n_events"] for r in final.collect()}
+        for r in batch.collect():
+            assert got_counts[r["user_id"]] == r["n_events"]
