@@ -76,7 +76,9 @@ def q81_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("term") != ""
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df derived from tf (already distinct per doc-term) — one explode
+    # pass instead of two over the corpus
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return tf.join(F.broadcast(df), "term").select(
         "doc_id",
         "term",

@@ -1,0 +1,81 @@
+"""Physical-plan regression tests (SURVEY.md §4): the optimizations we
+rely on at 100 TB must actually appear in the plans — predicate
+pushdown into parquet, column pruning, broadcast joins for dims,
+TakeOrderedAndProject for top-k, no cartesian products where a
+broadcast nested loop was intended.
+"""
+
+import re
+
+import pytest
+
+from fcs_etl_reactor_spark.queries import QUERIES
+from tests.conftest import SF_SMALL
+
+
+def plan_of(spark, name: str) -> str:
+    return QUERIES[name](spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+
+
+def explain_str(spark, name: str) -> str:
+    import contextlib
+    import io
+
+    df = QUERIES[name](spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    s = explain_str(spark, "q2_filter_predicates")
+    assert "PushedFilters: [" in s
+    # the range predicate reaches the scan (In() contains ']', so match
+    # the concrete filter rather than bounding the bracket span)
+    assert "GreaterThanOrEqual(o_totalprice,50000.0)" in s, s
+
+
+def test_column_pruning(spark):
+    s = explain_str(spark, "q5_derived_columns")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", s)
+    assert m, s
+    cols = m.group(1)
+    # only the 5 referenced columns are read, not all 11
+    assert "l_returnflag" not in cols and "l_shipdate" not in cols
+
+
+def test_star_join_broadcasts_dims(spark):
+    s = plan_of(spark, "q10_star_join_revenue")
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s
+    assert "SortMergeJoin" not in s  # dims broadcast; AQE handles facts
+
+
+def test_topk_plans_take_ordered(spark):
+    s = plan_of(spark, "q4_top_orders")
+    assert "TakeOrderedAndProject" in s
+
+
+def test_theta_join_is_broadcast_nested_loop(spark):
+    s = plan_of(spark, "q15_theta_join_bands")
+    assert "BroadcastNestedLoopJoin" in s
+    assert "CartesianProduct" not in s
+
+
+def test_cosine_topk_no_shuffle_before_window(spark):
+    s = plan_of(spark, "q91_cosine_topk")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" in s  # crossJoin of broadcast queries
+
+
+def test_aggregates_are_partial_final(spark):
+    s = plan_of(spark, "q1_pricing_summary")
+    assert "partial_sum" in s or "partial" in s.lower()
+
+
+def test_whole_stage_codegen_covers_compensation(spark):
+    s = plan_of(spark, "q70_compensation")
+    # '*(n)' marks WholeStageCodegen stages in executedPlan strings
+    assert "*(1)" in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s

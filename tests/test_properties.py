@@ -1,0 +1,114 @@
+"""Property-based invariants (SURVEY.md §5.2-5) with hypothesis.
+
+Each property runs few examples (Spark job latency dominates) but the
+invariants are the load-bearing ones: set-op algebra, geo-mean bound,
+histogram mass conservation, dedup idempotence, as-of left-join
+cardinality, exact-sum correctness against Python's exact arithmetic.
+"""
+
+from fractions import Fraction
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from fcs_etl_reactor_spark.functions.exact import dsum
+from fcs_etl_reactor_spark.operators.asof import asof_join
+from fcs_etl_reactor_spark.operators.dedup import exact_dedup
+
+SETTINGS = settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.lists(st.integers(0, 20), min_size=1, max_size=30)
+
+
+@SETTINGS
+@given(a=keys, b=keys)
+def test_union_distinct_is_set_union(spark, a, b):
+    da = spark.createDataFrame([(x,) for x in a], "k INT")
+    db = spark.createDataFrame([(x,) for x in b], "k INT")
+    got = sorted(r["k"] for r in da.union(db).distinct().collect())
+    assert got == sorted(set(a) | set(b))
+
+
+@SETTINGS
+@given(a=keys, b=keys)
+def test_intersect_except_partition(spark, a, b):
+    da = spark.createDataFrame([(x,) for x in a], "k INT")
+    db = spark.createDataFrame([(x,) for x in b], "k INT")
+    inter = {r["k"] for r in da.intersect(db).collect()}
+    diff = {r["k"] for r in da.subtract(db).collect()}
+    assert inter == set(a) & set(b)
+    assert diff == set(a) - set(b)
+    assert inter | diff == set(a) and not (inter & diff)
+
+
+@SETTINGS
+@given(vals=st.lists(st.floats(0.01, 1e4, allow_nan=False), min_size=2, max_size=40))
+def test_geomean_le_mean(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "x DOUBLE")
+    row = df.agg(
+        F.exp(F.avg(F.log("x"))).alias("g"), F.avg("x").alias("m")
+    ).collect()[0]
+    assert row["g"] <= row["m"] * (1 + 1e-9)
+
+
+@SETTINGS
+@given(vals=st.lists(st.floats(0.001, 1e5, allow_nan=False), min_size=1, max_size=50))
+def test_histogram_mass_conservation(spark, vals):
+    from fcs_etl_reactor_spark.operators.beads import log_histogram
+
+    df = spark.createDataFrame([("s", v) for v in vals], "sample_id STRING, value DOUBLE")
+    hist = log_histogram(df, "value", ["sample_id"], lo=-3.0, step=0.5, n_bins=20)
+    assert hist.agg(F.sum("n")).collect()[0][0] == len(vals)
+
+
+@SETTINGS
+@given(texts=st.lists(st.text(alphabet="ab ", min_size=0, max_size=12),
+                      min_size=1, max_size=12))
+def test_exact_dedup_idempotent_and_minimal(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id INT, text STRING")
+    once = exact_dedup(df, "text", "doc_id")
+    twice = exact_dedup(once, "text", "doc_id")
+    got_once = sorted(map(tuple, once.collect()))
+    assert got_once == sorted(map(tuple, twice.collect()))
+    assert len(got_once) == len({t.lower().strip() for t in texts})
+
+
+@SETTINGS
+@given(
+    lefts=st.lists(st.integers(0, 1000), min_size=1, max_size=20),
+    rights=st.lists(st.integers(0, 1000), min_size=0, max_size=20),
+)
+def test_asof_preserves_left_cardinality(spark, lefts, rights):
+    l = spark.createDataFrame(
+        [(1, t) for t in lefts], "k INT, t BIGINT"
+    ).withColumn("t", F.timestamp_seconds("t"))
+    r = spark.createDataFrame([(1, t, float(t)) for t in rights], "k INT, t BIGINT, v DOUBLE")
+    r = r.withColumn("t", F.timestamp_seconds("t"))
+    out = asof_join(l, r, on="k", left_ts="t", right_ts="t",
+                    right_values=["v"], aliases=["v"]).collect()
+    assert len(out) == len(lefts)
+    # every matched value is the max right-ts <= left-ts
+    for row in out:
+        t = row["t"].timestamp()
+        eligible = [x for x in rights if x <= t]
+        assert row["v"] == (float(max(eligible)) if eligible else None)
+
+
+@SETTINGS
+@given(vals=st.lists(
+    st.decimals(min_value=-1000, max_value=1000, places=2, allow_nan=False),
+    min_size=1, max_size=60,
+))
+def test_dsum_exact_vs_python(spark, vals):
+    """For ≤2-decimal inputs, dsum must equal the EXACT sum (computed
+    with Fractions in Python) at any partitioning."""
+    floats = [float(v) for v in vals]
+    expected = float(sum(Fraction(v) for v in vals))
+    df = spark.createDataFrame([(v,) for v in floats], "x DOUBLE").repartition(5)
+    got = df.agg(dsum("x", "s", scale=100)).collect()[0]["s"]
+    assert got == pytest.approx(expected, abs=1e-9)
