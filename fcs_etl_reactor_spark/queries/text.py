@@ -71,7 +71,9 @@ def q80_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q81_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    n_docs = d.count()  # tiny driver-side scalar; at scale use a broadcast agg
+    # corpus size as a 1-row broadcast, not a driver-side count() —
+    # keeps the whole query one lazy plan (no extra job)
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term")).filter(
         F.col("term") != ""
     )
@@ -79,12 +81,16 @@ def q81_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # df derived from tf (already distinct per doc-term) — one explode
     # pass instead of two over the corpus
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    return tf.join(F.broadcast(df), "term").select(
-        "doc_id",
-        "term",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 9
-        ).alias("tfidf"),
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 9
+            ).alias("tfidf"),
+        )
     )
 
 

@@ -159,3 +159,40 @@ def q93_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q94 — array-function surface (F4): slice / sort / reverse / min-max /
+# contains / element access on the embedding arrays, all JVM built-ins.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q94_array_funcs",
+    oracle="""
+    SELECT
+      vec_id,
+      CAST(LEN(embedding) AS INTEGER) AS dim,
+      embedding[1:3] AS head3,
+      LIST_SORT(embedding[1:3]) AS head3_sorted,
+      LIST_REVERSE(embedding[1:3]) AS head3_rev,
+      LIST_MAX(embedding) AS vmax,
+      LIST_MIN(embedding) AS vmin,
+      CAST(LIST_CONTAINS(embedding, embedding[1]) AS INTEGER) AS has_first
+    FROM embeddings
+    """,
+)
+def q94_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    head3 = F.slice(emb, 1, 3)
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        head3.alias("head3"),
+        F.array_sort(head3).alias("head3_sorted"),
+        F.reverse(head3).alias("head3_rev"),
+        F.array_max(emb).alias("vmax"),
+        F.array_min(emb).alias("vmin"),
+        F.array_contains(emb, F.element_at(emb, 1)).cast("int").alias("has_first"),
+    )

@@ -1,0 +1,90 @@
+"""IO surface tests: CSV/JSON sources (S2/S3), bucketed co-located
+joins (SURVEY.md §4 partitioning strategy), Python UDTFs (U5)."""
+
+from pyspark.sql import functions as F
+
+from fcs_etl_reactor_spark.functions.udtfs import NGramExpander, TextSegmentParser
+from fcs_etl_reactor_spark.io import (
+    load,
+    read_csv,
+    read_json,
+    write_bucketed,
+    write_csv,
+)
+from tests.conftest import SF_SMALL
+
+
+class TestCsvJson:
+    def test_csv_roundtrip(self, spark, tmp_path):
+        orig = load(spark, SF_SMALL, "nation")
+        write_csv(orig, str(tmp_path / "nation_csv"))
+        back = read_csv(
+            spark, str(tmp_path / "nation_csv"),
+            schema="n_nationkey INT, n_name STRING, n_regionkey INT",
+        )
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, orig.collect()))
+
+    def test_json_manifest(self, spark, tmp_path):
+        manifest = tmp_path / "manifest.json"
+        manifest.write_text(
+            '{"sample": "a.fcs", "role": "bead", "channels": ["FSC", "FL1"]}\n'
+            '{"sample": "b.fcs", "role": "experiment", "channels": ["FSC"]}\n'
+        )
+        df = read_json(spark, str(manifest))
+        rows = {r["sample"]: r for r in df.collect()}
+        assert rows["a.fcs"]["role"] == "bead"
+        assert list(rows["a.fcs"]["channels"]) == ["FSC", "FL1"]
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_shuffle(self, spark, tmp_path):
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            orders = load(spark, SF_SMALL, "orders")
+            lineitem = load(spark, SF_SMALL, "lineitem")
+            write_bucketed(orders, "b_orders", ["o_orderkey"], 4,
+                           path=str(tmp_path / "b_orders"))
+            write_bucketed(
+                lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+                "b_lineitem", ["o_orderkey"], 4, path=str(tmp_path / "b_lineitem"),
+            )
+            joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan  # co-located: no shuffle at all
+            assert joined.count() == lineitem.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            spark.sql("DROP TABLE IF EXISTS b_orders")
+            spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+class TestUdtfs:
+    def test_ngram_expander(self, spark):
+        spark.udtf.register("ngrams", NGramExpander)
+        out = spark.sql(
+            "SELECT * FROM ngrams('a b c', 1, 2) ORDER BY n, start_pos"
+        ).collect()
+        got = [(r["gram"], r["start_pos"], r["n"]) for r in out]
+        assert got == [
+            ("a", 0, 1), ("b", 1, 1), ("c", 2, 1),
+            ("a b", 0, 2), ("b c", 1, 2),
+        ]
+
+    def test_lateral_join_with_udtf(self, spark):
+        spark.udtf.register("ngrams", NGramExpander)
+        docs = spark.createDataFrame([(1, "x y z")], "doc_id INT, text STRING")
+        docs.createOrReplaceTempView("udtf_docs")
+        out = spark.sql(
+            "SELECT d.doc_id, g.gram FROM udtf_docs d, "
+            "LATERAL ngrams(d.text, 2, 2) g"
+        ).collect()
+        assert sorted(r["gram"] for r in out) == ["x y", "y z"]
+
+    def test_text_segment_parser(self, spark):
+        spark.udtf.register("parse_text_segment", TextSegmentParser)
+        out = spark.sql(
+            "SELECT * FROM parse_text_segment('/$PAR/3/$TOT/100/$CYT/Foo//Bar/')"
+        ).collect()
+        kv = {r["key"]: r["value"] for r in out}
+        assert kv == {"$PAR": "3", "$TOT": "100", "$CYT": "Foo/Bar"}
