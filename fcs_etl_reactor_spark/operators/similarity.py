@@ -156,6 +156,164 @@ def lsh_bucket(
     return df.withColumn(out_col, bucket)
 
 
+def _array_from_components(pos_col: str, val_col: str) -> F.Column:
+    """Reassemble an array from (pos, value) rows collected per group:
+    collect_list order is nondeterministic, so sort the structs by
+    position before projecting the values out."""
+    return F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col(pos_col), F.col(val_col)))),
+        lambda s: s[val_col],
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iterations: int = 1,
+) -> DataFrame:
+    """Coarse quantizer for IVF: deterministic seeds (the first
+    ``n_centroids`` vectors by id) refined by ``iterations`` Lloyd
+    steps, entirely as DataFrame ops (no driver-side collect).
+
+    Returns (cluster_id INT, centroid ARRAY<DOUBLE>). K is small by
+    construction, so every use site broadcasts this frame.
+    """
+    w = Window.orderBy(id_col)
+    seeds = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            (F.row_number().over(w) - 1).alias("cluster_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"),
+        )
+    )
+    cents = seeds
+    for _ in range(iterations):
+        assigned = ivf_assign(corpus, cents, vec_col=vec_col)
+        comps = assigned.select(
+            "cluster_id", F.posexplode(vec_col).alias("pos", "v")
+        )
+        cents = (
+            comps.groupBy("cluster_id", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("mv"))
+            .groupBy("cluster_id")
+            .agg(_array_from_components("pos", "mv").alias("centroid"))
+        )
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Attach the ``n_probe`` nearest (by cosine) cluster_ids to each
+    row. n_probe=1 partitions the corpus; n_probe>1 is the query-side
+    multi-probe. One broadcast nested-loop over K centroid rows — a
+    pure scan at any corpus size; with n_probe=1 the arg-max collapses
+    to a per-row max_by (no window, no shuffle)."""
+    if n_probe == 1:
+        # Map-side argmax, zero shuffle: pack all K centroids (with
+        # precomputed norms) into ONE broadcast row, then fold over
+        # that array per input row. Ties go to the lower cluster_id
+        # (array is sorted by cluster_id; strict > keeps the first).
+        packed = centroids.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("cluster_id"),
+                        F.col("centroid"),
+                        F.sqrt(_dot_fold(F.col("centroid"), F.col("centroid"))).alias(
+                            "cnorm"
+                        ),
+                    )
+                )
+            ).alias("cents")
+        )
+        vec = F.col(vec_col)
+        vnorm = F.sqrt(_dot_fold(vec, vec))
+        best = F.aggregate(
+            F.col("cents"),
+            F.struct(F.lit(-2.0).alias("sim"), F.lit(-1).alias("cluster_id")),
+            lambda acc, c: F.when(
+                _dot_fold(vec, c["centroid"]) / (vnorm * c["cnorm"]) > acc["sim"],
+                F.struct(
+                    (_dot_fold(vec, c["centroid"]) / (vnorm * c["cnorm"])).alias("sim"),
+                    c["cluster_id"].alias("cluster_id"),
+                ),
+            ).otherwise(acc),
+        )
+        return (
+            df.crossJoin(F.broadcast(packed))
+            .select(*df.columns, best["cluster_id"].alias("cluster_id"))
+        )
+    sim = (
+        _dot_fold(F.col(vec_col), F.col("centroid"))
+        / (
+            F.sqrt(_dot_fold(F.col(vec_col), F.col(vec_col)))
+            * F.sqrt(_dot_fold(F.col("centroid"), F.col("centroid")))
+        )
+    ).alias("csim")
+    pairs = df.crossJoin(F.broadcast(centroids)).select(*df.columns, "cluster_id", sim)
+    w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), "cluster_id")
+    ranked = pairs.withColumn("crn", F.row_number().over(w))
+    return ranked.filter(F.col("crn") <= n_probe).drop("csim", "crn")
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iterations: int = 1,
+) -> DataFrame:
+    """IVF-flat approximate cosine top-k: cluster the corpus once with
+    a coarse quantizer, then each query scans only its ``n_probe``
+    nearest clusters.
+
+    The 100 TB shape: centroid training touches the corpus
+    ``iterations`` times (scan + O(K·dim) shuffle), the corpus
+    assignment is a single scan written partitioned by cluster_id, and
+    each query's candidate set is an equi-join on cluster_id —
+    candidate volume ~ (n_probe/n_centroids)·|corpus| instead of the
+    brute-force |Q|·|C| cross product. Recall is tuned by n_probe.
+    Deterministic end to end (seeded by vec_id order, integer-free
+    ranking ties broken by id)."""
+    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids, iterations)
+    c = ivf_assign(
+        corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv")),
+        cents,
+        vec_col="cv",
+        n_probe=1,
+    )
+    q = ivf_assign(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        cents,
+        vec_col="qv",
+        id_col="query_id",
+        n_probe=n_probe,
+    )
+    # corpus rows live in exactly one cluster (n_probe=1 above), so the
+    # equi-join below can never produce duplicate (query, match) pairs
+    pairs = q.join(c, "cluster_id")
+    qnorm = F.sqrt(_dot_fold(F.col("qv"), F.col("qv")))
+    cnorm = F.sqrt(_dot_fold(F.col("cv"), F.col("cv")))
+    cos = (_dot_fold(F.col("qv"), F.col("cv")) / (qnorm * cnorm)).alias("cosine")
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "match_id")
+    return (
+        pairs.select("query_id", "match_id", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -376,3 +376,76 @@ def q30_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
         F.approx_count_distinct("event_id", 0.01).alias("approx_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# q31 — CUBE (A8, completing rollup from q24): all 4 grouping-set
+# combinations of (o_orderstatus, o_orderpriority) in one pass — Spark
+# expands the sets and still runs a single partial+final aggregation.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q31_cube",
+    oracle=f"""
+    SELECT
+      o_orderstatus,
+      o_orderpriority,
+      GROUPING(o_orderstatus, o_orderpriority) AS gid,
+      COUNT(*) AS n,
+      {o_dsum("o_totalprice", "sum_price", scale="100.0")}
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q31_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice", "sum_price", scale=100.0),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "sum_price")
+    )
+
+
+# --------------------------------------------------------------------------
+# q32 — deterministic mode (A13): most frequent user per event_type.
+# Native mode() is tie-nondeterministic in both engines, so the modal
+# value is derived as count → argmax with an explicit (count, value)
+# tie-break — identical, reproducible semantics in Spark and the
+# oracle. Two hash aggregations, no window on the Spark side.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q32_mode",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id, COUNT(*) AS cnt
+      FROM events GROUP BY event_type, user_id
+    ), r AS (
+      SELECT event_type, user_id, cnt,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY cnt DESC, user_id DESC) AS rn
+      FROM c
+    )
+    SELECT event_type, user_id AS modal_user, cnt AS n_occurrences
+    FROM r WHERE rn = 1
+    """,
+)
+def q32_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    counts = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    best = F.max(F.struct(F.col("cnt"), F.col("user_id"))).alias("m")
+    return (
+        counts.groupBy("event_type")
+        .agg(best)
+        .select(
+            "event_type",
+            F.col("m.user_id").alias("modal_user"),
+            F.col("m.cnt").alias("n_occurrences"),
+        )
+    )

@@ -289,3 +289,41 @@ def q86_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         d, id_col="doc_id", text_col="text", n=3, threshold=_JACCARD_THRESHOLD
     )
+
+
+# --------------------------------------------------------------------------
+# q87 — token counting (north-star): whitespace tokens plus a BPE-ish
+# subword estimate — greedy ≤4-char alpha/digit chunks via regex, the
+# shape of a byte-pair piece count without a vocab. Both engines run
+# the same greedy leftmost match, so counts agree exactly; the
+# chars/4 heuristic is included as the third estimator.
+# --------------------------------------------------------------------------
+
+_BPEISH = "[a-z]{1,4}|[0-9]{1,4}|[^a-z0-9 ]"
+
+
+@query(
+    "q87_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+      CAST(LENGTH(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS BIGINT)
+        AS n_ws_tokens,
+      CAST(LENGTH(REGEXP_EXTRACT_ALL(LOWER(text), '{_BPEISH}')) AS BIGINT)
+        AS n_bpeish,
+      CAST(CEIL(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS n_chars_div4
+    FROM documents
+    """,
+)
+def q87_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda t: t != "")
+    return d.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPEISH), F.lit(0))
+        ).cast("bigint").alias("n_bpeish"),
+        F.ceil(F.col("n_chars").cast("double") / F.lit(4.0)).cast("bigint").alias(
+            "n_chars_div4"
+        ),
+    )

@@ -9,7 +9,9 @@ from pyspark.sql import functions as F
 from fcs_etl_reactor_spark.functions.exact import fsum
 from fcs_etl_reactor_spark.io import load
 from fcs_etl_reactor_spark.operators.similarity import (
+    _dot_scaled,
     cosine_topk_exact,
+    ivf_topk,
     lsh_topk,
 )
 from fcs_etl_reactor_spark.queries import query
@@ -158,6 +160,83 @@ def q93_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_v"),
             F.count(F.lit(1)).alias("n"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# q88 — embedding-cosine near-duplicate pairs: the exact verification
+# stage of embedding dedup. All id-ordered pairs with cosine ≥ 0.40
+# (the fixtures are near-orthogonal random vectors; max pair ≈ 0.51,
+# so the threshold selects a real but small candidate set).
+#
+# Scale note: this O(n²) self-join is the VERIFY stage only — at
+# 100 TB candidates come from lsh_bucket (q92) or ivf_assign (q89),
+# and this exact cosine runs on the bucket-joined candidate pairs.
+# --------------------------------------------------------------------------
+
+_NEARDUP_T = 0.40
+
+
+@query(
+    "q88_cosine_neardup",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+             GENERATE_SUBSCRIPTS(embedding, 1) AS i
+      FROM embeddings
+    ), norms AS (
+      SELECT vec_id,
+             SQRT(CAST(SUM(CAST(FLOOR(v * v * 1000000000000.0) AS HUGEINT)) AS DOUBLE)
+                  / 1000000000000.0) AS norm
+      FROM x GROUP BY vec_id
+    ), dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(SUM(CAST(FLOOR(a.v * b.v * 1000000000000.0) AS HUGEINT)) AS DOUBLE)
+                  / 1000000000000.0 AS dot
+      FROM x a JOIN x b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT d.id_a, d.id_b,
+           ROUND(d.dot / (na.norm * nb.norm), 9) AS cosine
+    FROM dots d
+    JOIN norms na ON d.id_a = na.vec_id
+    JOIN norms nb ON d.id_b = nb.vec_id
+    WHERE d.dot / (na.norm * nb.norm) >= {_NEARDUP_T}
+    """,
+)
+def q88_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos = _dot_scaled(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot_scaled(F.col("va"), F.col("va")))
+        * F.sqrt(_dot_scaled(F.col("vb"), F.col("vb")))
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= _NEARDUP_T)
+        .select("id_a", "id_b", F.round("cosine_raw", 9).alias("cosine"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q89 — IVF approximate top-k (L3 scale path): coarse-quantize the
+# corpus (1 Lloyd step from deterministic seeds), probe the 4 nearest
+# of 16 clusters per query. Approx → rows-only check; recall vs the
+# exact q91 is asserted in tests/test_operators.py.
+# --------------------------------------------------------------------------
+
+
+@query("q89_ivf_topk")
+def q89_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        e.filter(F.col("label") == 0),
+        e.filter(F.col("label") == 1),
+        k=_TOPK,
+        n_centroids=16,
+        n_probe=4,
     )
 
 

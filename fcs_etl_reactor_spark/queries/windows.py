@@ -253,3 +253,46 @@ def q46_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("value") - mean) / std).alias("zscore"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q47 — time-RANGE window frames (W3's rangeBetween form): per event,
+# the trailing-1-hour sum/count of that user's activity. The frame is
+# defined on the ORDER BY *value* (epoch seconds), not row offsets, so
+# peers at the same timestamp are always included together — identical
+# RANGE semantics in both engines. Scaled-long window sums keep the
+# trailing sum order-independent.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q47_time_frames",
+    oracle="""
+    SELECT
+      event_id, user_id, ts,
+      CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) OVER w AS DOUBLE)
+        / 1000000.0 AS trailing_1h_value,
+      COUNT(*) OVER w AS trailing_1h_events
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id
+      ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+      RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def q47_time_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3599, 0)
+    )
+    scaled = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.sum(scaled).over(w).cast("double") / F.lit(1e6)).alias("trailing_1h_value"),
+        F.count(F.lit(1)).over(w).alias("trailing_1h_events"),
+    )

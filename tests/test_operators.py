@@ -155,6 +155,48 @@ class TestSimilarity:
         # every vector's nearest same-bucket neighbor is itself
         assert all(q == m for q, m in got.items())
 
+    def test_ivf_clustered_data_full_recall(self, spark):
+        from fcs_etl_reactor_spark.operators.similarity import ivf_topk
+
+        # two tight clusters around orthogonal axes: with 2 centroids
+        # and n_probe=1, IVF must route each query to its own cluster
+        # and return exactly the exact top-k within it
+        rows = [
+            (1, [1.0, 0.01, 0.0]), (2, [1.0, 0.02, 0.0]), (3, [1.0, 0.03, 0.0]),
+            (4, [0.0, 0.01, 1.0]), (5, [0.0, 0.02, 1.0]), (6, [0.0, 0.03, 1.0]),
+        ]
+        v = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>")
+        out = ivf_topk(v, v, k=2, n_centroids=2, n_probe=1, iterations=1)
+        exact = cosine_topk_exact(v, v, k=2)
+        got = sorted(
+            (r["query_id"], r["match_id"], r["rn"]) for r in out.collect()
+        )
+        want = sorted(
+            (r["query_id"], r["match_id"], r["rn"]) for r in exact.collect()
+        )
+        assert got == want
+
+    def test_ivf_fixture_recall(self, spark):
+        from fcs_etl_reactor_spark.operators.similarity import ivf_topk
+        from fcs_etl_reactor_spark.io import load
+        from tests.conftest import SF_SMALL
+
+        e = load(spark, SF_SMALL, "embeddings")
+        q = e.filter("label = 0")
+        c = e.filter("label = 1")
+        exact = {
+            (r["query_id"], r["match_id"])
+            for r in cosine_topk_exact(q, c, k=5).collect()
+        }
+        approx = {
+            (r["query_id"], r["match_id"])
+            for r in ivf_topk(q, c, k=5, n_centroids=16, n_probe=4).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        # random near-orthogonal fixtures are worst-case for IVF; the
+        # floor just asserts clustering beats blind 4/16 probing
+        assert recall > 0.5
+
 
 class TestExactHelpers:
     def test_dsum_partition_invariance(self, spark):
