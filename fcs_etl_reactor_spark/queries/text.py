@@ -12,7 +12,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fcs_etl_reactor_spark.functions.exact import o_dsum
@@ -47,10 +47,13 @@ def q80_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q81 — TF-IDF (L4): classic two-pass — doc-term counts joined to
-# document frequencies; idf = ln(N / df) rounded for libm parity. The
-# df table is small (vocab-sized) → broadcast join against the big
-# doc-term side.
+# q81 — TF-IDF (L4): doc-term counts × inverse document frequency.
+# df is computed as COUNT(*) OVER (PARTITION BY term) on the tf rows
+# (each tf row is one distinct doc-term), so the corpus is exploded
+# and aggregated exactly ONCE — a join against a derived df table
+# would re-execute the explode+agg subtree for the build side. The
+# window has no ORDER BY (whole-partition frame), so it is a hash
+# shuffle on term + per-group count, no sort.
 # --------------------------------------------------------------------------
 
 
@@ -61,12 +64,11 @@ def q80_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
     ), tf AS (
       SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY doc_id, term
-    ), df AS (
-      SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks WHERE term <> '' GROUP BY term
     ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
     SELECT tf.doc_id, tf.term,
-           ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 9) AS tfidf
-    FROM tf JOIN df USING (term) CROSS JOIN n
+           ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE)
+                            / (COUNT(*) OVER (PARTITION BY term))), 9) AS tfidf
+    FROM tf CROSS JOIN n
     """,
 )
 def q81_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -78,19 +80,11 @@ def q81_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("term") != ""
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    # df derived from tf (already distinct per doc-term) — one explode
-    # pass instead of two over the corpus
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    return (
-        tf.join(F.broadcast(df), "term")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "term",
-            F.round(
-                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 9
-            ).alias("tfidf"),
-        )
+    df = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    return tf.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.col("n_docs") / df), 9).alias("tfidf"),
     )
 
 

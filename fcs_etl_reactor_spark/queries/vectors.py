@@ -11,6 +11,7 @@ from fcs_etl_reactor_spark.io import load
 from fcs_etl_reactor_spark.operators.similarity import (
     _dot_scaled,
     cosine_topk_exact,
+    cosine_topk_vectorized,
     ivf_topk,
     lsh_topk,
 )
@@ -99,7 +100,7 @@ _TOPK = 5
 )
 def q91_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    return cosine_topk_exact(
+    return cosine_topk_vectorized(
         e.filter(F.col("label") == 0),
         e.filter(F.col("label") == 1),
         id_col="vec_id",
@@ -208,10 +209,10 @@ def q88_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    cos = _dot_scaled(F.col("va"), F.col("vb")) / (
-        F.sqrt(_dot_scaled(F.col("va"), F.col("va")))
-        * F.sqrt(_dot_scaled(F.col("vb"), F.col("vb")))
-    )
+    # precompute norms once per side (not per pair)
+    a = a.withColumn("na", F.sqrt(_dot_scaled(F.col("va"), F.col("va"))))
+    b = b.withColumn("nb", F.sqrt(_dot_scaled(F.col("vb"), F.col("vb"))))
+    cos = _dot_scaled(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cosine_raw", cos)

@@ -65,6 +65,22 @@ def test_theta_join_is_broadcast_nested_loop(spark):
 
 def test_cosine_topk_no_shuffle_before_window(spark):
     s = plan_of(spark, "q91_cosine_topk")
+    # scoring is an Arrow-batched mapInPandas over the corpus scan —
+    # no join materializes the pair table; the only shuffle feeds the
+    # per-query top-k window
+    assert "CartesianProduct" not in s
+    assert "MapInPandas" in s
+    assert s.count("Exchange") <= 2  # window hash + its AQE read
+
+
+def test_cosine_topk_exact_plan_shape(spark):
+    from fcs_etl_reactor_spark.io import load
+    from fcs_etl_reactor_spark.operators.similarity import cosine_topk_exact
+    from tests.conftest import SF_SMALL
+
+    e = load(spark, SF_SMALL, "embeddings")
+    df = cosine_topk_exact(e.filter("label = 0"), e.filter("label = 1"), k=3)
+    s = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" in s  # crossJoin of broadcast queries
 
