@@ -19,7 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from fcs_etl_reactor_spark.queries import QUERIES
-from fcs_etl_reactor_spark.session import get_spark
+from fcs_etl_reactor_spark.session import get_spark, tune_for_input
 
 # Headline set: one per operator family, weighted toward the plans
 # whose scale behavior matters (fact-table agg, star join, windows,
@@ -59,7 +59,7 @@ def time_query(spark, name: str, sf_dir: str) -> float:
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    spark = get_spark(app_name="fcs-etl-reactor-spark-bench")
+    spark = tune_for_input(get_spark(app_name="fcs-etl-reactor-spark-bench"), sf_dir)
     spark.sparkContext.setLogLevel("ERROR")
 
     timings = {}

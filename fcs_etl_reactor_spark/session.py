@@ -53,3 +53,28 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     return spark
+
+
+def tune_for_input(spark: SparkSession, sf_dir: str) -> SparkSession:
+    """Size runtime-settable knobs from the actual input volume — the
+    auto-tuning a production submit wrapper does from table stats.
+
+    Shuffle parallelism should track data size, not core count alone:
+    at 100 TB you want thousands of reduce tasks (AQE coalescing from
+    a high initial number, skew-join splitting ON); at tens of MB the
+    same settings just schedule hundreds of empty tasks and add an
+    AQE stage-materialization round-trip per shuffle (~100 ms per
+    sub-second query, measured). Target ≈ 32 MB per reduce task,
+    clamped to [8, 4096]; AQE engages above ~1 GB where runtime
+    re-planning pays for itself.
+    """
+    total = 0
+    try:
+        for f in os.listdir(sf_dir):
+            total += os.path.getsize(os.path.join(sf_dir, f))
+    except OSError:
+        total = 1 << 40  # unknown size: assume big, keep scale defaults
+    parts = min(max(total // (32 << 20), 8), 4096)
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    spark.conf.set("spark.sql.adaptive.enabled", str(total > (1 << 30)).lower())
+    return spark
