@@ -61,3 +61,4 @@ from fcs_etl_reactor_spark.queries import text  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import vectors  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import events_windows  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import dedup_extra  # noqa: E402,F401
+from fcs_etl_reactor_spark.queries import skew  # noqa: E402,F401

@@ -449,3 +449,33 @@ def q32_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.cnt").alias("n_occurrences"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q33 — explicit GROUPING SETS through the SQL lifecycle (§3.3): the
+# Spark side IS a SQL string over a registered temp view — same text
+# shape as the oracle — exercising parser → analyzer → same Catalyst
+# pipeline the DataFrame API feeds. (rollup=q24, cube=q31 cover the
+# DataFrame forms.)
+# --------------------------------------------------------------------------
+
+_GS_SQL = """
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      {gid} AS gid,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        / 100.0 AS sum_qty
+    FROM {table}
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@query(
+    "q33_grouping_sets",
+    oracle=_GS_SQL.format(gid="GROUPING(l_returnflag, l_linestatus)", table="lineitem"),
+)
+def q33_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("q33_lineitem")
+    return spark.sql(_GS_SQL.format(gid="CAST(GROUPING_ID() AS BIGINT)", table="q33_lineitem"))

@@ -177,3 +177,31 @@ def q5_derived_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_quantity") * F.col("l_extendedprice") / 100.0).alias("weighted"),
         F.col("l_quantity").cast("bigint").alias("qty_int"),
     )
+
+
+# --------------------------------------------------------------------------
+# q6 — correlated scalar subquery (§4 decorrelation): orders costing
+# more than their own customer's average. Expressed as SQL so Catalyst's
+# RewriteCorrelatedScalarSubquery turns the per-row subquery into an
+# aggregate + join (no nested-loop re-execution — asserted in
+# tests/test_plans.py). The subquery average uses the scaled-integer
+# form so the > comparison sits on bit-identical values in both
+# engines (a raw AVG(double) could flip rows at the boundary).
+# --------------------------------------------------------------------------
+
+_Q6_SQL = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM {table} o
+    WHERE o_totalprice > (
+      SELECT CAST(SUM(CAST(FLOOR(o2.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 100.0 / COUNT(*)
+      FROM {table} o2
+      WHERE o2.o_custkey = o.o_custkey
+    )
+"""
+
+
+@query("q6_correlated_subquery", oracle=_Q6_SQL.format(table="orders"))
+def q6_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("q6_orders")
+    return spark.sql(_Q6_SQL.format(table="q6_orders"))

@@ -208,3 +208,44 @@ class TestExactHelpers:
         a = one.agg(dsum("x", "s")).collect()[0]["s"]
         b = many.agg(dsum("x", "s")).collect()[0]["s"]
         assert a == b == pytest.approx(20010.0 * 0.001 * 1000)
+
+
+class TestSkew:
+    def test_salted_agg_equals_plain(self, spark):
+        from fcs_etl_reactor_spark.operators.skew import salted_agg
+        from pyspark.sql import functions as F
+
+        # one pathologically hot key (90% of rows) + a cold tail
+        rows = [("hot", i, float(i % 7)) for i in range(900)] + [
+            (f"cold{i % 10}", i, float(i)) for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, "k STRING, id INT, v DOUBLE")
+        got = salted_agg(
+            df,
+            keys=["k"],
+            partials={
+                "n": (F.count(F.lit(1)), F.sum("n")),
+                "s": (F.sum(F.floor(F.col("v") * 1e6 + 0.5).cast("long")), F.sum("s")),
+            },
+            n_salt=4,
+            salt_on="id",
+        )
+        plain = df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("v") * 1e6 + 0.5).cast("long")).alias("s"),
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+
+    def test_salted_join_equals_plain(self, spark):
+        from fcs_etl_reactor_spark.operators.skew import salted_join
+
+        left = spark.createDataFrame(
+            [("a", i) for i in range(50)] + [("b", i) for i in range(5)],
+            "k STRING, payload INT",
+        )
+        right = spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], "k STRING, dim INT")
+        got = salted_join(left, right, key="k", n_salt=4, salt_on="payload")
+        plain = left.join(right, "k")
+        assert sorted(map(tuple, got.select("k", "payload", "dim").collect())) == sorted(
+            map(tuple, plain.select("k", "payload", "dim").collect())
+        )

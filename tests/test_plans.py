@@ -95,3 +95,18 @@ def test_whole_stage_codegen_covers_compensation(spark):
     # '*(n)' marks WholeStageCodegen stages in executedPlan strings
     assert "*(1)" in s
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_correlated_subquery_is_decorrelated(spark):
+    s = plan_of(spark, "q6_correlated_subquery")
+    # RewriteCorrelatedScalarSubquery: the per-row subquery becomes an
+    # aggregate joined back - the executed plan has joins, and no
+    # re-executed per-row subquery node
+    assert "Join" in s or "SortMergeJoin" in s or "BroadcastHashJoin" in s
+    assert "InSubqueryExec" not in s
+
+
+def test_salted_join_spreads_key(spark):
+    s = plan_of(spark, "q35_salted_join")
+    # the join key must include the salt column so hot keys spread
+    assert "_salt" in s
