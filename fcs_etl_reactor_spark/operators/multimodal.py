@@ -44,11 +44,9 @@ def sniff_modality(head: bytes) -> str:
     return "application/octet-stream"
 
 
-def read_media(spark: SparkSession, path: str) -> DataFrame:
-    """Ingest a directory of arbitrary binary files with sniffed
-    modality and byte-level metadata. One row per file; files are the
-    parallel unit (same scaling argument as FCS ingest)."""
-    bins = spark.read.format("binaryFile").load(path)
+def sniff_media(blobs: DataFrame) -> DataFrame:
+    """Attach sniffed modality + byte-level metadata to any
+    (path STRING, content BINARY) frame — Arrow-batched, no codec."""
 
     def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -63,7 +61,14 @@ def read_media(spark: SparkSession, path: str) -> DataFrame:
                 }
             )
 
-    return bins.select("path", "content").mapInPandas(_meta, MEDIA_SCHEMA)
+    return blobs.select("path", "content").mapInPandas(_meta, MEDIA_SCHEMA)
+
+
+def read_media(spark: SparkSession, path: str) -> DataFrame:
+    """Ingest a directory of arbitrary binary files with sniffed
+    modality and byte-level metadata. One row per file; files are the
+    parallel unit (same scaling argument as FCS ingest)."""
+    return sniff_media(spark.read.format("binaryFile").load(path))
 
 
 FEATURE_SCHEMA = "path STRING, modality STRING, feature ARRAY<FLOAT>"

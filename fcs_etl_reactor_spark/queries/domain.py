@@ -162,3 +162,88 @@ def q73_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (channel, value)"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q75 — multimodal binary pipeline (L6, rows-only): fixture documents
+# become binary blobs (per-lang magic header + utf-8 payload), then the
+# REAL media plumbing runs: magic-number sniffing and Arrow-batched
+# byte-histogram "feature extraction" (the stub decoder — no codecs in
+# this container), aggregated per detected modality. Deterministic:
+# scaled-integer sums.
+# --------------------------------------------------------------------------
+
+
+@query("q75_multimodal_features")
+def q75_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.multimodal import (
+        extract_features,
+        sniff_media,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    header = (
+        F.when(F.col("lang") == "en", F.lit(b"\x89PNG\r\n"))
+        .when(F.col("lang") == "de", F.lit(b"\xff\xd8\xff\xe0"))
+        .when(F.col("lang") == "fr", F.lit(b"RIFF\x00\x00"))
+        .when(F.col("lang") == "es", F.lit(b"ID3\x03"))
+        .otherwise(F.lit(b"\x00\x00\x00\x18ftyp"))
+    )
+    blobs = d.select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.concat(header, F.encode("text", "utf-8")).alias("content"),
+    )
+    feats = extract_features(sniff_media(blobs), feature_dim=8)
+    f1 = F.element_at("feature", 1).cast("double")
+    return feats.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        (
+            F.sum(F.floor(f1 * F.lit(1e9) + F.lit(0.5)).cast("long")).cast("double")
+            / F.lit(1e9)
+        ).alias("sum_feat1"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q76 — FCS write→parse roundtrip (S4, rows-only): each event_type
+# group becomes one synthetic float64 FCS file (spec-conformant
+# header + TEXT + DATA built by make_fcs_bytes), which is immediately
+# re-parsed by the production parser and summarized per channel —
+# the ingest path exercised end-to-end inside the driver harness, on
+# fixture-derived input. applyInPandas = one task per sample; at
+# 100 TB samples are independent files (embarrassingly parallel).
+# --------------------------------------------------------------------------
+
+
+@query("q76_fcs_roundtrip")
+def q76_fcs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.sources.fcs import make_fcs_bytes, parse_fcs_bytes
+
+    e = load(spark, sf_dir, "events")
+
+    def roundtrip(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("event_id")
+        sample = str(pdf["event_type"].iloc[0])
+        mat = np.column_stack(
+            [
+                pdf["value"].to_numpy(np.float64),
+                pdf["user_id"].to_numpy(np.float64),
+            ]
+        )
+        blob = make_fcs_bytes(["VAL", "USER"], mat, datatype="D")
+        _, channels, parsed = parse_fcs_bytes(blob)
+        rows = []
+        for i, ch in enumerate(channels):
+            col = parsed[:, i]
+            s = int(np.floor(col * 1e6 + 0.5).astype(np.int64).sum())
+            rows.append((sample, ch, len(col), s / 1e6 / len(col)))
+        return pd.DataFrame(rows, columns=["sample_id", "channel", "n", "mean_value"])
+
+    return e.select("event_type", "event_id", "user_id", "value").groupBy(
+        "event_type"
+    ).applyInPandas(
+        roundtrip, "sample_id string, channel string, n bigint, mean_value double"
+    )
