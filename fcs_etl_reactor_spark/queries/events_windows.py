@@ -144,3 +144,57 @@ def q97_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value", "session_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# q98 — TRUE Structured Streaming execution inside the harness
+# (T1+T4+T8, rows-only): events replayed through readStream →
+# watermarked tumbling aggregation → availableNow trigger → memory
+# sink; the returned DataFrame reads the sink table. COMPLETE output
+# mode: append would (correctly) withhold windows the final watermark
+# hasn't closed — the trailing hour — but this entry wants the full,
+# reproducible result, which equals q95's batch twin counts.
+# --------------------------------------------------------------------------
+
+_STREAM_DIRS: dict[str, str] = {}
+
+
+def _events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The file-stream source needs a DIRECTORY of micros-timestamp
+    parquet; materialize the converted events table once per sf_dir
+    (same ingest-copy pattern as the io layout cache)."""
+    import os
+
+    key = sf_dir.rstrip("/")
+    if key not in _STREAM_DIRS:
+        dest = os.path.join(
+            "/tmp/spark_graft_stream_src", key.strip("/").replace("/", "_")
+        )
+        if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+            # ONE file ⇒ availableNow runs exactly one micro-batch ⇒ the
+            # watermark (initialized to -inf) drops nothing and the
+            # result equals the batch twin; with several files the
+            # per-batch watermark advance makes late-file rows
+            # legitimately droppable — correct semantics, but not the
+            # reproducible full-result this harness entry wants.
+            load(spark, sf_dir, "events").repartition(1).write.mode(
+                "overwrite"
+            ).parquet(dest)
+        _STREAM_DIRS[key] = dest
+    return _STREAM_DIRS[key]
+
+
+@query("q98_streaming_tumbling")
+def q98_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.streaming.windows import (
+        read_events_stream,
+        to_memory_sink,
+        tumbling_counts,
+    )
+
+    src = _events_stream_dir(spark, sf_dir)
+    sink = "q98_sink_" + src.rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")
+    stream = read_events_stream(spark, src)
+    q = to_memory_sink(tumbling_counts(stream), sink, output_mode="complete")
+    q.awaitTermination()
+    return spark.table(sink)

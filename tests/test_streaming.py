@@ -124,3 +124,22 @@ class TestStatefulStreaming:
         got_counts = {r["user_id"]: r["n_events"] for r in final.collect()}
         for r in batch.collect():
             assert got_counts[r["user_id"]] == r["n_events"]
+
+
+def test_q98_harness_streaming_equals_batch_twin(spark):
+    from fcs_etl_reactor_spark.queries import QUERIES
+    from tests.conftest import SF_SMALL
+
+    s = {
+        tuple(r)
+        for r in QUERIES["q98_streaming_tumbling"](spark, SF_SMALL)
+        .select("win_start", "event_type", "n")
+        .collect()
+    }
+    b = {
+        tuple(r)
+        for r in QUERIES["q95_tumbling_window"](spark, SF_SMALL)
+        .select("win_start", "event_type", "n")
+        .collect()
+    }
+    assert s == b
