@@ -33,13 +33,14 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
-#: (session id, sf_dir, table) → scan DataFrame. Building a scan is
-#: driver-side work Spark repeats on every spark.read.parquet call —
-#: file listing + footer schema inference + a dozen Py4J round-trips
-#: (~50-150 ms, measured). The logical plan is immutable, so reusing
-#: it across queries is free and halves small-query latency.
-_scan_cache: dict[tuple[int, str, str], DataFrame] = {}
-_session_pinned: set[int] = set()
+#: Scan DataFrames are cached ON the session object (attribute dict):
+#: building a scan is driver-side work Spark repeats on every
+#: spark.read.parquet call — file listing + footer schema inference +
+#: a dozen Py4J round-trips (~50-150 ms, measured). The logical plan
+#: is immutable, so reusing it across queries is free. Keying by the
+#: session instance (not id()) means a dead session's cache dies with
+#: it — no stale plans served to a new session at a recycled address.
+_SCAN_CACHE_ATTR = "_fcs_scan_cache"
 
 #: Layout cache: the fixture parquet files hold ONE row group each, and
 #: a parquet row group is the unit of scan parallelism — no split
@@ -88,14 +89,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     own SparkSession and calendar functions (year/month/unix_timestamp)
     follow the session tz; the DuckDB oracle is tz-naive.
     """
-    key = (id(spark), sf_dir.rstrip("/"), name)
-    cached = _scan_cache.get(key)
+    cache = spark.__dict__.setdefault(_SCAN_CACHE_ATTR, {})
+    key = (sf_dir.rstrip("/"), name)
+    cached = cache.get(key)
     if cached is not None:
         return cached
-    if id(spark) not in _session_pinned:
+    if not cache:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        _session_pinned.add(id(spark))
     src = table_path(sf_dir, name)
     if name == "events":
         from pyspark.sql import functions as F
@@ -105,7 +106,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     else:
         df = spark.read.parquet(src)
     df = _relayout(spark, src, df)
-    _scan_cache[key] = df
+    cache[key] = df
     return df
 
 

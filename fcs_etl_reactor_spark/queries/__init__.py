@@ -22,8 +22,9 @@ ORACLE: dict[str, str] = {}
 #: costs ~200 ms to construct, measured). Plans are immutable and
 #: lazily executed — session confs are still read at action time — so
 #: re-serving the same logical plan for the same (session, sf_dir) is
-#: the DataFrame analogue of a prepared-statement cache.
-_PLAN_CACHE: dict[tuple[str, int, str], DataFrame] = {}
+#: the DataFrame analogue of a prepared-statement cache. The cache
+#: lives on the session object so it can never outlive its session.
+_PLAN_CACHE_ATTR = "_fcs_plan_cache"
 
 
 def query(name: str, oracle: str | None = None):
@@ -32,11 +33,12 @@ def query(name: str, oracle: str | None = None):
 
     def deco(fn):
         def cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-            key = (name, id(spark), sf_dir.rstrip("/"))
-            df = _PLAN_CACHE.get(key)
+            cache = spark.__dict__.setdefault(_PLAN_CACHE_ATTR, {})
+            key = (name, sf_dir.rstrip("/"))
+            df = cache.get(key)
             if df is None:
                 df = fn(spark, sf_dir)
-                _PLAN_CACHE[key] = df
+                cache[key] = df
             return df
 
         cached.__name__ = fn.__name__
