@@ -98,13 +98,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = table_path(sf_dir, name)
+    df = spark.read.parquet(src)
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        df = spark.read.parquet(src)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        df = spark.read.parquet(src)
+        # the driver fixture stores ts as TIMESTAMP(NANOS), surfaced as
+        # long nanos via nanosAsLong; derived copies (layout cache,
+        # scale probe) are already micros timestamps — convert only the
+        # raw form
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     df = _relayout(spark, src, df)
     cache[key] = df
     return df

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Scale probe: run the REAL engine queries on 10×-replicated fixtures.
+
+The 100 TB argument in BENCH.md is structural (shuffle volumes, partial
+aggregation, broadcasts); this script adds measurement: replicate
+lineitem/orders/events 10× (with key offsets so join fan-out stays
+realistic), point the unmodified queries at the new sf dir, and report
+wall-clock at 1× vs 10×. Sub-linear scaling (t10 < 10·t1) demonstrates
+the plans actually parallelize; a query whose time scales ≥ 10× would
+be scan- or shuffle-serialized — a bug in the plan, not the box.
+
+Usage: python scripts/scale_probe.py [base_sf_dir] (default sf0.1)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from fcs_etl_reactor_spark.io import TABLES, load, table_path
+from fcs_etl_reactor_spark.queries import QUERIES
+from fcs_etl_reactor_spark.session import get_spark, tune_for_input
+
+FACTOR = 10
+PROBE_QUERIES = [  # all run on the replicated fact tables
+    "q1_pricing_summary",
+    "q10_star_join_revenue",
+    "q16_asof_join",
+    "q25_conditional_agg",
+    "q95_tumbling_window",
+]
+#: tables replicated with key offsets (fact side); the rest copy as-is
+REPLICATED = {
+    "lineitem": ("l_orderkey", 10_000_000),
+    "orders": ("o_orderkey", 10_000_000),
+    "events": ("event_id", 10_000_000),
+}
+
+
+def build_scaled_dir(spark, base: str, dest: str) -> str:
+    if os.path.exists(os.path.join(dest, "_DONE")):
+        return dest
+    os.makedirs(dest, exist_ok=True)
+    for t in TABLES:
+        out = os.path.join(dest, f"{t}.parquet")
+        if t in REPLICATED:
+            key, stride = REPLICATED[t]
+            df = load(spark, base, t)
+            copies = [
+                df.withColumn(key, F.col(key) + F.lit(i * stride))
+                for i in range(FACTOR)
+            ]
+            scaled = copies[0]
+            for c in copies[1:]:
+                scaled = scaled.unionAll(c)
+            scaled.repartition(32).write.mode("overwrite").parquet(out)
+        else:
+            shutil.copy(table_path(base, t), out)
+    open(os.path.join(dest, "_DONE"), "w").close()
+    return dest
+
+
+def time_query(spark, name: str, sf_dir: str, runs: int = 3) -> float:
+    fn = QUERIES[name]
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+    return statistics.median(samples)
+
+
+def main() -> int:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dest = "/tmp/spark_graft_scale_probe"
+    spark = get_spark(app_name="scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_scaled_dir(spark, base, dest)
+
+    tune_for_input(spark, base)
+    t1 = {q: time_query(spark, q, base) for q in PROBE_QUERIES}
+    tune_for_input(spark, dest)
+    t10 = {q: time_query(spark, q, dest) for q in PROBE_QUERIES}
+
+    print(f"{'query':<28}{'1x s':>8}{'10x s':>8}{'scaling':>9}")
+    for q in PROBE_QUERIES:
+        print(f"{q:<28}{t1[q]:>8.3f}{t10[q]:>8.3f}{t10[q] / t1[q]:>8.1f}x")
+    total1, total10 = sum(t1.values()), sum(t10.values())
+    print(f"{'TOTAL':<28}{total1:>8.3f}{total10:>8.3f}{total10 / total1:>8.1f}x")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
