@@ -479,3 +479,21 @@ _GS_SQL = """
 def q33_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("q33_lineitem")
     return spark.sql(_GS_SQL.format(gid="CAST(GROUPING_ID() AS BIGINT)", table="q33_lineitem"))
+
+
+# --------------------------------------------------------------------------
+# q36 — approximate percentiles (A5 scale path, rows-only): the
+# KLL/GK-sketch form used at 100 TB where exact percentiles would
+# shuffle full columns; q23 keeps the exact oracle-checked form.
+# --------------------------------------------------------------------------
+
+
+@query("q36_approx_percentiles")
+def q36_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("median_qty_approx"),
+        F.percentile_approx(
+            "l_extendedprice", [0.25, 0.75], 10000
+        ).alias("price_quartiles_approx"),
+    )

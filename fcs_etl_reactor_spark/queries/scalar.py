@@ -265,3 +265,37 @@ def q67_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         st.alias("nation_struct"),
         st.getField("n_name").alias("sname"),
     )
+
+
+# --------------------------------------------------------------------------
+# q68 — fuzzy string ops (F1 completion): levenshtein distance (the
+# dedup-adjacent primitive), padding, repetition, character translate.
+# All per-row JVM built-ins with exact DuckDB twins.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q68_fuzzy_string",
+    oracle="""
+    SELECT
+      p_partkey,
+      LEVENSHTEIN(p_brand, 'Brand#00') AS brand_dist,
+      LEVENSHTEIN(p_type, 'STANDARD POLISHED TIN') AS type_dist,
+      LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+      REPEAT(p_brand, 2) AS brand_twice,
+      REPLACE(TRANSLATE(p_brand, '#', '-'), 'Brand', 'B') AS brand_slug
+    FROM part
+    """,
+)
+def q68_fuzzy_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_brand", F.lit("Brand#00")).alias("brand_dist"),
+        F.levenshtein("p_type", F.lit("STANDARD POLISHED TIN")).alias("type_dist"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.repeat("p_brand", 2).alias("brand_twice"),
+        F.replace(
+            F.translate("p_brand", "#", "-"), F.lit("Brand"), F.lit("B")
+        ).alias("brand_slug"),
+    )
