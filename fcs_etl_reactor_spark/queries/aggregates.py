@@ -477,8 +477,11 @@ _GS_SQL = """
     oracle=_GS_SQL.format(gid="GROUPING(l_returnflag, l_linestatus)", table="lineitem"),
 )
 def q33_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load(spark, sf_dir, "lineitem").createOrReplaceTempView("q33_lineitem")
-    return spark.sql(_GS_SQL.format(gid="CAST(GROUPING_ID() AS BIGINT)", table="q33_lineitem"))
+    # sf-unique view name: a fixed name re-registered for another
+    # sf_dir would be resolved by any not-yet-analyzed cached plan
+    view = "q33_lineitem_" + "".join(c if c.isalnum() else "_" for c in sf_dir)
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView(view)
+    return spark.sql(_GS_SQL.format(gid="CAST(GROUPING_ID() AS BIGINT)", table=view))
 
 
 # --------------------------------------------------------------------------

@@ -203,5 +203,7 @@ _Q6_SQL = """
 
 @query("q6_correlated_subquery", oracle=_Q6_SQL.format(table="orders"))
 def q6_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load(spark, sf_dir, "orders").createOrReplaceTempView("q6_orders")
-    return spark.sql(_Q6_SQL.format(table="q6_orders"))
+    # sf-unique view name — see q33 for why a fixed name is unsafe
+    view = "q6_orders_" + "".join(c if c.isalnum() else "_" for c in sf_dir)
+    load(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    return spark.sql(_Q6_SQL.format(table=view))

@@ -112,3 +112,15 @@ def test_dsum_exact_vs_python(spark, vals):
     df = spark.createDataFrame([(v,) for v in floats], "x DOUBLE").repartition(5)
     got = df.agg(dsum("x", "s", scale=100)).collect()[0]["s"]
     assert got == pytest.approx(expected, abs=1e-9)
+
+
+def test_sql_view_queries_isolated_across_sf_dirs(spark):
+    """A plan built for one sf_dir must not be re-bound when the same
+    query later runs against another sf_dir (temp-view capture bug)."""
+    from fcs_etl_reactor_spark.queries import QUERIES
+
+    small = QUERIES["q6_correlated_subquery"](spark, "/root/testdata/sf0.001")
+    big = QUERIES["q6_correlated_subquery"](spark, "/root/testdata/sf0.01")
+    n_big = big.count()
+    n_small = small.count()  # collected AFTER the other sf registered
+    assert n_small < n_big
