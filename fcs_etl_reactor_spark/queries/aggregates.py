@@ -500,3 +500,31 @@ def q36_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_extendedprice", [0.25, 0.75], 10000
         ).alias("price_quartiles_approx"),
     )
+
+
+# --------------------------------------------------------------------------
+# q37 — DISTINCT aggregates (A6 completion): SUM/COUNT over distinct
+# value sets. Spark plans these as an expand + two-level aggregate;
+# still one shuffle keyed on the group columns.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q37_distinct_aggs",
+    oracle="""
+    SELECT
+      l_returnflag,
+      CAST(SUM(DISTINCT CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_distinct_qty,
+      COUNT(DISTINCT l_linenumber) AS n_linenumbers,
+      COUNT(DISTINCT l_shipdate) AS n_ship_dates
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q37_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.sum_distinct(F.col("l_quantity").cast("bigint")).alias("sum_distinct_qty"),
+        F.countDistinct("l_linenumber").alias("n_linenumbers"),
+        F.countDistinct("l_shipdate").alias("n_ship_dates"),
+    )

@@ -299,3 +299,46 @@ def q68_fuzzy_string(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.translate("p_brand", "#", "-"), F.lit("Brand"), F.lit("B")
         ).alias("brand_slug"),
     )
+
+
+# --------------------------------------------------------------------------
+# q69 — three-valued-logic / null semantics: NULLIF-derived nulls,
+# null-skipping COUNT, IS [NOT] DISTINCT FROM (Spark: eqNullSafe),
+# COALESCE. Fixtures are null-free, so the nulls are derived — the
+# point is that both engines agree on every 3VL edge.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q69_null_semantics",
+    oracle="""
+    WITH x AS (
+      SELECT event_id,
+             NULLIF(event_type, 'click') AS a,
+             NULLIF(event_type, 'view') AS b
+      FROM events
+    )
+    SELECT
+      COUNT(*) AS n,
+      COUNT(a) AS n_a_nonnull,
+      CAST(SUM(CASE WHEN a IS DISTINCT FROM b THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_distinct_from,
+      CAST(SUM(CASE WHEN a IS NOT DISTINCT FROM b THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_null_safe_eq,
+      COUNT(COALESCE(a, b)) AS n_coalesce
+    FROM x
+    """,
+)
+def q69_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    a = F.nullif(F.col("event_type"), F.lit("click"))
+    b = F.nullif(F.col("event_type"), F.lit("view"))
+    x = e.select(a.alias("a"), b.alias("b"))
+    ns_eq = F.col("a").eqNullSafe(F.col("b"))
+    return x.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("a").alias("n_a_nonnull"),
+        F.sum(F.when(~ns_eq, 1).otherwise(0)).cast("bigint").alias("n_distinct_from"),
+        F.sum(F.when(ns_eq, 1).otherwise(0)).cast("bigint").alias("n_null_safe_eq"),
+        F.count(F.coalesce("a", "b")).alias("n_coalesce"),
+    )
