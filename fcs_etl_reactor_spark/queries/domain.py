@@ -247,3 +247,30 @@ def q76_fcs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).applyInPandas(
         roundtrip, "sample_id string, channel string, n bigint, mean_value double"
     )
+
+
+# --------------------------------------------------------------------------
+# q77 — bead-calibration chain (C3, rows-only): the TASBE color-model
+# shape run on fixture data — events.value per event_type as the
+# pseudo-bead samples: log10 histogram (A11) → lag/lead local-maxima
+# peaks (W2) → per-sample np.polyfit via applyInPandas (U3). Raw rows
+# never leave the executors; only ≤n_bins rows per sample reach the
+# fit — the 100 TB-safe decomposition.
+# --------------------------------------------------------------------------
+
+
+@query("q77_bead_calibration")
+def q77_bead_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.beads import (
+        find_peaks,
+        fit_calibration,
+        log_histogram,
+    )
+
+    e = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("sample_id"), "value"
+    )
+    hist = log_histogram(e, "value", ["sample_id"], lo=0.0, step=0.05, n_bins=64)
+    peaks = find_peaks(hist, ["sample_id"], min_count=5)
+    # known bead quantities: log10(MEFL) ladder (public TASBE-style)
+    return fit_calibration(peaks, [2.0, 2.8, 3.5, 4.1, 4.7, 5.2])
