@@ -13,7 +13,11 @@ REPRESENTATIVE = [
     "q1_pricing_summary",
     "q21_dispersion",
     "q22_geomean",
+    "q34_salted_agg",
     "q42_running_total",
+    "q47_time_frames",
+    "q81_tfidf",
+    "q88_cosine_neardup",
     "q91_cosine_topk",
     "q97_sessionization",
 ]
