@@ -154,3 +154,57 @@ def q55_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# --------------------------------------------------------------------------
+# q38 — union by name with missing columns (E1 completion): schema
+# evolution at the stack edge — the older "table" lacks a column and
+# Spark null-pads it by NAME (position-independent), vs the oracle's
+# explicit NULL projection.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q38_union_by_name",
+    oracle="""
+    SELECT user_id, event_type, value FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT user_id, event_type, NULL AS value FROM events WHERE event_type = 'view'
+    """,
+)
+def q38_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    new = e.filter(F.col("event_type") == "click").select(
+        "user_id", "event_type", "value"
+    )
+    # the "old schema" frame: value column absent, and a different
+    # column ORDER — unionByName must align by name and null-pad
+    old = e.filter(F.col("event_type") == "view").select("event_type", "user_id")
+    return new.unionByName(old, allowMissingColumns=True)
+
+
+# --------------------------------------------------------------------------
+# q39 — bitwise aggregates (A-family completion): bit_and/bit_or/
+# bit_xor over per-group key bits — flag-mask consolidation.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q39_bitwise_aggs",
+    oracle="""
+    SELECT
+      event_type,
+      BIT_AND(user_id) AS mask_and,
+      BIT_OR(user_id) AS mask_or,
+      BIT_XOR(user_id) AS mask_xor
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q39_bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.bit_and("user_id").alias("mask_and"),
+        F.bit_or("user_id").alias("mask_or"),
+        F.bit_xor("user_id").alias("mask_xor"),
+    )
