@@ -108,6 +108,13 @@ def cosine_topk_vectorized(
     out_id_type = corpus.schema[id_col].dataType.simpleString()
     schema = f"query_id {out_id_type}, match_id {out_id_type}, cosine double"
 
+    # chunk so the m×b'×d scoring tensor stays ~16M elements (~128 MB)
+    # regardless of query count — a fixed chunk lets the tensor grow
+    # linearly with |Q| and thrash the allocator (measured: q91 at 10×
+    # swung 0.7→5.7 s purely on GC pressure)
+    dim = max(qmat.shape[1], 1)
+    chunk = max(16, 16_000_000 // (max(len(qids), 1) * dim))
+
     def score(batches):
         import pandas as pd
 
@@ -118,22 +125,21 @@ def cosine_topk_vectorized(
             cn = np.sqrt(
                 np.floor(cmat * cmat * _SCALE).astype(np.int64).sum(axis=1) / _SCALE
             )
-            # chunk the m×b×d tensor so per-batch memory stays bounded
             mids = pdf[id_col].to_numpy()
-            for j0 in range(0, len(pdf), 256):
-                c = cmat[j0 : j0 + 256]
+            for j0 in range(0, len(pdf), chunk):
+                c = cmat[j0 : j0 + chunk]
                 dots = (
                     np.floor(qmat[:, None, :] * c[None, :, :] * _SCALE)
                     .astype(np.int64)
                     .sum(axis=2)
                     / _SCALE
                 )  # m × b'
-                cos = dots / (qn[:, None] * cn[None, j0 : j0 + 256])
+                cos = dots / (qn[:, None] * cn[None, j0 : j0 + chunk])
                 m, b = cos.shape
                 yield pd.DataFrame(
                     {
                         "query_id": np.repeat(qids, b),
-                        "match_id": np.tile(mids[j0 : j0 + 256], m),
+                        "match_id": np.tile(mids[j0 : j0 + chunk], m),
                         "cosine": cos.ravel(),
                     }
                 )

@@ -29,18 +29,24 @@ from fcs_etl_reactor_spark.queries import QUERIES
 from fcs_etl_reactor_spark.session import get_spark, tune_for_input
 
 FACTOR = 10
-PROBE_QUERIES = [  # all run on the replicated fact tables
+PROBE_QUERIES = [  # all run on the replicated tables
     "q1_pricing_summary",
     "q10_star_join_revenue",
     "q16_asof_join",
     "q25_conditional_agg",
     "q95_tumbling_window",
+    "q55_exact_dedup",
+    "q81_tfidf",
+    "q91_cosine_topk",   # exact ANN baseline: O(|Q|·|C|) — QUADRATIC by design
+    "q92_lsh_topk",      # the scale path: same task, bucketed candidates
 ]
 #: tables replicated with key offsets (fact side); the rest copy as-is
 REPLICATED = {
     "lineitem": ("l_orderkey", 10_000_000),
     "orders": ("o_orderkey", 10_000_000),
     "events": ("event_id", 10_000_000),
+    "documents": ("doc_id", 10_000_000),
+    "embeddings": ("vec_id", 10_000_000),
 }
 
 
