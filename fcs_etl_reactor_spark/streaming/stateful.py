@@ -53,3 +53,60 @@ def running_user_counters(stream):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 native stateful API: transformWithStateInPandas. Same running
+# counters as above, but with typed per-key state handles (ValueState)
+# managed by the StatefulProcessor lifecycle — the forward path for
+# custom operators (timers, multiple state variables, TTL) that
+# applyInPandasWithState's single-tuple state can't express.
+# Requires the RocksDB state store provider.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+
+class RunningCounterProcessor(StatefulProcessor):
+    """ValueState-backed per-user running (count, sum, latest event)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState(
+            "counters", "n BIGINT, total DOUBLE, last_id BIGINT"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self._state.exists():
+            n, total, last_id = self._state.get()
+        else:
+            n, total, last_id = 0, 0.0, -1
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            if len(pdf):
+                last_id = int(pdf.loc[pdf["ts"].idxmax(), "event_id"])
+        self._state.update((n, total, last_id))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "last_event_id": [last_id],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_counters_tws(stream):
+    """T6 via the Spark 4 transformWithState API (update mode)."""
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        RunningCounterProcessor(),
+        outputStructType=COUNTER_OUTPUT_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )

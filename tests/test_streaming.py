@@ -143,3 +143,47 @@ def test_q98_harness_streaming_equals_batch_twin(spark):
         .collect()
     }
     assert s == b
+
+
+def test_transform_with_state_final_matches_batch(spark, events_dir):
+    # transformWithStateInPandas talks to the JVM state server over a
+    # protobuf protocol; this container has no google.protobuf, so the
+    # TWS path can only run where it is installed (the operator itself
+    # is plain Spark 4 API — nothing environment-specific in our code)
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+
+    from fcs_etl_reactor_spark.streaming.stateful import running_user_counters_tws
+    from fcs_etl_reactor_spark.streaming.windows import read_events_stream, to_memory_sink
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+        q = to_memory_sink(running_user_counters_tws(stream), "tws_counters", "update")
+        q.awaitTermination()
+        out = spark.table("tws_counters").toPandas()
+        # update mode appends one row per key per batch; the LAST row
+        # per key is the final state
+        final = out.groupby("user_id").tail(1).set_index("user_id")
+        batch = (
+            spark.read.schema(
+                "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+                "value DOUBLE, props STRING"
+            )
+            .parquet(events_dir)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.max_by("event_id", "ts").alias("last"))
+            .collect()
+        )
+        for r in batch:
+            assert final.loc[r["user_id"], "n_events"] == r["n"]
+            assert final.loc[r["user_id"], "last_event_id"] == r["last"]
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
