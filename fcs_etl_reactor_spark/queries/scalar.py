@@ -342,3 +342,41 @@ def q69_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(ns_eq, 1).otherwise(0)).cast("bigint").alias("n_null_safe_eq"),
         F.count(F.coalesce("a", "b")).alias("n_coalesce"),
     )
+
+
+# --------------------------------------------------------------------------
+# q49 — calendar completion (F2): constructors, month arithmetic,
+# boundary snapping, ISO parts. add_months clamps to month-end in both
+# engines (e.g. Jan 31 + 1 month = Feb 28/29).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q49_calendar_parts",
+    oracle="""
+    SELECT
+      o_orderkey,
+      CAST(MAKE_DATE(CAST(YEAR(o_orderdate) AS INTEGER),
+                     CAST(MONTH(o_orderdate) AS INTEGER), 1) AS DATE) AS month_first,
+      CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS DATE) AS month_last,
+      CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+      CAST(QUARTER(o_orderdate) AS INTEGER) AS qtr,
+      CAST(DAYOFWEEK(o_orderdate) AS INTEGER) + 1 AS dow_sun1,
+      CAST(WEEKOFYEAR(o_orderdate) AS INTEGER) AS iso_week
+    FROM orders
+    """,
+)
+def q49_calendar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.make_date(F.year("o_orderdate"), F.month("o_orderdate"), F.lit(1)).alias(
+            "month_first"
+        ),
+        F.last_day(d).alias("month_last"),
+        F.add_months(d, 3).alias("plus3m"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofweek("o_orderdate").alias("dow_sun1"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+    )
