@@ -321,3 +321,92 @@ def q87_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars_div4"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q78 — content redaction (north-star: PII scrubbing before training):
+# regex-redact email-shaped and long-digit spans, flag docs whose text
+# changed. Fixture text is synthetic so hits are rare — the operator
+# shape (chained regexp_replace in one codegen projection) is the
+# point; patterns are RE2-safe so both engines agree exactly.
+# --------------------------------------------------------------------------
+
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+"
+_DIGITS_RE = "[0-9]{6,}"
+
+
+@query(
+    "q78_redaction",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id,
+             REGEXP_REPLACE(REGEXP_REPLACE(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{_DIGITS_RE}', '<NUM>', 'g') AS redacted,
+             text
+      FROM documents
+    )
+    SELECT doc_id,
+           MD5(redacted) AS redacted_md5,
+           CAST(CASE WHEN redacted <> text THEN 1 ELSE 0 END AS INTEGER) AS was_redacted
+    FROM r
+    """,
+)
+def q78_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _DIGITS_RE, "<NUM>"
+    )
+    return d.select(
+        "doc_id",
+        F.md5(redacted).alias("redacted_md5"),
+        (redacted != F.col("text")).cast("int").alias("was_redacted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q79 — repetition scoring (north-star quality filter): the share of a
+# document occupied by its single most frequent token — the classic
+# "repeated boilerplate" signal. One explode + grouped count, then a
+# per-doc argmax; filter threshold marks low-quality docs.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q79_repetition",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+    ), counts AS (
+      SELECT doc_id, term, COUNT(*) AS n FROM tf WHERE term <> ''
+      GROUP BY doc_id, term
+    ), agg AS (
+      SELECT doc_id, MAX(n) AS max_tf, CAST(SUM(n) AS BIGINT) AS n_tokens
+      FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, max_tf, n_tokens,
+           ROUND(CAST(max_tf AS DOUBLE) / n_tokens, 9) AS top_token_share,
+           CAST(CASE WHEN CAST(max_tf AS DOUBLE) / n_tokens > 0.2
+                THEN 1 ELSE 0 END AS INTEGER) AS is_repetitive
+    FROM agg
+    """,
+)
+def q79_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    share = F.col("max_tf").cast("double") / F.col("n_tokens")
+    return (
+        counts.groupBy("doc_id")
+        .agg(F.max("n").alias("max_tf"), F.sum("n").alias("n_tokens"))
+        .select(
+            "doc_id",
+            "max_tf",
+            "n_tokens",
+            F.round(share, 9).alias("top_token_share"),
+            (share > 0.2).cast("int").alias("is_repetitive"),
+        )
+    )
