@@ -198,3 +198,29 @@ def q98_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = to_memory_sink(tumbling_counts(stream), sink, output_mode="complete")
     q.awaitTermination()
     return spark.table(sink)
+
+
+# --------------------------------------------------------------------------
+# q99 — session windows executed as a TRUE stream (T3+T8, rows-only):
+# the session_window state operator over the replayed events
+# directory, complete mode (same availableNow/memory-sink shape as
+# q98). Batch-twin equivalence for the session arithmetic is proven in
+# tests/test_streaming.py; this entry proves the stateful session
+# operator runs under the driver harness.
+# --------------------------------------------------------------------------
+
+
+@query("q99_streaming_sessions")
+def q99_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.streaming.windows import (
+        read_events_stream,
+        session_aggregate,
+        to_memory_sink,
+    )
+
+    src = _events_stream_dir(spark, sf_dir)
+    sink = "q99_sink_" + src.rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")
+    stream = read_events_stream(spark, src)
+    q = to_memory_sink(session_aggregate(stream, gap="30 minutes"), sink, "complete")
+    q.awaitTermination()
+    return spark.table(sink)

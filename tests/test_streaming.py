@@ -187,3 +187,21 @@ def test_transform_with_state_final_matches_batch(spark, events_dir):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_q99_harness_sessions_equal_batch_twin(spark):
+    from fcs_etl_reactor_spark.queries import QUERIES
+    from tests.conftest import SF_SMALL
+
+    # session_window's end is last-event-ts + gap (the window extent);
+    # the batch twin's session_end is MAX(ts) — compare on the
+    # semantics they share: identity, start, and size
+    s = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in QUERIES["q99_streaming_sessions"](spark, SF_SMALL).collect()
+    }
+    b = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in QUERIES["q97_sessionization"](spark, SF_SMALL).collect()
+    }
+    assert s == b
