@@ -53,8 +53,12 @@ def davg(expr: Column | str, alias: str, scale: float = 1e6) -> Column:
 def fsum(expr: Column, alias: str, scale: float = 1e12) -> Column:
     """Order-independent sum for FULL-PRECISION doubles (e.g. float32
     embeddings). FLOOR(x*scale) avoids the round-tie subtleties of
-    shortest-repr decimal casts; decimal(38,0) accumulator never
-    overflows.
+    shortest-repr decimal casts; the decimal(38,0) ACCUMULATOR never
+    overflows, but the per-addend FLOOR returns a long, so each addend
+    must satisfy |x|·scale < 2^63 (|x| < ~9.2e6 at the default scale —
+    Spark's FLOOR saturates at Long.MAX silently, it does not raise;
+    verified in tests/test_operators.py). Pass a smaller scale for
+    large-magnitude data.
     """
     scaled = F.floor(expr * F.lit(scale)).cast("decimal(38,0)")
     return (F.sum(scaled).cast("double") / F.lit(scale)).alias(alias)

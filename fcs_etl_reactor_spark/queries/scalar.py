@@ -380,3 +380,33 @@ def q49_calendar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek("o_orderdate").alias("dow_sun1"),
         F.weekofyear("o_orderdate").alias("iso_week"),
     )
+
+
+# --------------------------------------------------------------------------
+# q7 — JSON structural parsing (F6 completion): from_json into a typed
+# struct (the schema-on-read path — at scale this parses once into
+# columnar form instead of per-access get_json_object scans),
+# plus schema introspection fields.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q7_json_struct",
+    oracle="""
+    SELECT
+      event_id,
+      CAST(props->>'k' AS INTEGER) AS k_typed,
+      CAST(props->>'k' AS INTEGER) * 2 AS k_doubled,
+      CAST(JSON_ARRAY_LENGTH(JSON_KEYS(CAST(props AS JSON))) AS INTEGER) AS n_keys
+    FROM events
+    """,
+)
+def q7_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    return e.select(
+        "event_id",
+        parsed["k"].alias("k_typed"),
+        (parsed["k"] * 2).alias("k_doubled"),
+        F.size(F.json_object_keys("props")).alias("n_keys"),
+    )

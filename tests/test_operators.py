@@ -249,3 +249,38 @@ class TestSkew:
         assert sorted(map(tuple, got.select("k", "payload", "dim").collect())) == sorted(
             map(tuple, plain.select("k", "payload", "dim").collect())
         )
+
+
+class TestExactOverflowEnvelope:
+    def test_dsum_overflow_raises_not_corrupts(self, spark):
+        """functions/exact.py documents the long-accumulator envelope:
+        outside it, ANSI mode must RAISE (never wrap silently)."""
+        import pytest
+        from pyspark.sql import functions as F
+
+        from fcs_etl_reactor_spark.functions.exact import dsum
+
+        big = spark.createDataFrame([(9.0e12,)] * 2000, "x DOUBLE")
+        with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow|Overflow"):
+            big.agg(dsum("x", "s")).collect()
+
+    def test_fsum_exact_within_addend_envelope(self, spark):
+        """fsum is exact while |x|·scale < 2^63; the decimal(38,0)
+        accumulator itself cannot overflow at any row count."""
+        from fcs_etl_reactor_spark.functions.exact import fsum
+        from pyspark.sql import functions as F
+
+        big = spark.createDataFrame([(9.0e5,)] * 2000, "x DOUBLE")
+        got = big.agg(fsum(F.col("x"), "s")).collect()[0]["s"]
+        assert got == 9.0e5 * 2000
+
+    def test_fsum_addend_saturation_documented(self, spark):
+        """Outside the per-addend envelope Spark's FLOOR(double)→long
+        SATURATES at Long.MAX silently (documented in exact.py) — this
+        pins that behavior so an upstream change to raising is noticed."""
+        from fcs_etl_reactor_spark.functions.exact import fsum
+        from pyspark.sql import functions as F
+
+        big = spark.createDataFrame([(9.0e12,)], "x DOUBLE")
+        got = big.agg(fsum(F.col("x"), "s")).collect()[0]["s"]
+        assert got == (2**63 - 1) / 1e12  # saturated, not exact, not raised
