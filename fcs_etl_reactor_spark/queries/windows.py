@@ -296,3 +296,44 @@ def q47_time_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(scaled).over(w).cast("double") / F.lit(1e6)).alias("trailing_1h_value"),
         F.count(F.lit(1)).over(w).alias("trailing_1h_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# q48 — bounded ROWS frame (W3 completion): trailing 4-row moving
+# average per user in (ts, event_id) order. Deterministic: the frame
+# is defined by a total order (unique tie-break), sums are scaled
+# longs.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q48_moving_avg",
+    oracle="""
+    SELECT
+      event_id, user_id,
+      CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) OVER w AS DOUBLE)
+        / 1000000.0 / COUNT(*) OVER w AS moving_avg_4,
+      COUNT(*) OVER w AS frame_n
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def q48_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    scaled = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return e.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(scaled).over(w).cast("double") / F.lit(1e6) / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg_4"),
+        F.count(F.lit(1)).over(w).alias("frame_n"),
+    )
