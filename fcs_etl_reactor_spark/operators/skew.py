@@ -69,7 +69,16 @@ def salted_join(
 
     The salt must vary WITHIN a key group to spread it — derive it
     from a per-row column (``salt_on``), not from the key itself.
+
+    Only inner and left joins are salt-safe: in a right/full join an
+    unmatched build row would surface once PER REPLICA (n_salt
+    null-extended rows instead of one).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' (got {how!r}): "
+            "replicating the build side multiplies its unmatched rows"
+        )
     salt_src = salt_on if salt_on is not None else key
     s = skewed.withColumn("_salt", F.pmod(F.xxhash64(salt_src), F.lit(n_salt)))
     r = small.withColumn(

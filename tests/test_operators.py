@@ -284,3 +284,23 @@ class TestExactOverflowEnvelope:
         big = spark.createDataFrame([(9.0e12,)], "x DOUBLE")
         got = big.agg(fsum(F.col("x"), "s")).collect()[0]["s"]
         assert got == (2**63 - 1) / 1e12  # saturated, not exact, not raised
+
+
+class TestSkewGuards:
+    def test_salted_join_rejects_right_and_full(self, spark):
+        from fcs_etl_reactor_spark.operators.skew import salted_join
+
+        left = spark.createDataFrame([("a", 1)], "k STRING, v INT")
+        right = spark.createDataFrame([("a", 2)], "k STRING, d INT")
+        for how in ("right", "full", "left_anti"):
+            with pytest.raises(ValueError, match="salt-safe|replicating"):
+                salted_join(left, right, key="k", how=how)
+
+    def test_salted_left_join_preserves_unmatched(self, spark):
+        from fcs_etl_reactor_spark.operators.skew import salted_join
+
+        left = spark.createDataFrame([("a", 1), ("orphan", 2)], "k STRING, v INT")
+        right = spark.createDataFrame([("a", 9)], "k STRING, d INT")
+        got = salted_join(left, right, key="k", n_salt=4, salt_on="v", how="left")
+        rows = {(r["k"], r["v"], r["d"]) for r in got.collect()}
+        assert rows == {("a", 1, 9), ("orphan", 2, None)}
