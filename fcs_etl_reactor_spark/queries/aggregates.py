@@ -528,3 +528,21 @@ def q37_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_linenumber").alias("n_linenumbers"),
         F.countDistinct("l_shipdate").alias("n_ship_dates"),
     )
+
+
+# --------------------------------------------------------------------------
+# q8 — heavy hitters (A7's counting cousin, rows-only): approximate
+# frequent items per column via Spark's countMinSketch-backed
+# freqItems — the 100 TB path for "which keys are hot" (feeds the
+# salting decision in operators/skew.py) without a full group-by.
+# --------------------------------------------------------------------------
+
+
+@query("q8_freq_items")
+def q8_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    out = e.stat.freqItems(["event_type", "user_id"], support=0.05)
+    return out.select(
+        F.array_sort(F.col("event_type_freqItems")).alias("frequent_event_types"),
+        F.size(F.col("user_id_freqItems")).alias("n_frequent_users"),
+    )
