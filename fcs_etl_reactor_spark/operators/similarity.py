@@ -191,6 +191,50 @@ def cosine_topk_fast(
     )
 
 
+def lsh_params_for(
+    n_corpus: int,
+    target_bucket: int = 25,
+    collision_p: float = 0.60,
+    target_recall: float = 0.85,
+    max_tables: int = 32,
+) -> tuple[int, int]:
+    """Derive (n_planes, n_tables) from corpus size — the scaling law
+    BENCH.md documents: bucket count tracks data
+    (planes ≈ log2(n/target_bucket)) and tables are raised to hold
+    recall ≈ 1 − (1 − p^planes)^tables, capped because candidate
+    volume grows linearly in tables. ``collision_p`` is the per-plane
+    collision probability of a relevant neighbor (1 − θ/π); the 0.60
+    default is deliberately below the ~0.67 measured for the fixtures'
+    rank-1 neighbors so the deeper top-k tail keeps its recall."""
+    import math
+
+    planes = max(4, math.ceil(math.log2(max(n_corpus, 2) / target_bucket)))
+    p_table = collision_p**planes
+    if p_table >= 1.0:
+        return planes, 1
+    tables = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_table))
+    return planes, max(1, min(tables, max_tables))
+
+
+def lsh_topk_auto(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """lsh_topk with (planes, tables) derived from the actual corpus
+    size — the deployment form. The one count() job at plan-build is
+    the same class of stats lookup tune_for_input does for shuffle
+    parallelism (and is amortized by the prepared-plan cache)."""
+    n_planes, n_tables = lsh_params_for(corpus.count())
+    return lsh_topk(
+        queries, corpus, id_col, vec_col, k, n_planes, seed, dim, n_tables
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit-free hyperplanes (LCG-based so
     no numpy dependency in the plan; quality is fine for bucketing)."""
