@@ -124,3 +124,21 @@ def test_sql_view_queries_isolated_across_sf_dirs(spark):
     n_big = big.count()
     n_small = small.count()  # collected AFTER the other sf registered
     assert n_small < n_big
+
+
+def test_concurrent_query_execution_is_safe(spark):
+    """Queries share one session (and its scan/plan caches); concurrent
+    builds+executions from threads must not corrupt results."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from fcs_etl_reactor_spark.queries import QUERIES
+
+    names = ["q1_pricing_summary", "q20_basic_stats", "q40_ranking", "q80_term_counts"]
+
+    def run(name):
+        return name, QUERIES[name](spark, "/root/testdata/sf0.001").count()
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        concurrent = dict(ex.map(run, names * 2))
+    serial = {n: QUERIES[n](spark, "/root/testdata/sf0.001").count() for n in names}
+    assert concurrent == serial
