@@ -270,3 +270,56 @@ def q17_order_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("next_orderdate").isNotNull()
         & (F.col("next_orderdate") <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
     ).select("o_custkey", "o_orderkey", "next_orderkey")
+
+
+# --------------------------------------------------------------------------
+# q9 — shipping-priority (TPC-H Q3 shape): selective filters on BOTH
+# join sides before a 3-table join, revenue agg per order, global
+# top-10. Exercises filter pushdown through joins + TakeOrdered in one
+# plan. Ties on revenue broken by o_orderkey for total order.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q9_shipping_priority",
+    oracle=f"""
+    SELECT
+      l.l_orderkey,
+      {o_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue", scale="10000.0")},
+      o.o_orderdate,
+      o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q9_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    return (
+        l.filter(F.col("l_shipdate") > cutoff)
+        .join(o.filter(F.col("o_orderdate") < cutoff), l.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            o.o_custkey == c.c_custkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+                scale=1e4,
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
