@@ -88,3 +88,19 @@ class TestUdtfs:
         ).collect()
         kv = {r["key"]: r["value"] for r in out}
         assert kv == {"$PAR": "3", "$TOT": "100", "$CYT": "Foo/Bar"}
+
+
+class TestPartitionPruning:
+    def test_partitioned_write_prunes_scans(self, spark, tmp_path):
+        """S5 payoff: a filter on the partition column must become a
+        PartitionFilter (directory pruning), not a data Filter."""
+        from fcs_etl_reactor_spark.io import write_parquet
+
+        e = load(spark, SF_SMALL, "events")
+        dest = str(tmp_path / "events_by_type")
+        write_parquet(e, dest, partition_by=["event_type"])
+        back = spark.read.parquet(dest).filter(F.col("event_type") == "click")
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "click" in plan
+        n_click = e.filter("event_type = 'click'").count()
+        assert back.count() == n_click
