@@ -337,3 +337,43 @@ def q48_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("moving_avg_4"),
         F.count(F.lit(1)).over(w).alias("frame_n"),
     )
+
+
+# --------------------------------------------------------------------------
+# q4a — value-picking window functions (W6's window form):
+# first_value / nth_value / last_value with an explicit full-partition
+# frame — last_value over the DEFAULT frame (unbounded preceding →
+# current row) is the classic footgun; the full frame is stated in
+# both engines so semantics are identical.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q4a_value_windows",
+    oracle="""
+    SELECT
+      o_custkey, o_orderkey,
+      FIRST_VALUE(o_orderkey) OVER w AS best_orderkey,
+      NTH_VALUE(o_orderkey, 2) OVER w AS second_orderkey,
+      LAST_VALUE(o_orderkey) OVER w AS worst_orderkey
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+)
+def q4a_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("best_orderkey"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_orderkey"),
+        F.last("o_orderkey").over(w).alias("worst_orderkey"),
+    )
