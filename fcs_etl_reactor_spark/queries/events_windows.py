@@ -224,3 +224,50 @@ def q99_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = to_memory_sink(session_aggregate(stream, gap="30 minutes"), sink, "complete")
     q.awaitTermination()
     return spark.table(sink)
+
+
+# --------------------------------------------------------------------------
+# q3a — conversion funnel (product-analytics staple): users whose
+# first click precedes a later purchase; per-user stage timestamps +
+# conversion lag. Expressed as conditional MIN aggregates — one
+# hash aggregation, no self-join.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q3a_funnel",
+    oracle="""
+    WITH stages AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, first_click, first_purchase,
+           EPOCH_US(first_purchase) - EPOCH_US(first_click) AS lag_micros
+    FROM stages
+    WHERE first_click IS NOT NULL
+      AND first_purchase IS NOT NULL
+      AND first_purchase > first_click
+    """,
+)
+def q3a_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    stages = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    return stages.filter(
+        F.col("first_click").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") > F.col("first_click"))
+    ).select(
+        "user_id",
+        "first_click",
+        "first_purchase",
+        (F.unix_micros("first_purchase") - F.unix_micros("first_click")).alias(
+            "lag_micros"
+        ),
+    )

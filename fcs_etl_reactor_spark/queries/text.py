@@ -410,3 +410,39 @@ def q79_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             (share > 0.2).cast("int").alias("is_repetitive"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q8a — corpus profile (the first query every training-data pipeline
+# runs): per-language doc counts, exact length percentiles, source
+# cardinality, token totals. One pass, groups bounded by |langs|.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q8a_corpus_profile",
+    oracle="""
+    SELECT
+      lang,
+      COUNT(*) AS n_docs,
+      COUNT(DISTINCT source) AS n_sources,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      ROUND(QUANTILE_CONT(n_chars, 0.5), 6) AS p50_chars,
+      ROUND(QUANTILE_CONT(n_chars, 0.95), 6) AS p95_chars,
+      CAST(SUM(LENGTH(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> ''))) AS BIGINT)
+        AS total_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q8a_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_toks = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("p50_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.95)), 6).alias("p95_chars"),
+        F.sum(n_toks).cast("bigint").alias("total_tokens"),
+    )
