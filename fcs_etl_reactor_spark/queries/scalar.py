@@ -410,3 +410,37 @@ def q7_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (parsed["k"] * 2).alias("k_doubled"),
         F.size(F.json_object_keys("props")).alias("n_keys"),
     )
+
+
+# --------------------------------------------------------------------------
+# q5a — error-tolerant expressions: try_cast / try_divide return NULL
+# where ANSI mode would abort the job — at 100 TB one malformed row
+# must not kill a 10-hour pipeline. DuckDB twins: TRY_CAST and
+# NULLIF-guarded division.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q5a_try_functions",
+    oracle="""
+    SELECT
+      p_partkey,
+      TRY_CAST(p_brand AS INTEGER) AS brand_as_int,
+      TRY_CAST(REPLACE(p_brand, 'Brand#', '') AS INTEGER) AS brand_num,
+      p_retailprice / NULLIF(CAST(p_size AS DOUBLE) - 25.0, 0.0) AS price_per_off25
+    FROM part
+    """,
+)
+def q5a_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_brand").try_cast("int").alias("brand_as_int"),
+        F.replace("p_brand", F.lit("Brand#"), F.lit(""))
+        .try_cast("int")
+        .alias("brand_num"),
+        F.try_divide(
+            F.col("p_retailprice"),
+            F.nullif(F.col("p_size").cast("double") - 25.0, F.lit(0.0)),
+        ).alias("price_per_off25"),
+    )
