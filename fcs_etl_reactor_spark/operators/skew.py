@@ -68,7 +68,12 @@ def salted_join(
     salt).
 
     The salt must vary WITHIN a key group to spread it — derive it
-    from a per-row column (``salt_on``), not from the key itself.
+    from a per-row column (``salt_on``), never from the join key (a
+    key-derived salt is constant per key group, so the hot key would
+    still land on a single reducer). With ``salt_on=None`` the salt is
+    a partition-local row counter (monotonically_increasing_id), which
+    varies per row by construction; results are identical either way —
+    each skewed row still matches exactly one replica.
 
     Only inner and left joins are salt-safe: in a right/full join an
     unmatched build row would surface once PER REPLICA (n_salt
@@ -79,8 +84,18 @@ def salted_join(
             f"salted_join supports how='inner'/'left' (got {how!r}): "
             "replicating the build side multiplies its unmatched rows"
         )
-    salt_src = salt_on if salt_on is not None else key
-    s = skewed.withColumn("_salt", F.pmod(F.xxhash64(salt_src), F.lit(n_salt)))
+    if salt_on == key:
+        raise ValueError(
+            "salt_on must not be the join key: a key-derived salt is "
+            "constant within a key group and leaves the hot key on one "
+            "reducer"
+        )
+    salt_expr = (
+        F.pmod(F.xxhash64(salt_on), F.lit(n_salt))
+        if salt_on is not None
+        else F.pmod(F.monotonically_increasing_id(), F.lit(n_salt))
+    )
+    s = skewed.withColumn("_salt", salt_expr)
     r = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<long>"))
     )

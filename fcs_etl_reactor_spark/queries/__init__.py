@@ -51,12 +51,15 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-# Module imports populate the registry (order = SURVEY §2 section order).
-from fcs_etl_reactor_spark.queries import relational  # noqa: E402,F401
-from fcs_etl_reactor_spark.queries import joins  # noqa: E402,F401
-from fcs_etl_reactor_spark.queries import aggregates  # noqa: E402,F401
-from fcs_etl_reactor_spark.queries import windows  # noqa: E402,F401
-from fcs_etl_reactor_spark.queries import setops  # noqa: E402,F401
+# Module imports populate the registry. ORDER MATTERS: the driver
+# hard-verifies the first 50 registered entries per round, so each
+# round rotates the modules whose queries most need fresh signal to
+# the front. Round 1 verified relational/joins/aggregates/windows/
+# setops (46/50 green); round 2 leads with the then-unverified half —
+# envelopes (the 4 round-1 erroring queries, recast), scalar, domain,
+# text, vectors, events_windows, then dedup_extra. Rotate again next
+# round to cover whatever the window missed (q58/q59, skew, …).
+from fcs_etl_reactor_spark.queries import envelopes  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import scalar  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import domain  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import text  # noqa: E402,F401
@@ -64,3 +67,8 @@ from fcs_etl_reactor_spark.queries import vectors  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import events_windows  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import dedup_extra  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import skew  # noqa: E402,F401
+from fcs_etl_reactor_spark.queries import relational  # noqa: E402,F401
+from fcs_etl_reactor_spark.queries import joins  # noqa: E402,F401
+from fcs_etl_reactor_spark.queries import aggregates  # noqa: E402,F401
+from fcs_etl_reactor_spark.queries import windows  # noqa: E402,F401
+from fcs_etl_reactor_spark.queries import setops  # noqa: E402,F401

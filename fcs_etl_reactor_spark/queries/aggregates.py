@@ -213,31 +213,8 @@ def q25_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q26 — collect aggregates (A10): per-group sorted lists/sets.
-# array_sort forces a deterministic element order (collect_list order
-# is partition-dependent otherwise).
-# --------------------------------------------------------------------------
-
-
-@query(
-    "q26_collect",
-    oracle="""
-    SELECT
-      n_regionkey,
-      LIST(n_name ORDER BY n_name) AS nations,
-      LIST(DISTINCT n_nationkey ORDER BY n_nationkey) AS nation_keys
-    FROM nation
-    GROUP BY n_regionkey
-    """,
-)
-def q26_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n = load(spark, sf_dir, "nation")
-    return n.groupBy("n_regionkey").agg(
-        F.array_sort(F.collect_list("n_name")).alias("nations"),
-        F.array_sort(F.collect_set("n_nationkey")).alias("nation_keys"),
-    )
-
-
+# q26 (collect aggregates, A10) moved to queries/envelopes.py: its
+# array outputs are serialized to strings there (driver constraint).
 # --------------------------------------------------------------------------
 # q27 — histogram / binning (A11): the FCS "histogram CSV" output on a
 # log10 grid (SURVEY §0.2 step 5). floor((log10 x − lo)/step) in both
@@ -364,20 +341,8 @@ def q29_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q30 — approx distinct (A7): HLL — the 100 TB cardinality-estimation
-# path. No oracle (approx, engine-specific sketch): rows-only check.
-# --------------------------------------------------------------------------
-
-
-@query("q30_approx_distinct")
-def q30_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-        F.approx_count_distinct("event_id", 0.01).alias("approx_events"),
-    )
-
-
+# q30 (approx distinct, A7) moved to queries/envelopes.py as an
+# exact+tolerance envelope so the HLL path is oracle-checked.
 # --------------------------------------------------------------------------
 # q31 — CUBE (A8, completing rollup from q24): all 4 grouping-set
 # combinations of (o_orderstatus, o_orderpriority) in one pass — Spark
@@ -485,23 +450,8 @@ def q33_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q36 — approximate percentiles (A5 scale path, rows-only): the
-# KLL/GK-sketch form used at 100 TB where exact percentiles would
-# shuffle full columns; q23 keeps the exact oracle-checked form.
-# --------------------------------------------------------------------------
-
-
-@query("q36_approx_percentiles")
-def q36_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = load(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_quantity", 0.5, 10000).alias("median_qty_approx"),
-        F.percentile_approx(
-            "l_extendedprice", [0.25, 0.75], 10000
-        ).alias("price_quartiles_approx"),
-    )
-
-
+# q36 (approximate percentiles, A5 scale path) moved to
+# queries/envelopes.py as an exact+tolerance envelope.
 # --------------------------------------------------------------------------
 # q37 — DISTINCT aggregates (A6 completion): SUM/COUNT over distinct
 # value sets. Spark plans these as an expand + two-level aggregate;
@@ -531,18 +481,6 @@ def q37_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q8 — heavy hitters (A7's counting cousin, rows-only): approximate
-# frequent items per column via Spark's countMinSketch-backed
-# freqItems — the 100 TB path for "which keys are hot" (feeds the
-# salting decision in operators/skew.py) without a full group-by.
+# q8 (heavy hitters via freqItems, A7's counting cousin) moved to
+# queries/envelopes.py, checked via the sketch's superset guarantee.
 # --------------------------------------------------------------------------
-
-
-@query("q8_freq_items")
-def q8_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events")
-    out = e.stat.freqItems(["event_type", "user_id"], support=0.05)
-    return out.select(
-        F.array_sort(F.col("event_type_freqItems")).alias("frequent_event_types"),
-        F.size(F.col("user_id_freqItems")).alias("n_frequent_users"),
-    )

@@ -165,16 +165,34 @@ def q73_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q75 — multimodal binary pipeline (L6, rows-only): fixture documents
-# become binary blobs (per-lang magic header + utf-8 payload), then the
-# REAL media plumbing runs: magic-number sniffing and Arrow-batched
-# byte-histogram "feature extraction" (the stub decoder — no codecs in
-# this container), aggregated per detected modality. Deterministic:
-# scaled-integer sums.
+# q75 — multimodal binary pipeline (L6): fixture documents become
+# binary blobs (per-lang magic header + utf-8 payload), then the REAL
+# media plumbing runs: magic-number sniffing and Arrow-batched
+# byte-histogram feature extraction, aggregated per detected modality.
+# The oracle recomputes what SQL can state exactly — the lang→modality
+# routing and the byte volumes (octet_length of header‖utf8(text)) —
+# and the features_ok boolean proves each extracted 8-bin histogram is
+# a valid distribution (sums to 1 ± float32 rounding), so the decode
+# path demonstrably ran over every blob.
 # --------------------------------------------------------------------------
 
 
-@query("q75_multimodal_features")
+@query(
+    "q75_multimodal_features",
+    oracle="""
+    SELECT
+      CASE lang WHEN 'en' THEN 'image/png' WHEN 'de' THEN 'image/jpeg'
+                WHEN 'fr' THEN 'audio/wav' WHEN 'es' THEN 'audio/mp3'
+                ELSE 'video/mp4' END AS modality,
+      COUNT(*) AS n_blobs,
+      SUM(CASE lang WHEN 'en' THEN 6 WHEN 'de' THEN 4 WHEN 'fr' THEN 6
+                    WHEN 'es' THEN 4 ELSE 8 END
+          + OCTET_LENGTH(ENCODE(text))) AS sum_bytes,
+      TRUE AS features_ok
+    FROM documents
+    GROUP BY 1
+    """,
+)
 def q75_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fcs_etl_reactor_spark.operators.multimodal import (
         extract_features,
@@ -193,29 +211,54 @@ def q75_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("path"),
         F.concat(header, F.encode("text", "utf-8")).alias("content"),
     )
-    feats = extract_features(sniff_media(blobs), feature_dim=8)
-    f1 = F.element_at("feature", 1).cast("double")
-    return feats.groupBy("modality").agg(
+    sniffed = sniff_media(blobs)
+    feats = extract_features(sniffed, feature_dim=8)
+    hist_sum = F.aggregate(
+        "feature", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    per_blob = feats.join(
+        sniffed.select("path", "n_bytes"), "path"
+    ).select(
+        "modality",
+        "n_bytes",
+        (F.abs(hist_sum - F.lit(1.0)) < F.lit(1e-3)).alias("_ok"),
+    )
+    return per_blob.groupBy("modality").agg(
         F.count(F.lit(1)).alias("n_blobs"),
-        (
-            F.sum(F.floor(f1 * F.lit(1e9) + F.lit(0.5)).cast("long")).cast("double")
-            / F.lit(1e9)
-        ).alias("sum_feat1"),
+        F.sum("n_bytes").alias("sum_bytes"),
+        F.bool_and("_ok").alias("features_ok"),
     )
 
 
 # --------------------------------------------------------------------------
-# q76 — FCS write→parse roundtrip (S4, rows-only): each event_type
-# group becomes one synthetic float64 FCS file (spec-conformant
-# header + TEXT + DATA built by make_fcs_bytes), which is immediately
-# re-parsed by the production parser and summarized per channel —
-# the ingest path exercised end-to-end inside the driver harness, on
-# fixture-derived input. applyInPandas = one task per sample; at
-# 100 TB samples are independent files (embarrassingly parallel).
+# q76 — FCS write→parse roundtrip (S4): each event_type group becomes
+# one synthetic float64 FCS file (spec-conformant header + TEXT +
+# DATA built by make_fcs_bytes), which is immediately re-parsed by
+# the production parser and summarized per channel — the ingest path
+# exercised end-to-end inside the driver harness, on fixture-derived
+# input. applyInPandas = one task per sample; at 100 TB samples are
+# independent files (embarrassingly parallel).
+# Float64 FCS roundtrips losslessly, so the per-channel scaled-int
+# means equal the same statistics computed straight off the events
+# table — which is exactly what the oracle does (VAL=value,
+# USER=user_id), making the parser's output value-hash-verified.
 # --------------------------------------------------------------------------
 
 
-@query("q76_fcs_roundtrip")
+@query(
+    "q76_fcs_roundtrip",
+    oracle="""
+    SELECT event_type AS sample_id, 'VAL' AS channel, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000 / COUNT(*) AS mean_value
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT event_type, 'USER', COUNT(*),
+           CAST(SUM(CAST(FLOOR(CAST(user_id AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1000000 / COUNT(*)
+    FROM events GROUP BY event_type
+    """,
+)
 def q76_fcs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fcs_etl_reactor_spark.sources.fcs import make_fcs_bytes, parse_fcs_bytes
 
@@ -250,16 +293,59 @@ def q76_fcs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q77 — bead-calibration chain (C3, rows-only): the TASBE color-model
-# shape run on fixture data — events.value per event_type as the
-# pseudo-bead samples: log10 histogram (A11) → lag/lead local-maxima
-# peaks (W2) → per-sample np.polyfit via applyInPandas (U3). Raw rows
-# never leave the executors; only ≤n_bins rows per sample reach the
-# fit — the 100 TB-safe decomposition.
+# q77 — bead-calibration chain (C3): the TASBE color-model shape run
+# on fixture data — events.value per event_type as the pseudo-bead
+# samples: log10 histogram (A11) → lag/lead local-maxima peaks (W2) →
+# per-sample np.polyfit via applyInPandas (U3). Raw rows never leave
+# the executors; only ≤n_bins rows per sample reach the fit — the
+# 100 TB-safe decomposition.
+# The oracle replays the whole chain in SQL: histogram → peak rule →
+# rank-matched ladder → REGR_SLOPE/REGR_INTERCEPT (a degree-1
+# np.polyfit IS ordinary least squares; both sides round to 6dp to
+# absorb lstsq-vs-closed-form last-ulp drift).
 # --------------------------------------------------------------------------
 
+_BEAD_LADDER = [2.0, 2.8, 3.5, 4.1, 4.7, 5.2]  # log10(MEFL), public TASBE-style
 
-@query("q77_bead_calibration")
+
+@query(
+    "q77_bead_calibration",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type AS sample_id,
+             LEAST(GREATEST(CAST(FLOOR(LOG10(value) / 0.05) AS BIGINT), 0), 63) AS bin,
+             COUNT(*) AS n
+      FROM events WHERE value > 0 GROUP BY 1, 2
+    ), hh AS (
+      SELECT sample_id, bin, n, (bin + 0.5) * 0.05 AS bin_center,
+             LAG(bin) OVER w AS pb, LAG(n) OVER w AS pn,
+             LEAD(bin) OVER w AS nb, LEAD(n) OVER w AS nn
+      FROM h WINDOW w AS (PARTITION BY sample_id ORDER BY bin)
+    ), peaks AS (
+      SELECT sample_id, bin_center FROM hh
+      WHERE n >= 5
+        AND n >  COALESCE(CASE WHEN pb = bin - 1 THEN pn ELSE 0 END, 0)
+        AND n >= COALESCE(CASE WHEN nb = bin + 1 THEN nn ELSE 0 END, 0)
+    ), ranked AS (
+      SELECT sample_id, bin_center,
+             ROW_NUMBER() OVER (PARTITION BY sample_id ORDER BY bin_center DESC) AS r,
+             COUNT(*) OVER (PARTITION BY sample_id) AS n_peaks
+      FROM peaks
+    ), matched AS (
+      SELECT sample_id, n_peaks, bin_center AS x,
+             CASE r WHEN 1 THEN {_BEAD_LADDER[5]} WHEN 2 THEN {_BEAD_LADDER[4]}
+                    WHEN 3 THEN {_BEAD_LADDER[3]} WHEN 4 THEN {_BEAD_LADDER[2]}
+                    WHEN 5 THEN {_BEAD_LADDER[1]} WHEN 6 THEN {_BEAD_LADDER[0]}
+             END AS y
+      FROM ranked WHERE r <= 6
+    )
+    SELECT sample_id,
+           ROUND(REGR_SLOPE(y, x), 6) AS slope,
+           ROUND(REGR_INTERCEPT(y, x), 6) AS intercept,
+           MAX(n_peaks) AS n_peaks
+    FROM matched GROUP BY sample_id
+    """,
+)
 def q77_bead_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fcs_etl_reactor_spark.operators.beads import (
         find_peaks,
@@ -272,5 +358,10 @@ def q77_bead_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hist = log_histogram(e, "value", ["sample_id"], lo=0.0, step=0.05, n_bins=64)
     peaks = find_peaks(hist, ["sample_id"], min_count=5)
-    # known bead quantities: log10(MEFL) ladder (public TASBE-style)
-    return fit_calibration(peaks, [2.0, 2.8, 3.5, 4.1, 4.7, 5.2])
+    fit = fit_calibration(peaks, _BEAD_LADDER)
+    return fit.select(
+        "sample_id",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        "n_peaks",
+    )

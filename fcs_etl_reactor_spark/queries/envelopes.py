@@ -1,0 +1,200 @@
+"""Oracle-checkable envelopes for array-valued and approximate
+aggregates (SURVEY.md §2.4 A5/A7/A10).
+
+Two driver constraints shape every query here (round-1 verdict):
+
+1. The driver's canonicalizer pandas-sorts each output column, so a
+   top-level ARRAY/STRUCT/MAP cell crashes it ("unhashable type") —
+   array results are therefore serialized to delimited STRINGs on both
+   the Spark and the DuckDB side, with the array logic (collect_list/
+   array_sort/...) still exercised inside the query.
+
+2. A registered query without an oracle is recorded as err
+   "no_oracle", so the approximate operators (HLL count-distinct,
+   KLL percentiles, count-min frequent items) are recast as
+   *envelope* checks: the query computes BOTH the approximation and
+   the exact value and emits the exact value plus a tolerance boolean.
+   The sketch still runs — the oracle verifies the exact columns
+   value-for-value and the boolean proves the approximation landed
+   inside its published error bound (deterministically: HLL registers
+   are max-merged so the estimate is partition-order independent, and
+   the tolerance dwarfs the sketch's drift for the others).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fcs_etl_reactor_spark.io import load
+from fcs_etl_reactor_spark.queries import query
+
+# --------------------------------------------------------------------------
+# q26 — collect aggregates (A10): per-group sorted lists/sets,
+# serialized with '|' so the output is a flat string column.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q26_collect",
+    oracle="""
+    SELECT
+      n_regionkey,
+      STRING_AGG(n_name, '|' ORDER BY n_name) AS nations,
+      STRING_AGG(DISTINCT n_nationkey, '|' ORDER BY n_nationkey) AS nation_keys
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def q26_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws("|", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.array_sort(F.collect_set("n_nationkey")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("nation_keys"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q30 — approx distinct (A7): HLL cardinality (rsd=0.01) checked
+# against the exact COUNT(DISTINCT) it approximates. The exact columns
+# ARE the oracle payload; the booleans assert the sketch landed within
+# 5× its configured relative error (HLL merge = per-register max →
+# the estimate is deterministic for a given dataset).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q30_approx_distinct",
+    oracle="""
+    SELECT
+      event_type,
+      COUNT(DISTINCT user_id) AS n_users,
+      COUNT(DISTINCT event_id) AS n_events,
+      TRUE AS approx_users_ok,
+      TRUE AS approx_events_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q30_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+
+    def within(approx, exact):
+        return F.abs(approx.cast("double") - exact.cast("double")) <= F.lit(
+            0.05
+        ) * exact.cast("double")
+
+    agg = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_id").alias("n_events"),
+        F.approx_count_distinct("user_id", 0.01).alias("_au"),
+        F.approx_count_distinct("event_id", 0.01).alias("_ae"),
+    )
+    return agg.select(
+        "event_type",
+        "n_users",
+        "n_events",
+        within(F.col("_au"), F.col("n_users")).alias("approx_users_ok"),
+        within(F.col("_ae"), F.col("n_events")).alias("approx_events_ok"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q36 — approximate percentiles (A5 scale path): percentile_approx
+# (accuracy 10000) checked against the exact interpolated percentile.
+# Exact values are oracle-verified (same arithmetic as QUANTILE_CONT);
+# the booleans bound the sketch error far above its worst case
+# (rank error ≤ n/10000 → a handful of neighboring order statistics).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q36_approx_percentiles",
+    oracle="""
+    SELECT
+      l_returnflag,
+      ROUND(QUANTILE_CONT(l_quantity, 0.5), 6) AS median_qty,
+      ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 6) AS p25_price,
+      ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 6) AS p75_price,
+      TRUE AS approx_median_ok,
+      TRUE AS approx_quartiles_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q36_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    agg = l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("p75_price"),
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("_amed"),
+        F.percentile_approx("l_extendedprice", [0.25, 0.75], 10000).alias("_aq"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "median_qty",
+        "p25_price",
+        "p75_price",
+        (F.abs(F.col("_amed") - F.col("median_qty")) <= F.lit(1.0)).alias(
+            "approx_median_ok"
+        ),
+        (
+            # relative tolerance: the sketch returns a real data point
+            # while the exact percentile interpolates, so the gap can
+            # reach one inter-order-statistic spacing — 2% of the value
+            # dominates that at every fixture scale
+            (F.abs(F.element_at("_aq", 1) - F.col("p25_price"))
+             <= F.lit(0.02) * F.col("p25_price"))
+            & (F.abs(F.element_at("_aq", 2) - F.col("p75_price"))
+               <= F.lit(0.02) * F.col("p75_price"))
+        ).alias("approx_quartiles_ok"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q8 — heavy hitters (A7's counting cousin): count-min-backed
+# freqItems, envelope-checked via its published guarantee — every item
+# with frequency ≥ support IS returned (false positives possible,
+# false negatives not). The query finds the exactly-frequent
+# event_types and asserts each appears in the sketch output; the
+# oracle recomputes the exactly-frequent set in SQL.
+# --------------------------------------------------------------------------
+
+_FREQ_SUPPORT = 0.05
+
+
+@query(
+    "q8_freq_items",
+    oracle=f"""
+    SELECT
+      event_type AS item,
+      COUNT(*) AS n,
+      TRUE AS found
+    FROM events
+    GROUP BY event_type
+    HAVING COUNT(*) >= {_FREQ_SUPPORT} * (SELECT COUNT(*) FROM events)
+    """,
+)
+def q8_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    sketch = e.stat.freqItems(["event_type"], support=_FREQ_SUPPORT).select(
+        F.col("event_type_freqItems").alias("_items")
+    )
+    total = e.groupBy().agg(F.count(F.lit(1)).alias("_total"))
+    exact = (
+        e.groupBy(F.col("event_type").alias("item"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(total))
+        .filter(F.col("n") >= F.lit(_FREQ_SUPPORT) * F.col("_total"))
+    )
+    return (
+        exact.join(F.broadcast(sketch))
+        .select("item", "n", F.array_contains("_items", F.col("item")).alias("found"))
+    )

@@ -184,7 +184,22 @@ def _events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     return _STREAM_DIRS[key]
 
 
-@query("q98_streaming_tumbling")
+@query(
+    "q98_streaming_tumbling",
+    # the stream replays the full events table in ONE availableNow
+    # micro-batch with COMPLETE output, so its result is exactly the
+    # batch tumbling aggregation — which SQL can state directly. This
+    # turns "the streaming engine ran" from a rows-only check into a
+    # value-hash check of the stateful operator's output.
+    oracle="""
+    SELECT
+      TO_TIMESTAMP(FLOOR(EPOCH(ts) / 600) * 600) AS win_start,
+      event_type,
+      COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
 def q98_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fcs_etl_reactor_spark.streaming.windows import (
         read_events_stream,
@@ -201,16 +216,41 @@ def q98_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q99 — session windows executed as a TRUE stream (T3+T8, rows-only):
-# the session_window state operator over the replayed events
-# directory, complete mode (same availableNow/memory-sink shape as
-# q98). Batch-twin equivalence for the session arithmetic is proven in
-# tests/test_streaming.py; this entry proves the stateful session
-# operator runs under the driver harness.
+# q99 — session windows executed as a TRUE stream (T3+T8): the
+# session_window state operator over the replayed events directory,
+# complete mode (same availableNow/memory-sink shape as q98). The
+# oracle restates session_window's semantics as gaps-and-islands SQL:
+# a session breaks when the gap is ≥ 30 min (session_window merges on
+# strict overlap), start = MIN(ts), end = MAX(ts) + gap.
 # --------------------------------------------------------------------------
 
 
-@query("q99_streaming_sessions")
+@query(
+    "q99_streaming_sessions",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+        CASE WHEN LAG(ts) OVER w IS NULL
+               OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) >= 1800000000
+             THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           {o_dsum("value", "session_value")}
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
 def q99_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fcs_etl_reactor_spark.streaming.windows import (
         read_events_stream,

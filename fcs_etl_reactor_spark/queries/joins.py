@@ -49,24 +49,22 @@ def q10_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region")
     # Collapse the dimension side FIRST: orders ⋈ customer ⋈ nation ⋈
     # region reduces to a slim (o_orderkey → n_name) map, pre-filtered
-    # by region — the fact table then probes ONE small broadcast hash
-    # table instead of three stacked ones. At 100 TB, where orders no
-    # longer broadcasts, the same two-phase shape holds: the dim
-    # collapse shuffles only the dimension chain, and l ⋈ map shuffles
-    # on o_orderkey once.
+    # by region — the fact table then probes ONE hash table instead of
+    # three stacked ones. Only the genuinely bounded frames carry a
+    # broadcast hint (nation ⋈ region: ≤ 25 rows at ANY scale); the
+    # collapsed map is |orders|-cardinality, so its join strategy is
+    # left to the planner — AQE broadcasts it when the runtime size is
+    # under the threshold and shuffles on o_orderkey otherwise, which
+    # is exactly the 100 TB-safe behavior (an explicit hint would not
+    # be size-gated and OOMs when orders outgrows executor memory).
     dims = F.broadcast(
-        n.join(F.broadcast(r.filter(F.col("r_name").isin("ASIA", "EUROPE"))),
+        n.join(r.filter(F.col("r_name").isin("ASIA", "EUROPE")),
                n.n_regionkey == r.r_regionkey)
     )
-    # dimension-cache pattern: the collapsed map is bounded (≤|orders|
-    # slim rows) and reused by every execution of this plan — persist
-    # so repeat runs rebuild the broadcast from memory, not from the
-    # 3-table join
-    order_nation = F.broadcast(
+    order_nation = (
         o.join(c, o.o_custkey == c.c_custkey)
         .join(dims, c.c_nationkey == dims.n_nationkey)
         .select("o_orderkey", "n_name")
-        .persist()
     )
     return (
         l.join(order_nation, l.l_orderkey == order_nation.o_orderkey)

@@ -243,7 +243,10 @@ def q66_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q67 — map/struct construction + field access (F5).
+# q67 — map/struct construction + field access (F5). The struct and
+# map are BUILT and accessed in-plan; the struct leaves the query
+# serialized as JSON (a top-level STRUCT cell crashes the driver's
+# canonicalizer), and map access surfaces as the extracted value.
 # --------------------------------------------------------------------------
 
 
@@ -252,18 +255,23 @@ def q66_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       n_nationkey,
-      {'n_name': n_name, 'n_regionkey': n_regionkey} AS nation_struct,
-      STRUCT_EXTRACT({'n_name': n_name, 'n_regionkey': n_regionkey}, 'n_name') AS sname
+      '{"n_name":"' || n_name || '","n_regionkey":' || n_regionkey || '}'
+        AS nation_struct_json,
+      STRUCT_EXTRACT({'n_name': n_name, 'n_regionkey': n_regionkey}, 'n_name')
+        AS sname,
+      MAP(['key'], [n_regionkey])['key'][1] AS region_from_map
     FROM nation
     """,
 )
 def q67_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     st = F.struct(F.col("n_name"), F.col("n_regionkey"))
+    m = F.create_map(F.lit("key"), F.col("n_regionkey"))
     return n.select(
         "n_nationkey",
-        st.alias("nation_struct"),
+        F.to_json(st).alias("nation_struct_json"),
         st.getField("n_name").alias("sname"),
+        m.getItem("key").alias("region_from_map"),
     )
 
 

@@ -114,21 +114,39 @@ def q91_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Multi-table sign-LSH with (planes, tables) DERIVED from the corpus
 # size (lsh_params_for): bucket count tracks data, tables hold the
 # recall target — measured 0.83-0.84 recall at both 500- and
-# 2000-vector corpora with the same code. Approx → rows-only check
-# (recall floor asserted in tests/test_operators.py).
+# 2000-vector corpora with the same code. ANN has no verbatim SQL
+# replay, so the oracle checks the recall envelope: the query computes
+# recall against the exact scaled-integer top-k and asserts it clears
+# a floor well under the measured value (hashes are seeded → the
+# result is deterministic per dataset).
 # --------------------------------------------------------------------------
 
 
-@query("q92_lsh_topk")
+def _recall_envelope(ann: DataFrame, exact: DataFrame, floor: float) -> DataFrame:
+    hits = ann.join(exact, ["query_id", "match_id"], "left_semi")
+    n_hits = hits.groupBy().agg(F.count(F.lit(1)).alias("n_hits"))
+    n_exact = exact.groupBy().agg(F.count(F.lit(1)).alias("n_exact"))
+    return n_hits.join(n_exact).select(
+        (F.col("n_exact") / F.lit(_TOPK)).cast("bigint").alias("n_queries"),
+        (F.col("n_hits") >= F.lit(floor) * F.col("n_exact")).alias("recall_ok"),
+    )
+
+
+_RECALL_ORACLE = """
+    SELECT COUNT(*) AS n_queries, TRUE AS recall_ok
+    FROM embeddings WHERE label = 0
+"""
+
+
+@query("q92_lsh_topk", oracle=_RECALL_ORACLE)
 def q92_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fcs_etl_reactor_spark.operators.similarity import lsh_topk_auto
 
     e = load(spark, sf_dir, "embeddings")
-    return lsh_topk_auto(
-        e.filter(F.col("label") == 0),
-        e.filter(F.col("label") == 1),
-        k=_TOPK,
-    )
+    q, c = e.filter(F.col("label") == 0), e.filter(F.col("label") == 1)
+    ann = lsh_topk_auto(q, c, k=_TOPK)
+    exact = cosine_topk_vectorized(q, c, id_col="vec_id", vec_col="embedding", k=_TOPK)
+    return _recall_envelope(ann, exact, floor=0.6)  # measured 0.83-0.84
 
 
 # --------------------------------------------------------------------------
@@ -229,21 +247,19 @@ def q88_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q89 — IVF approximate top-k (L3 scale path): coarse-quantize the
 # corpus (1 Lloyd step from deterministic seeds), probe the 4 nearest
-# of 16 clusters per query. Approx → rows-only check; recall vs the
-# exact q91 is asserted in tests/test_operators.py.
+# of 16 clusters per query. Same recall-envelope oracle as q92
+# (deterministic seeds → stable recall; floor below the measured
+# value, above chance).
 # --------------------------------------------------------------------------
 
 
-@query("q89_ivf_topk")
+@query("q89_ivf_topk", oracle=_RECALL_ORACLE)
 def q89_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    return ivf_topk(
-        e.filter(F.col("label") == 0),
-        e.filter(F.col("label") == 1),
-        k=_TOPK,
-        n_centroids=16,
-        n_probe=4,
-    )
+    q, c = e.filter(F.col("label") == 0), e.filter(F.col("label") == 1)
+    ann = ivf_topk(q, c, k=_TOPK, n_centroids=16, n_probe=4)
+    exact = cosine_topk_vectorized(q, c, id_col="vec_id", vec_col="embedding", k=_TOPK)
+    return _recall_envelope(ann, exact, floor=0.4)  # measured ~0.5-0.6
 
 
 # --------------------------------------------------------------------------
@@ -252,32 +268,51 @@ def q89_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+# Array results are serialized to '|'-joined scaled integers: the
+# driver's canonicalizer crashes on top-level ARRAY cells, and the
+# scaled-bigint form sidesteps float-to-string formatting differences
+# between engines (scaling by 1e6 is order-preserving, so sort/reverse
+# act identically before and after).
+
+
 @query(
     "q94_array_funcs",
     oracle="""
+    WITH scaled AS (
+      SELECT vec_id, embedding,
+             LIST_TRANSFORM(embedding[1:3],
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS h3
+      FROM embeddings
+    )
     SELECT
       vec_id,
       CAST(LEN(embedding) AS INTEGER) AS dim,
-      embedding[1:3] AS head3,
-      LIST_SORT(embedding[1:3]) AS head3_sorted,
-      LIST_REVERSE(embedding[1:3]) AS head3_rev,
-      LIST_MAX(embedding) AS vmax,
-      LIST_MIN(embedding) AS vmin,
+      ARRAY_TO_STRING(h3, '|') AS head3,
+      ARRAY_TO_STRING(LIST_SORT(h3), '|') AS head3_sorted,
+      ARRAY_TO_STRING(LIST_REVERSE(h3), '|') AS head3_rev,
+      ROUND(CAST(LIST_MAX(embedding) AS DOUBLE), 6) AS vmax,
+      ROUND(CAST(LIST_MIN(embedding) AS DOUBLE), 6) AS vmin,
       CAST(LIST_CONTAINS(embedding, embedding[1]) AS INTEGER) AS has_first
-    FROM embeddings
+    FROM scaled
     """,
 )
 def q94_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
-    head3 = F.slice(emb, 1, 3)
+    h3 = F.transform(
+        F.slice(emb, 1, 3),
+        lambda x: F.floor(x.cast("double") * 1_000_000 + 0.5).cast("bigint"),
+    )
+    joined = lambda arr: F.concat_ws(  # noqa: E731
+        "|", F.transform(arr, lambda x: x.cast("string"))
+    )
     return e.select(
         "vec_id",
         F.size(emb).alias("dim"),
-        head3.alias("head3"),
-        F.array_sort(head3).alias("head3_sorted"),
-        F.reverse(head3).alias("head3_rev"),
-        F.array_max(emb).alias("vmax"),
-        F.array_min(emb).alias("vmin"),
+        joined(h3).alias("head3"),
+        joined(F.array_sort(h3)).alias("head3_sorted"),
+        joined(F.reverse(h3)).alias("head3_rev"),
+        F.round(F.array_max(emb).cast("double"), 6).alias("vmax"),
+        F.round(F.array_min(emb).cast("double"), 6).alias("vmin"),
         F.array_contains(emb, F.element_at(emb, 1)).cast("int").alias("has_first"),
     )

@@ -20,6 +20,11 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon_cell(v):
+    # Mirrors the REAL driver's canonicalizer, which pandas-sorts every
+    # output column: a top-level ARRAY/STRUCT/MAP cell crashes it with
+    # "unhashable type" (observed in CORRECTNESS_r01). This sim must
+    # never be more lenient than production, so the same shapes are a
+    # hard error here.
     import datetime as dt
     if v is None:
         return "NULL"
@@ -29,13 +34,11 @@ def canon_cell(v):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, dt.date):
         return v.isoformat()
-    if hasattr(v, "asDict"):
-        d = v.asDict()
-        return "{" + ",".join(f"{k}:{canon_cell(d[k])}" for k in sorted(d)) + "}"
-    if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{canon_cell(v[k])}" for k in sorted(v)) + "}"
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    if isinstance(v, (list, tuple, dict)) or hasattr(v, "asDict"):
+        raise TypeError(
+            f"top-level complex cell {type(v).__name__} crashes the driver's "
+            "canonicalizer — serialize arrays/structs/maps to strings in the query"
+        )
     return str(v)
 
 
@@ -69,18 +72,27 @@ def main():
     n_pass = n_rowsonly = 0
     fails = []
     for name, fn in qs.items():
-        sdf = fn(spark, SF)
-        srows = sdf.collect()
-        scols = sdf.columns
-        if name not in oracles:
-            n_rowsonly += 1
-            print(f"  [rows-only] {name}: {len(srows)} rows")
+        try:
+            sdf = fn(spark, SF)
+            srows = sdf.collect()
+            scols = sdf.columns
+            if name not in oracles:
+                # the REAL driver records these as err "no_oracle" — a
+                # weaker rows-only signal, surfaced loudly here
+                n_rowsonly += 1
+                # still canonicalize so array-valued cells fail fast
+                value_hash(srows, scols)
+                print(f"  [rows-only → driver err no_oracle] {name}: {len(srows)} rows")
+                continue
+            orows = con.execute(oracles[name]).fetchall()
+            ocols = [d[0] for d in con.description]
+            ok_schema = sorted(scols) == sorted(ocols)
+            ok_count = len(srows) == len(orows)
+            ok_hash = value_hash(srows, scols) == value_hash(orows, ocols)
+        except Exception as exc:  # the driver records the traceback as err
+            fails.append((name, "EXC", repr(exc)))
+            print(f"  [ERR] {name}: {exc}")
             continue
-        orows = con.execute(oracles[name]).fetchall()
-        ocols = [d[0] for d in con.description]
-        ok_schema = sorted(scols) == sorted(ocols)
-        ok_count = len(srows) == len(orows)
-        ok_hash = value_hash(srows, scols) == value_hash(orows, ocols)
         if ok_schema and ok_count and ok_hash:
             n_pass += 1
         else:

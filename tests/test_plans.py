@@ -49,7 +49,18 @@ def test_star_join_broadcasts_dims(spark):
     s = plan_of(spark, "q10_star_join_revenue")
     assert "BroadcastHashJoin" in s
     assert "CartesianProduct" not in s
-    assert "SortMergeJoin" not in s  # dims broadcast; AQE handles facts
+    # no baked-in persist: a registry query must not pin executor memory
+    assert "InMemoryRelation" not in s and "InMemoryTableScan" not in s
+
+
+def test_star_join_hints_only_bounded_dims(spark):
+    # exactly ONE explicit broadcast hint (nation ⋈ region, ≤25 rows at
+    # any scale); the |orders|-sized collapsed map must carry NO hint —
+    # an un-size-gated hint there OOMs at 100× (round-1 verdict). The
+    # planner/AQE picks its strategy from runtime statistics instead.
+    df = QUERIES["q10_star_join_revenue"](spark, SF_SMALL)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1, analyzed
 
 
 def test_topk_plans_take_ordered(spark):
