@@ -33,6 +33,24 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+def table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk size of a fixture table — the cheap stat that stands in
+    for catalog statistics when size-gating a broadcast decision.
+    Unknown sizes report as huge so callers fail toward NOT
+    broadcasting (the scale-safe direction)."""
+    import os
+
+    path = table_path(sf_dir, name)
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(path, f)) for f in os.listdir(path)
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return 1 << 60
+
+
 #: Scan DataFrames are cached ON the session object (attribute dict):
 #: building a scan is driver-side work Spark repeats on every
 #: spark.read.parquet call — file listing + footer schema inference +

@@ -63,7 +63,12 @@ def ngram_jaccard_pairs(
     threshold. Candidate generation is an inverted-index self-join on
     the shingle — documents with no shingle in common are never paired.
     """
-    sh = shingles(df, id_col, text_col, n).cache()
+    # no baked-in cache: a persist inside a library operator leaks
+    # executor storage across callers (round-1 q10 lesson); the shingle
+    # explode is recomputed per use, which Catalyst pipelines with the
+    # downstream aggregations — callers that reuse the frame repeatedly
+    # can persist at their own scope
+    sh = shingles(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -146,6 +151,66 @@ def minhash_lsh_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → cluster
+    assignments: (node, cluster_id) with cluster_id = the minimum doc
+    id reachable from the node, plus is_canonical (the keep/drop
+    decision — keep the cluster's minimum id, drop the rest). Only
+    nodes that appear in some pair are returned; everything else is
+    trivially its own cluster.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min of its own label and its neighbors' labels (one
+    shuffle join + one aggregation per round), stopping when the label
+    sum stops decreasing (the sum is strictly monotone until the fix
+    point, so this is an exact convergence test, not a heuristic).
+    Rounds needed = graph diameter; near-dup clusters are shallow
+    (pairs/triangles), so this converges in 2-3 rounds. At 100 TB you
+    would switch to the two-phase large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+    which converges in O(log n) rounds independent of diameter, and
+    checkpoint between rounds to truncate lineage — the per-round
+    dataflow (join on edge, min per node) is identical.
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        F.col("node"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_canonical"),
     )
 
 

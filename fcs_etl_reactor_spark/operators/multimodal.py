@@ -5,18 +5,23 @@ columns plus typed metadata, exactly like the FCS DATA segment: the
 relational layer routes/filters/joins; Arrow-batched Python does the
 per-blob work.
 
-The container has no image/audio codecs, so the DECODE step is
-stubbed (deterministic fake decoder behind ``decode_stub=True``;
-``NotImplementedError`` otherwise) — but the Spark-side plumbing is
-real and tested: binaryFile ingest, schema, mapInPandas batch shape,
-partition-by-modality writes, and metadata extraction (magic-number
-sniffing, byte stats) that needs no codec.
+Decoding: the container has no codec libraries (PIL/ffmpeg), so two
+container formats with pure-NumPy decoders are supported end-to-end —
+uncompressed BMP (8-bit grayscale / 24-bit BGR) and PCM WAV (8/16-bit)
+— proving the decode→feature path with real pixel/sample data. Other
+formats fall back to a deterministic byte-histogram featurizer (mode
+"auto"), or raise NotImplementedError (mode "strict") where a real
+codec would plug in. The Spark-side plumbing is identical in every
+mode: binaryFile ingest, schema, mapInPandas batch shape,
+partition-by-modality writes, magic-number sniffing.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,6 +35,7 @@ _MAGIC = [
     (b"\x89PNG", "image/png"),
     (b"\xff\xd8\xff", "image/jpeg"),
     (b"GIF8", "image/gif"),
+    (b"BM", "image/bmp"),
     (b"RIFF", "audio/wav"),
     (b"ID3", "audio/mp3"),
     (b"\x00\x00\x00", "video/mp4"),
@@ -71,36 +77,200 @@ def read_media(spark: SparkSession, path: str) -> DataFrame:
     return sniff_media(spark.read.format("binaryFile").load(path))
 
 
+# ---- pure-NumPy codecs (no codec libraries in this container) ----------
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Encode an (H, W) uint8 grayscale or (H, W, 3) uint8 BGR array
+    as an uncompressed BMP (the inverse of decode_bmp): BITMAPINFOHEADER,
+    bottom-up rows, 4-byte row alignment, 8-bit images carry a
+    grayscale palette."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    if not gray and (img.ndim != 3 or img.shape[2] != 3):
+        raise ValueError("expected (H,W) gray or (H,W,3) BGR uint8")
+    h, w = img.shape[0], img.shape[1]
+    bpp = 8 if gray else 24
+    row_bytes = (w * bpp // 8 + 3) & ~3
+    palette = (
+        b"".join(bytes([i, i, i, 0]) for i in range(256)) if gray else b""
+    )
+    pixel_off = 14 + 40 + len(palette)
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up storage
+        row = img[y].tobytes()
+        rows.append(row.ljust(row_bytes, b"\x00"))
+    pixels = b"".join(rows)
+    hdr = b"BM" + struct.pack("<IHHI", pixel_off + len(pixels), 0, 0, pixel_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, 0, len(pixels), 2835, 2835,
+        256 if gray else 0, 0,
+    )
+    return hdr + info + palette + pixels
+
+
+def encode_wav(rate: int, samples: np.ndarray, bits: int = 16) -> bytes:
+    """Encode an (n, channels) float array in [-1, 1] as PCM WAV
+    (the inverse of decode_wav; 16-bit signed or 8-bit unsigned)."""
+    samples = np.asarray(samples, dtype=np.float64)
+    if samples.ndim == 1:
+        samples = samples.reshape(-1, 1)
+    if samples.ndim != 2:
+        raise ValueError("expected (n,) or (n, channels) samples")
+    n, channels = samples.shape
+    flat = samples.reshape(-1)
+    if bits == 16:
+        raw = np.clip(flat * 32768.0, -32768, 32767).astype("<i2").tobytes()
+    elif bits == 8:
+        raw = np.clip(flat * 128.0 + 128.0, 0, 255).astype(np.uint8).tobytes()
+    else:
+        raise ValueError(f"bits={bits} unsupported")
+    block = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(raw)) + raw
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Decode an uncompressed BMP into an (H, W) or (H, W, 3) uint8
+    array. Supports the two classic BITMAPINFOHEADER layouts: 8-bit
+    (palette ignored — treated as grayscale indices) and 24-bit BGR.
+    Rows are 4-byte aligned and stored bottom-up (top-down when height
+    is negative), per the Windows DIB spec.
+    """
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    pixel_off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    width, height = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if compression != 0:
+        raise ValueError(f"compressed BMP (method {compression}) unsupported")
+    if bpp not in (8, 24):
+        raise ValueError(f"BMP bit depth {bpp} unsupported")
+    top_down = height < 0
+    height = abs(height)
+    row_bytes = (width * bpp // 8 + 3) & ~3
+    need = pixel_off + row_bytes * height
+    if len(data) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(data, dtype=np.uint8, count=row_bytes * height,
+                         offset=pixel_off).reshape(height, row_bytes)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        return rows[:, :width].copy()
+    return rows[:, : width * 3].reshape(height, width, 3).copy()
+
+
+def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """Decode a PCM WAV into (sample_rate, samples) with samples an
+    (n, channels) float64 array in [-1, 1]. Supports 8-bit unsigned
+    and 16-bit signed little-endian PCM; walks RIFF chunks properly
+    (fmt may precede data with other chunks between).
+    """
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
+    if bits == 8:
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+        x = (x - 128.0) / 128.0
+    else:
+        x = np.frombuffer(raw[: len(raw) & ~1], dtype="<i2").astype(np.float64)
+        x = x / 32768.0
+    n = len(x) // channels
+    return rate, x[: n * channels].reshape(n, channels)
+
+
+def _histogram_feature(data: bytes, feature_dim: int) -> np.ndarray:
+    arr = np.frombuffer(data, dtype=np.uint8)
+    hist, _ = np.histogram(arr, bins=feature_dim, range=(0, 256))
+    return (hist / max(len(arr), 1)).astype(np.float32)
+
+
+def _decode_feature(data: bytes, modality: str, feature_dim: int) -> np.ndarray:
+    """Real-decode features: BMP → [1, W, H, channels, mean/255,
+    std/255, row-energy, 0…]; WAV → [2, rate/1e5, log10(n), channels,
+    RMS, zero-crossing rate, peak, 0…]. Raises on undecodable input
+    (caller decides whether to fall back)."""
+    out = np.zeros(feature_dim, dtype=np.float32)
+    if modality == "image/bmp":
+        img = decode_bmp(data)
+        h, w = img.shape[0], img.shape[1]
+        chans = 1 if img.ndim == 2 else img.shape[2]
+        flat = img.astype(np.float64)
+        vals = [1.0, w, h, chans, flat.mean() / 255.0, flat.std() / 255.0,
+                np.abs(np.diff(flat, axis=0)).mean() / 255.0 if h > 1 else 0.0]
+    elif modality == "audio/wav":
+        rate, samples = decode_wav(data)
+        mono = samples.mean(axis=1)
+        zcr = float(np.mean(np.abs(np.diff(np.signbit(mono))))) if len(mono) > 1 else 0.0
+        vals = [2.0, rate / 1e5, np.log10(max(len(mono), 1)), samples.shape[1],
+                float(np.sqrt(np.mean(mono**2))), zcr,
+                float(np.abs(mono).max()) if len(mono) else 0.0]
+    else:
+        raise NotImplementedError(
+            f"no pure-NumPy decoder for {modality}; plug a real codec "
+            "(PIL/torchaudio/ffmpeg) into _decode_feature in prod"
+        )
+    out[: min(len(vals), feature_dim)] = vals[:feature_dim]
+    return out
+
+
 FEATURE_SCHEMA = "path STRING, modality STRING, feature ARRAY<FLOAT>"
 
 
 def extract_features(
-    df: DataFrame, feature_dim: int = 8, decode_stub: bool = True
+    df: DataFrame, feature_dim: int = 8, mode: str = "histogram"
 ) -> DataFrame:
     """Decode + feature-extract per blob via mapInPandas.
 
-    With ``decode_stub`` the "decoder" is a deterministic byte-
-    histogram projection (stands in for a real image/audio model; the
-    batch shape, schema, and partitioning are what this operator
-    exercises). Without it, raises NotImplementedError — the container
-    has no codecs (PIL/ffmpeg); plug a real decoder there in prod.
+    Modes:
+    - "histogram": deterministic byte-histogram projection for every
+      blob (codec-free; what the oracle-checked q75 envelope uses).
+    - "auto": real pure-NumPy decode for supported formats (BMP, WAV),
+      byte-histogram fallback for the rest — the production shape when
+      some modalities lack a codec.
+    - "strict": real decode or NotImplementedError — surfaces exactly
+      which formats would need a codec library.
     """
+    if mode not in ("histogram", "auto", "strict"):
+        raise ValueError(f"unknown mode {mode!r}")
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
             feats = []
-            for c in pdf["content"]:
-                if not decode_stub:
-                    raise NotImplementedError(
-                        "no media codecs in this environment; supply a real "
-                        "decoder (PIL/torchaudio/ffmpeg) here"
-                    )
-                arr = np.frombuffer(bytes(c), dtype=np.uint8)
-                hist, _ = np.histogram(arr, bins=feature_dim, range=(0, 256))
-                denom = max(len(arr), 1)
-                feats.append((hist / denom).astype(np.float32))
+            for c, m in zip(pdf["content"], pdf["modality"]):
+                data = bytes(c)
+                if mode == "histogram":
+                    feats.append(_histogram_feature(data, feature_dim))
+                elif mode == "strict":
+                    feats.append(_decode_feature(data, m, feature_dim))
+                else:
+                    try:
+                        feats.append(_decode_feature(data, m, feature_dim))
+                    except (ValueError, NotImplementedError):
+                        feats.append(_histogram_feature(data, feature_dim))
             yield pd.DataFrame(
                 {
                     "path": pdf["path"],

@@ -66,6 +66,7 @@ from fcs_etl_reactor_spark.queries import text  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import vectors  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import events_windows  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import dedup_extra  # noqa: E402,F401
+from fcs_etl_reactor_spark.queries import media  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import skew  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import relational  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import joins  # noqa: E402,F401

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from fcs_etl_reactor_spark.io import load
 from fcs_etl_reactor_spark.operators.dedup import (
+    dedup_clusters,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_candidates,
@@ -127,6 +128,39 @@ def q58_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("in_bounds"),
         )
     )
+
+
+@query(
+    "q5b_dedup_clusters",
+    # the oracle closes the same ≥0.8-Jaccard pair graph with a
+    # recursive CTE: cluster_id = min reachable doc id
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      {_JACCARD_SQL.format(t=_NEARDUP_J)}
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM base
+      UNION
+      SELECT doc_b, doc_a FROM base
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS node,
+           LEAST(a, MIN(b)) AS cluster_id,
+           a <= MIN(b) AS is_canonical
+    FROM reach GROUP BY a
+    """,
+)
+def q5b_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: LSH candidates → exact Jaccard verify →
+    connected components → canonical-per-cluster keep/drop decision
+    (the step that turns pairwise similarity into an actual dedup)."""
+    d = load(spark, sf_dir, "documents")
+    cands = minhash_lsh_pairs(d, "doc_id", "text", n=3, num_perm=64, bands=16)
+    exact = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=_NEARDUP_J)
+    verified = cands.join(exact, ["doc_a", "doc_b"])
+    return dedup_clusters(verified)
 
 
 @query(

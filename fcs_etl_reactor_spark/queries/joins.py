@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fcs_etl_reactor_spark.functions.exact import dsum, o_dsum
-from fcs_etl_reactor_spark.io import load
+from fcs_etl_reactor_spark.io import load, table_bytes
 from fcs_etl_reactor_spark.queries import query
 
 # --------------------------------------------------------------------------
@@ -50,13 +50,15 @@ def q10_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Collapse the dimension side FIRST: orders ⋈ customer ⋈ nation ⋈
     # region reduces to a slim (o_orderkey → n_name) map, pre-filtered
     # by region — the fact table then probes ONE hash table instead of
-    # three stacked ones. Only the genuinely bounded frames carry a
+    # three stacked ones. The genuinely bounded frames always carry a
     # broadcast hint (nation ⋈ region: ≤ 25 rows at ANY scale); the
-    # collapsed map is |orders|-cardinality, so its join strategy is
-    # left to the planner — AQE broadcasts it when the runtime size is
-    # under the threshold and shuffles on o_orderkey otherwise, which
-    # is exactly the 100 TB-safe behavior (an explicit hint would not
-    # be size-gated and OOMs when orders outgrows executor memory).
+    # collapsed map is |orders|-cardinality, so its hint is SIZE-GATED
+    # on the orders table's actual bytes: small input → hint (the
+    # static planner broadcasts even with AQE off), big input → no
+    # hint, and AQE (enabled at that scale by tune_for_input) picks
+    # shuffle vs runtime-broadcast from real sizes. An unconditional
+    # hint here OOMs when orders outgrows executor memory — the
+    # round-1 scale-killer this replaces.
     dims = F.broadcast(
         n.join(r.filter(F.col("r_name").isin("ASIA", "EUROPE")),
                n.n_regionkey == r.r_regionkey)
@@ -66,6 +68,8 @@ def q10_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dims, c.c_nationkey == dims.n_nationkey)
         .select("o_orderkey", "n_name")
     )
+    if table_bytes(sf_dir, "orders") < 256 << 20:  # slim map ⇒ ≲ tens of MB
+        order_nation = F.broadcast(order_nation)
     return (
         l.join(order_nation, l.l_orderkey == order_nation.o_orderkey)
         .groupBy("n_name")

@@ -1,0 +1,87 @@
+"""Real media decode inside the driver harness (SURVEY.md §2.11 L6).
+
+q74 proves the decode→feature path with REAL codecs (the pure-NumPy
+BMP/WAV ones in operators/multimodal.py — the container has no
+PIL/ffmpeg): fixture rows are rendered into spec-conformant media
+blobs whose pixel/sample levels are arithmetic functions of the row
+key, the strict-mode extractor decodes them back, and the oracle
+recomputes the expected decoded statistics from the same arithmetic —
+so a hash match certifies actual pixel/sample-level decoding, not
+just plumbing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fcs_etl_reactor_spark.io import load
+from fcs_etl_reactor_spark.queries import query
+
+_BMP_W, _BMP_H = 16, 8
+_WAV_RATE, _WAV_N = 8000, 64
+
+
+def _render_blobs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from fcs_etl_reactor_spark.operators.multimodal import encode_bmp, encode_wav
+
+    for pdf in batches:
+        paths, blobs = [], []
+        for k in pdf["n_nationkey"]:
+            k = int(k)
+            if k % 2 == 0:
+                level = (k * 9 + 3) % 256
+                img = np.full((_BMP_H, _BMP_W), level, dtype=np.uint8)
+                blobs.append(encode_bmp(img))
+            else:
+                # k*500/32768 is an exactly-representable 16-bit PCM level
+                x = np.full((_WAV_N, 1), k * 500 / 32768.0)
+                blobs.append(encode_wav(_WAV_RATE, x))
+            paths.append(str(k))
+        yield pd.DataFrame({"path": paths, "content": blobs})
+
+
+@query(
+    "q74_media_decode",
+    # the oracle recomputes what the decoder must see: BMP mean/255 of
+    # a constant image, WAV RMS of a constant signal — quantized to
+    # float32 exactly as ARRAY<FLOAT> stores it
+    oracle=f"""
+    SELECT
+      n_nationkey,
+      CASE WHEN n_nationkey % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END
+        AS modality,
+      CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE 2 END AS kind,
+      ROUND(CAST(CAST(
+        CASE WHEN n_nationkey % 2 = 0
+             THEN ((n_nationkey * 9 + 3) % 256) / 255.0
+             ELSE n_nationkey * 500 / 32768.0
+        END AS FLOAT) AS DOUBLE), 6) AS level
+    FROM nation
+    """,
+)
+def q74_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.multimodal import (
+        extract_features,
+        sniff_media,
+    )
+
+    n = load(spark, sf_dir, "nation")
+    blobs = n.select("n_nationkey").mapInPandas(
+        _render_blobs, "path STRING, content BINARY"
+    )
+    feats = extract_features(sniff_media(blobs), feature_dim=8, mode="strict")
+    # feature[0] = kind (1=image, 2=audio); feature[4] = mean/255 (BMP)
+    # or RMS (WAV) — both the decoded per-pixel/per-sample level
+    return feats.select(
+        F.col("path").cast("bigint").alias("n_nationkey"),
+        "modality",
+        F.element_at("feature", 1).cast("int").alias("kind"),
+        F.round(F.element_at("feature", 5).cast("double"), 6).alias("level"),
+    )

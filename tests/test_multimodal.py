@@ -1,10 +1,18 @@
-"""Multimodal binary-column plumbing tests (SURVEY.md §2.11 L6):
-real binaryFile ingest + mapInPandas batch shape; decode stubbed
-(no codecs in this container)."""
+"""Multimodal binary-column tests (SURVEY.md §2.11 L6): real
+binaryFile ingest + mapInPandas batch shape, plus the pure-NumPy
+BMP/WAV decoders that prove the decode→feature path end-to-end with
+real pixel/sample data (no codec libraries in this container)."""
 
+import struct
+
+import numpy as np
 import pytest
 
 from fcs_etl_reactor_spark.operators.multimodal import (
+    decode_bmp,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
     extract_features,
     read_media,
     sniff_modality,
@@ -12,13 +20,43 @@ from fcs_etl_reactor_spark.operators.multimodal import (
 )
 
 
+def make_bmp(width: int, height: int, gray: bool = False) -> bytes:
+    """Deterministic gradient image through the package encoder."""
+    if gray:
+        img = np.fromfunction(
+            lambda y, x: (x * 7 + y * 13) % 256, (height, width)
+        ).astype(np.uint8)
+    else:
+        img = np.zeros((height, width, 3), np.uint8)
+        y, x = np.indices((height, width))
+        img[..., 0], img[..., 1], img[..., 2] = (
+            (x + y) % 256, (2 * x) % 256, (3 * y) % 256,
+        )
+    return encode_bmp(img)
+
+
+def make_wav(rate: int = 8000, n: int = 1024, channels: int = 1,
+             bits: int = 16) -> bytes:
+    """PCM WAV with a 440 Hz sine, with a junk chunk spliced before
+    data (chunk-walk coverage)."""
+    t = np.arange(n * channels) / rate
+    x = np.sin(2 * np.pi * 440.0 * t).reshape(n, channels)
+    data = encode_wav(rate, x, bits=bits)
+    # splice a JUNK chunk between fmt and data to exercise chunk walking
+    junk = b"JUNK" + struct.pack("<I", 4) + b"\x00" * 4
+    di = data.index(b"data")
+    spliced = data[:di] + junk + data[di:]
+    return b"RIFF" + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+
+
 @pytest.fixture(scope="module")
 def media_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("media")
     (d / "a.png").write_bytes(b"\x89PNG\r\n\x1a\n" + bytes(range(64)))
     (d / "b.jpg").write_bytes(b"\xff\xd8\xff\xe0" + bytes(200))
-    (d / "c.wav").write_bytes(b"RIFF....WAVE" + bytes(32))
+    (d / "c.wav").write_bytes(make_wav())
     (d / "d.bin").write_bytes(bytes([7] * 100))
+    (d / "e.bmp").write_bytes(make_bmp(13, 7))
     return str(d)
 
 
@@ -26,8 +64,74 @@ def test_sniff_modality():
     assert sniff_modality(b"\x89PNGxxxx") == "image/png"
     assert sniff_modality(b"\xff\xd8\xff\xe0") == "image/jpeg"
     assert sniff_modality(b"RIFF....") == "audio/wav"
+    assert sniff_modality(b"BM\x00\x00") == "image/bmp"
     assert sniff_modality(b"FCS3.1  ") == "cytometry/fcs"
     assert sniff_modality(b"zzzz") == "application/octet-stream"
+
+
+# ---- codecs, no Spark --------------------------------------------------
+
+
+def test_bmp_roundtrip_property():
+    rng = np.random.default_rng(7)
+    for shape in [(1, 1), (5, 3), (7, 13, 3), (16, 16), (2, 9, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        out = decode_bmp(encode_bmp(img))
+        np.testing.assert_array_equal(out, img)
+
+
+def test_wav_roundtrip_property():
+    rng = np.random.default_rng(11)
+    for channels in (1, 2):
+        # exactly-representable 16-bit levels → lossless roundtrip
+        q = rng.integers(-32768, 32768, size=(300, channels))
+        x = q / 32768.0
+        rate, back = decode_wav(encode_wav(44100, x))
+        assert rate == 44100
+        np.testing.assert_allclose(back, x, atol=0)
+
+
+def test_decode_bmp_rgb_roundtrip():
+    img = decode_bmp(make_bmp(13, 7))
+    assert img.shape == (7, 13, 3)
+    # row 0 (top), pixel x: BGR = ((x+0)%256, 2x%256, 0)
+    assert img[0, 5, 0] == 5 and img[0, 5, 1] == 10 and img[0, 5, 2] == 0
+    # bottom row y=6: blue = (x+6)%256
+    assert img[6, 2, 0] == 8
+
+
+def test_decode_bmp_gray_roundtrip():
+    img = decode_bmp(make_bmp(10, 4, gray=True))
+    assert img.shape == (4, 10)
+    assert img[2, 3] == (3 * 7 + 2 * 13) % 256
+
+
+def test_decode_bmp_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_bmp(b"BM" + bytes(20))
+    with pytest.raises(ValueError):
+        decode_bmp(b"\x89PNG")
+
+
+def test_decode_wav_16bit():
+    rate, samples = decode_wav(make_wav(rate=8000, n=1024))
+    assert rate == 8000 and samples.shape == (1024, 1)
+    # 440 Hz sine RMS ≈ 1/sqrt(2)
+    assert np.sqrt((samples**2).mean()) == pytest.approx(0.707, abs=0.01)
+
+
+def test_decode_wav_8bit_stereo():
+    rate, samples = decode_wav(make_wav(rate=4000, n=256, channels=2, bits=8))
+    assert rate == 4000 and samples.shape == (256, 2)
+    assert np.abs(samples).max() <= 1.0
+
+
+def test_decode_wav_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF....WAVE" + bytes(32))  # no fmt/data chunks
+
+
+# ---- Spark plumbing ----------------------------------------------------
 
 
 def test_read_media(spark, media_dir):
@@ -36,12 +140,13 @@ def test_read_media(spark, media_dir):
     assert rows["a.png"]["modality"] == "image/png"
     assert rows["b.jpg"]["modality"] == "image/jpeg"
     assert rows["c.wav"]["modality"] == "audio/wav"
+    assert rows["e.bmp"]["modality"] == "image/bmp"
     assert rows["d.bin"]["modality"] == "application/octet-stream"
     assert rows["a.png"]["n_bytes"] == 72
     assert bytes(rows["d.bin"]["content"]) == bytes([7] * 100)
 
 
-def test_extract_features_stub(spark, media_dir):
+def test_extract_features_histogram(spark, media_dir):
     feats = extract_features(read_media(spark, media_dir), feature_dim=8)
     rows = {r["path"].split("/")[-1]: r["feature"] for r in feats.collect()}
     assert all(len(v) == 8 for v in rows.values())
@@ -50,18 +155,34 @@ def test_extract_features_stub(spark, media_dir):
     assert sum(rows["d.bin"]) == pytest.approx(1.0)
 
 
-def test_extract_features_unstubbed_raises(spark, media_dir):
-    with pytest.raises(Exception, match="NotImplementedError|no media codecs"):
-        extract_features(read_media(spark, media_dir), decode_stub=False).collect()
+def test_extract_features_auto_decodes_real_formats(spark, media_dir):
+    feats = extract_features(read_media(spark, media_dir), mode="auto")
+    rows = {r["path"].split("/")[-1]: r["feature"] for r in feats.collect()}
+    # e.bmp really decoded: [1, W, H, channels, mean, std, row-energy, 0]
+    assert rows["e.bmp"][0] == 1.0
+    assert rows["e.bmp"][1] == 13.0 and rows["e.bmp"][2] == 7.0
+    assert rows["e.bmp"][3] == 3.0
+    # c.wav really decoded: [2, rate/1e5, log10(n), ch, rms≈0.707, ...]
+    assert rows["c.wav"][0] == 2.0
+    assert rows["c.wav"][1] == pytest.approx(0.08)
+    assert rows["c.wav"][4] == pytest.approx(0.707, abs=0.01)
+    # png has no pure-NumPy decoder -> histogram fallback sums to 1
+    assert sum(rows["a.png"]) == pytest.approx(1.0)
+
+
+def test_extract_features_strict_raises_for_unsupported(spark, media_dir):
+    with pytest.raises(Exception, match="NotImplementedError|no pure-NumPy"):
+        extract_features(read_media(spark, media_dir), mode="strict").collect()
 
 
 def test_partitioned_write(spark, media_dir, tmp_path):
     out = str(tmp_path / "lake")
     write_partitioned_by_modality(read_media(spark, media_dir), out)
     back = spark.read.parquet(out)
-    assert back.count() == 4
+    assert back.count() == 5
     assert set(back.select("modality").distinct().toPandas()["modality"]) == {
-        "image/png", "image/jpeg", "audio/wav", "application/octet-stream",
+        "image/png", "image/jpeg", "image/bmp", "audio/wav",
+        "application/octet-stream",
     }
     # partition pruning: reading one modality touches one directory
     pruned = spark.read.parquet(out).filter("modality = 'image/png'")

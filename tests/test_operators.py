@@ -115,6 +115,32 @@ class TestDedup:
         assert (1, 2) in pairs  # near-dup caught by some band
         assert not any(4 in p for p in pairs)
 
+    def test_dedup_clusters_connected_components(self, spark):
+        from fcs_etl_reactor_spark.operators.dedup import dedup_clusters
+
+        # chain 1-2-3 (diameter 2), pair 10-11, pair 20-21 + 21-22 + 20-22
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+            "doc_a BIGINT, doc_b BIGINT",
+        )
+        out = {r["node"]: (r["cluster_id"], r["is_canonical"])
+               for r in dedup_clusters(pairs).collect()}
+        assert out == {
+            1: (1, True), 2: (1, False), 3: (1, False),
+            10: (10, True), 11: (10, False),
+            20: (20, True), 21: (20, False), 22: (20, False),
+        }
+
+    def test_dedup_clusters_long_chain_converges(self, spark):
+        from fcs_etl_reactor_spark.operators.dedup import dedup_clusters
+
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 8)], "doc_a BIGINT, doc_b BIGINT"
+        )
+        out = dedup_clusters(chain).collect()
+        assert all(r["cluster_id"] == 1 for r in out)
+        assert sum(r["is_canonical"] for r in out) == 1
+
     def test_simhash_hamming(self, spark):
         fp = {r["doc_id"]: r["simhash"] for r in simhash(self._docs(spark), "doc_id", "text").collect()}
         assert fp[1] == fp[3]

@@ -53,14 +53,20 @@ def test_star_join_broadcasts_dims(spark):
     assert "InMemoryRelation" not in s and "InMemoryTableScan" not in s
 
 
-def test_star_join_hints_only_bounded_dims(spark):
-    # exactly ONE explicit broadcast hint (nation ⋈ region, ≤25 rows at
-    # any scale); the |orders|-sized collapsed map must carry NO hint —
-    # an un-size-gated hint there OOMs at 100× (round-1 verdict). The
-    # planner/AQE picks its strategy from runtime statistics instead.
+def test_star_join_hint_is_size_gated(spark):
+    # the bounded dims (nation ⋈ region) always carry a broadcast hint;
+    # the |orders|-sized collapsed map's hint is size-gated — present at
+    # fixture scale (orders ≪ 256 MB), absent when the table is big, so
+    # the hint can never OOM at 100× (round-1 verdict). table_bytes
+    # reports unknown sizes as huge: the gate fails toward NOT
+    # broadcasting.
+    from fcs_etl_reactor_spark.io import table_bytes
+
     df = QUERIES["q10_star_join_revenue"](spark, SF_SMALL)
     analyzed = df._jdf.queryExecution().analyzed().toString()
-    assert analyzed.count("ResolvedHint") == 1, analyzed
+    assert analyzed.count("ResolvedHint") == 2, analyzed
+    assert table_bytes(SF_SMALL, "orders") < 256 << 20
+    assert table_bytes("/nonexistent", "orders") >= 1 << 60
 
 
 def test_topk_plans_take_ordered(spark):
