@@ -1,8 +1,14 @@
 """Public query registry — the driver-facing capability surface.
 
-Every operator in SURVEY.md §2 marked "Oracle: yes" registers here as a
-(Spark callable, DuckDB SQL) pair via @query; non-SQL-expressible ops
-register with oracle=None and get the driver's rows-only check.
+Every operator in SURVEY.md §2 registers here as a (Spark callable,
+DuckDB SQL) pair via @query. EVERY entry carries an oracle: operators
+with no verbatim SQL replay (approx sketches, seeded LSH, sampling,
+streaming) register as oracle-checkable envelopes — the query runs the
+full operator and emits results SQL can recompute exactly (exact
+values + tolerance/recall booleans, Jaccard-verified candidate sets,
+batch-equivalent SQL for availableNow/complete streams). A query
+without an oracle would score as err "no_oracle" at the driver;
+tests/test_registry_contract.py enforces the invariant.
 
 Import side effects populate QUERIES/ORACLE; __spark_entry__.py simply
 re-exports them.
@@ -67,6 +73,7 @@ from fcs_etl_reactor_spark.queries import vectors  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import events_windows  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import dedup_extra  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import media  # noqa: E402,F401
+from fcs_etl_reactor_spark.queries import pipeline  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import skew  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import relational  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import joins  # noqa: E402,F401

@@ -38,8 +38,21 @@ PROBE_QUERIES = [  # all run on the replicated tables
     "q55_exact_dedup",
     "q81_tfidf",
     "q91_cosine_topk",   # exact ANN baseline: O(|Q|·|C|) — QUADRATIC by design
-    "q92_lsh_topk",      # the scale path: same task, bucketed candidates
+    "lsh_topk_auto",     # the scale path: same task, bucketed candidates.
+    # NOTE: probed as the RAW OPERATOR, not registry q92 — since round 2
+    # the q92 registry entry is an oracle envelope that also computes the
+    # exact verifier (deliberately quadratic); the operator alone is what
+    # runs at scale.
 ]
+
+
+def _lsh_topk_auto_probe(spark, sf_dir):
+    from fcs_etl_reactor_spark.operators.similarity import lsh_topk_auto
+
+    e = load(spark, sf_dir, "embeddings")
+    return lsh_topk_auto(
+        e.filter(F.col("label") == 0), e.filter(F.col("label") == 1), k=5
+    )
 #: tables replicated with key offsets (fact side); the rest copy as-is
 REPLICATED = {
     "lineitem": ("l_orderkey", 10_000_000),
@@ -74,7 +87,7 @@ def build_scaled_dir(spark, base: str, dest: str) -> str:
 
 
 def time_query(spark, name: str, sf_dir: str, runs: int = 3) -> float:
-    fn = QUERIES[name]
+    fn = QUERIES.get(name, _lsh_topk_auto_probe if name == "lsh_topk_auto" else None)
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     samples = []
     for _ in range(runs):

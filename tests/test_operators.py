@@ -141,6 +141,34 @@ class TestDedup:
         assert all(r["cluster_id"] == 1 for r in out)
         assert sum(r["is_canonical"] for r in out) == 1
 
+    def test_dedup_clusters_matches_union_find(self, spark):
+        import random
+
+        from fcs_etl_reactor_spark.operators.dedup import dedup_clusters
+
+        rng = random.Random(1234)
+        nodes = list(range(1, 40))
+        edges = [tuple(rng.sample(nodes, 2)) for _ in range(30)]
+
+        # independent reference: classic union-find
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        touched = {n for e in edges for n in e}
+        expected = {n: min(m for m in touched if find(m) == find(n)) for n in touched}
+
+        pairs = spark.createDataFrame(edges, "doc_a BIGINT, doc_b BIGINT")
+        got = {r["node"]: r["cluster_id"]
+               for r in dedup_clusters(pairs, max_iter=40).collect()}
+        assert got == expected
+
     def test_simhash_hamming(self, spark):
         fp = {r["doc_id"]: r["simhash"] for r in simhash(self._docs(spark), "doc_id", "text").collect()}
         assert fp[1] == fp[3]

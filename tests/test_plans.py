@@ -123,6 +123,15 @@ def test_correlated_subquery_is_decorrelated(spark):
     assert "InSubqueryExec" not in s
 
 
+def test_neardup_pipeline_never_cartesian(spark):
+    # candidate generation must stay an equality join (band buckets /
+    # shared shingles) — an O(n²) cross product anywhere in the LSH,
+    # SimHash, or clustering plans is a 100 TB failure
+    for name in ("q56_minhash_lsh", "q57_simhash_candidates", "q5b_dedup_clusters"):
+        s = plan_of(spark, name)
+        assert "CartesianProduct" not in s, name
+
+
 def test_salted_join_spreads_key(spark):
     s = plan_of(spark, "q35_salted_join")
     # the join key must include the salt column so hot keys spread
