@@ -90,15 +90,18 @@ _SHUFFLE_SEED = "epoch-0"
     """,
 )
 def q6b_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.ordering import global_rank
+
     d = load(spark, sf_dir, "documents")
     h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_SHUFFLE_SEED)))
-    # single global window = single-reducer rank; fine for a result the
-    # trainer consumes in order. The 100 TB form writes range-partitioned
-    # sorted output (repartitionByRange(h).sortWithinPartitions) and
-    # derives the global offset from partition boundaries instead of
-    # materializing one total order through one task.
-    w = Window.orderBy(h, "doc_id")
-    return d.select("doc_id", F.row_number().over(w).alias("train_order"))
+    # DISTRIBUTED total order (operators/ordering.global_rank): range
+    # partition + per-partition offsets, never a single-reducer global
+    # window — so the driver's hash check verifies the scale-path
+    # implementation itself against the window-based SQL oracle.
+    ranked = global_rank(
+        d.select("doc_id", h.alias("_h")), ["_h", "doc_id"], rank_col="train_order"
+    )
+    return ranked.select("doc_id", "train_order")
 
 
 # --------------------------------------------------------------------------
@@ -109,6 +112,116 @@ def q6b_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact bin packing is NP-hard and needs no more fidelity here).
 # Expressed as a running-sum window — one shuffle, no Python.
 # --------------------------------------------------------------------------
+
+# --------------------------------------------------------------------------
+# q6e — the END-TO-END corpus-cleaning plan (plans/corpus_pipeline.py):
+# quality gate → near-dup dedup (LSH → Jaccard → connected components →
+# keep canonical) → md5 split, composed lazily so Catalyst optimizes
+# across stage boundaries. The oracle replays every stage in SQL —
+# quality rule, shingle-Jaccard pair set over the SAME filtered
+# corpus, recursive-CTE clustering, md5 bucketing.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q6e_clean_corpus",
+    oracle="""
+    WITH RECURSIVE q AS (
+      SELECT doc_id, lang, text,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+      FROM documents
+      WHERE LEN(STRING_SPLIT(text, ' ')) BETWEEN 20 AND 1000
+        AND CAST(n_chars AS DOUBLE) / LEN(STRING_SPLIT(text, ' ')) BETWEEN 3 AND 12
+    ), toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM q
+    ), sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM (SELECT doc_id, w, UNNEST(RANGE(1, GREATEST(LEN(w) - 2, 0) + 1)) AS i
+            FROM toks)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), neardup AS (
+      SELECT doc_a, doc_b FROM pairs
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM neardup
+      UNION SELECT doc_b, doc_a FROM neardup
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), losers AS (
+      SELECT a AS doc_id FROM reach GROUP BY a HAVING MIN(b) < a
+    )
+    SELECT q.doc_id, q.lang, CAST(q.n_tokens AS BIGINT) AS n_tokens,
+           CASE WHEN CAST(('0x' || SUBSTR(MD5(CAST(q.doc_id AS VARCHAR) || 'split-v1'), 1, 8))
+                     AS BIGINT) % 100 < 80 THEN 'train'
+                WHEN CAST(('0x' || SUBSTR(MD5(CAST(q.doc_id AS VARCHAR) || 'split-v1'), 1, 8))
+                     AS BIGINT) % 100 < 90 THEN 'val' ELSE 'test' END AS split
+    FROM q
+    LEFT JOIN losers USING (doc_id)
+    WHERE losers.doc_id IS NULL
+    """,
+)
+def q6e_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.plans.corpus_pipeline import clean_corpus
+
+    return clean_corpus(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# q6d — decontamination: flag training docs sharing any word 8-gram
+# with a benchmark/eval set (here: doc_id % 10 == 0 stands in for the
+# held-out benchmark). The canonical eval-leakage check: benchmark
+# shingles are a broadcast-sized set (benchmarks are small by nature),
+# so the probe is a broadcast semi-join over the corpus — one scan, no
+# shuffle of the training side at any scale.
+# --------------------------------------------------------------------------
+
+_DECONTAM_N = 8
+
+
+@query(
+    "q6d_decontamination",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             ARRAY_TO_STRING(w[i:i+{_DECONTAM_N - 1}], ' ') AS shingle
+      FROM (SELECT doc_id, w,
+                   UNNEST(RANGE(1, GREATEST(LEN(w) - {_DECONTAM_N - 1}, 0) + 1)) AS i
+            FROM toks)
+    ), bench AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0
+    )
+    SELECT s.doc_id, COUNT(*) AS n_leaked_ngrams
+    FROM sh s JOIN bench b ON s.shingle = b.shingle
+    WHERE s.doc_id % 10 != 0
+    GROUP BY s.doc_id
+    """,
+)
+def q6d_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.dedup import shingles
+
+    d = load(spark, sf_dir, "documents")
+    sh = shingles(d, "doc_id", "text", n=_DECONTAM_N)
+    bench = (
+        sh.filter(F.col("doc_id") % 10 == 0).select("shingle").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % 10 != 0)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_leaked_ngrams"))
+    )
+
 
 _CTX_TOKENS = 4096
 

@@ -180,6 +180,37 @@ class TestDedup:
         assert (1, 3) in cands
 
 
+class TestGlobalRank:
+    def test_matches_window_rank(self, spark):
+        from pyspark.sql import Window
+
+        from fcs_etl_reactor_spark.operators.ordering import global_rank
+
+        df = spark.range(0, 997).select(
+            F.col("id"), F.md5(F.col("id").cast("string")).alias("h")
+        )
+        got = {
+            r["id"]: r["rank"]
+            for r in global_rank(df, ["h", "id"], num_partitions=7).collect()
+        }
+        want = {
+            r["id"]: r["rn"]
+            for r in df.select(
+                "id", F.row_number().over(Window.orderBy("h", "id")).alias("rn")
+            ).collect()
+        }
+        assert got == want
+
+    def test_gap_free_and_complete(self, spark):
+        from fcs_etl_reactor_spark.operators.ordering import global_rank
+
+        df = spark.range(0, 100).select(F.col("id"))
+        ranks = sorted(
+            r["rank"] for r in global_rank(df, ["id"], num_partitions=5).collect()
+        )
+        assert ranks == list(range(1, 101))
+
+
 class TestSimilarity:
     def _vecs(self, spark):
         rows = [
