@@ -382,6 +382,45 @@ def ivf_assign(
     return ranked.filter(F.col("crn") <= n_probe).drop("csim", "crn")
 
 
+def ivf_params_for(
+    n_corpus: int,
+    target_cluster: int = 32,
+    probe_frac: float = 0.30,
+    max_centroids: int = 4096,
+) -> tuple[int, int]:
+    """Derive (n_centroids, n_probe) from corpus size — same principle
+    as lsh_params_for: partition count tracks the data. Centroids ≈
+    n/target_cluster keeps the per-cluster candidate list near
+    ``target_cluster`` rows at any corpus size (the classic IVF sizing
+    ≈ sqrt(n) emerges when target_cluster ≈ sqrt(n); a fixed divisor
+    is the right knob here because the verify cost per query is
+    n_probe·target_cluster); probing a fixed FRACTION of clusters
+    holds recall roughly constant as the corpus grows, with candidate
+    volume probe_frac·|corpus| — tunable, never |Q|·|C|."""
+    import math
+
+    n_centroids = max(4, min(max_centroids, round(max(n_corpus, 4) / target_cluster)))
+    n_probe = max(1, math.ceil(n_centroids * probe_frac))
+    return n_centroids, n_probe
+
+
+def ivf_topk_auto(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """ivf_topk with (n_centroids, n_probe) derived from the corpus
+    size via ivf_params_for — the corpus count() here is a cheap
+    column-pruned scan, the analogue of catalog row stats."""
+    n_centroids, n_probe = ivf_params_for(corpus.count())
+    return ivf_topk(
+        queries, corpus, id_col=id_col, vec_col=vec_col, k=k,
+        n_centroids=n_centroids, n_probe=n_probe,
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

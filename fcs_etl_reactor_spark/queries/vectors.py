@@ -246,18 +246,22 @@ def q88_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q89 — IVF approximate top-k (L3 scale path): coarse-quantize the
-# corpus (1 Lloyd step from deterministic seeds), probe the 4 nearest
-# of 16 clusters per query. Same recall-envelope oracle as q92
-# (deterministic seeds → stable recall; floor below the measured
-# value, above chance).
+# corpus (1 Lloyd step from deterministic seeds), probe the nearest
+# clusters per query. (n_centroids, n_probe) are DERIVED from the
+# corpus size (ivf_params_for — same knobs-follow-data principle as
+# lsh_params_for), so cluster granularity tracks the corpus. Same
+# recall-envelope oracle as q92 (deterministic seeds → stable recall;
+# floor below the measured value, above chance).
 # --------------------------------------------------------------------------
 
 
 @query("q89_ivf_topk", oracle=_RECALL_ORACLE)
 def q89_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.similarity import ivf_topk_auto
+
     e = load(spark, sf_dir, "embeddings")
     q, c = e.filter(F.col("label") == 0), e.filter(F.col("label") == 1)
-    ann = ivf_topk(q, c, k=_TOPK, n_centroids=16, n_probe=4)
+    ann = ivf_topk_auto(q, c, k=_TOPK)
     exact = cosine_topk_vectorized(q, c, id_col="vec_id", vec_col="embedding", k=_TOPK)
     return _recall_envelope(ann, exact, floor=0.4)  # measured ~0.5-0.6
 

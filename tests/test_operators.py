@@ -180,6 +180,22 @@ class TestDedup:
         assert (1, 3) in cands
 
 
+class TestIvfParams:
+    def test_params_track_corpus_size(self):
+        from fcs_etl_reactor_spark.operators.similarity import ivf_params_for
+
+        # centroid count grows with the corpus, capped; probe is a
+        # fixed fraction of centroids (recall roughly scale-invariant)
+        n_small, p_small = ivf_params_for(100)
+        n_mid, p_mid = ivf_params_for(100_000)
+        n_big, p_big = ivf_params_for(10**9)
+        assert n_small < n_mid <= n_big <= 4096
+        assert 1 <= p_small <= n_small and p_mid <= n_mid and p_big <= n_big
+        # candidate volume per query stays ~probe_frac of the corpus,
+        # never the whole corpus
+        assert p_mid / n_mid <= 0.5
+
+
 class TestGlobalRank:
     def test_matches_window_rank(self, spark):
         from pyspark.sql import Window
