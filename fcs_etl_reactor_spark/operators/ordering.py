@@ -70,3 +70,56 @@ def global_rank(
             yield out
 
     return with_pid.mapInPandas(_assign, out_schema)
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_by: list[Column | str],
+    value_col: str,
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+    exclusive: bool = False,
+) -> DataFrame:
+    """Append the running total of integer ``value_col`` over the
+    global ``order_by`` order — the distributed prefix sum (same
+    two-pass shape as :func:`global_rank`; a `SUM() OVER (ORDER BY
+    ...)` with no PARTITION BY funnels every row through one reducer).
+
+    pass 1: per-partition value sums → prefix offsets on the driver
+    (≤ #partitions integers); pass 2: Arrow per-partition cumsum +
+    offset. ``exclusive=True`` yields the sum of STRICTLY PRECEDING
+    rows (the ROWS UNBOUNDED PRECEDING AND 1 PRECEDING frame used by
+    greedy packing). Values must be integral — exact at any partition
+    count; float prefix sums would be order-of-association dependent.
+    """
+    n_parts = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    ordered = df.repartitionByRange(int(n_parts), *cols).sortWithinPartitions(*cols)
+
+    with_pid = ordered.withColumn("_pid", F.spark_partition_id())
+    sums = dict(
+        with_pid.groupBy("_pid").agg(F.sum(value_col)).collect()
+    )
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += int(sums[pid] or 0)
+
+    out_schema = with_pid.drop("_pid").schema.add(out_col, "long", False)
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        running = None  # per-task state across batches of one partition
+        for pdf in batches:
+            pid = int(pdf["_pid"].iloc[0])
+            if running is None:
+                running = offsets[pid]
+            v = pdf[value_col].fillna(0).astype("int64")
+            cs = v.cumsum() + running
+            running = int(cs.iloc[-1]) if len(cs) else running
+            out = pdf.drop(columns=["_pid"])
+            out[out_col] = (cs - v) if exclusive else cs
+            yield out
+
+    return with_pid.mapInPandas(_assign, out_schema)

@@ -248,13 +248,18 @@ _CTX_TOKENS = 4096
     """,
 )
 def q6c_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.ordering import global_cumsum
+
     d = load(spark, sf_dir, "documents")
     t = d.select(
         "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    c = t.withColumn(
-        "tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    # DISTRIBUTED prefix sum (operators/ordering.global_cumsum): a
+    # `SUM() OVER (ORDER BY doc_id)` with no PARTITION BY moves the
+    # whole corpus through one reducer — the driver's hash check here
+    # verifies the two-pass scale path against the window-SQL oracle.
+    c = global_cumsum(
+        t, ["doc_id"], "n_tokens", out_col="tokens_before", exclusive=True
     )
     return (
         c.groupBy(
@@ -264,4 +269,127 @@ def q6c_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("chunk_tokens"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# q6f — temperature-scaled domain mixing: re-weight an imbalanced
+# corpus so head domains shrink and tail domains keep coverage.
+# Target share q_i ∝ p_i^τ with τ = 0.5 — computed as SQRT, which is
+# correctly-rounded IEEE in every engine (POWER(x, 0.5) is not
+# guaranteed bit-identical across libm implementations, and the
+# oracle hash-compares). Per-domain keep rate r_i = min(1,
+# q_i·S/n_i) for a target sample of S = N/2 rows; the per-row keep
+# decision is the same md5 fraction as q6a — deterministic,
+# shard-stable, no RNG state.
+#
+# Scale shape: domain stats are a tiny aggregate (|domains| rows) —
+# broadcast back onto the corpus; the keep decision is a per-row
+# expression. One corpus scan for stats, one for selection, no
+# corpus-sized shuffle. A rate boundary hit would need the md5
+# fraction to land within ~1 ulp of r_i (p ≈ 2^-32 per domain), so
+# the float-sum order across |domains| terms cannot flip the hash.
+# --------------------------------------------------------------------------
+
+_MIX_SALT = "mix-v1"
+_MIX_TARGET_FRAC = 0.5  # S = N * this
+
+
+@query(
+    "q6f_domain_mixture",
+    oracle=f"""
+    WITH stats AS (
+      SELECT lang, COUNT(*) AS n_i FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT SUM(n_i) AS n, SUM(SQRT(CAST(n_i AS DOUBLE))) AS z FROM stats
+    ), rates AS (
+      SELECT s.lang, s.n_i,
+             LEAST(1.0,
+               (SQRT(CAST(s.n_i AS DOUBLE)) / t.z)
+               * (CAST(t.n AS DOUBLE) * {_MIX_TARGET_FRAC}) / s.n_i) AS r
+      FROM stats s CROSS JOIN tot t
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (
+             WHERE CAST(('0x' || SUBSTR(MD5(CAST(d.doc_id AS VARCHAR) || '{_MIX_SALT}'), 1, 8))
+                        AS BIGINT) / 4294967296.0 < r.r
+           ) AS n_sampled
+    FROM documents d JOIN rates r USING (lang)
+    GROUP BY d.lang
+    """,
+)
+def q6f_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    stats = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_i"))
+    tot = stats.agg(
+        F.sum("n_i").alias("n"),
+        F.sum(F.sqrt(F.col("n_i").cast("double"))).alias("z"),
+    )
+    rates = stats.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.lit(1.0),
+            (F.sqrt(F.col("n_i").cast("double")) / F.col("z"))
+            * (F.col("n").cast("double") * F.lit(_MIX_TARGET_FRAC))
+            / F.col("n_i"),
+        ).alias("r"),
+    )
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_MIX_SALT))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(frac < F.col("r"), 1)).alias("n_sampled"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q6g — exact stratified sampling: a FIXED k rows per stratum (not a
+# Bernoulli rate), selection = lowest-k md5(id||salt) within the
+# stratum. Hash-rank sampling is the 100 TB version of "ORDER BY
+# random() LIMIT k per group": deterministic, re-runnable, and
+# incremental (a new shard can only displace rows whose hash is
+# higher). One shuffle on the stratum key; per-stratum heaps would
+# replace the sort if strata were pathologically hot (same escape as
+# q44_topk_per_group).
+# --------------------------------------------------------------------------
+
+_STRAT_SALT = "strat-v1"
+_STRAT_K = 10
+
+
+@query(
+    "q6g_stratified_sample",
+    oracle=f"""
+    SELECT source, doc_id, smp_rank FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY MD5(CAST(doc_id AS VARCHAR) || '{_STRAT_SALT}'), doc_id
+             ) AS smp_rank
+      FROM documents
+    ) WHERE smp_rank <= {_STRAT_K}
+    """,
+)
+def q6g_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_STRAT_SALT)))
+    w = Window.partitionBy("source").orderBy(F.col("_h"), F.col("doc_id"))
+    return (
+        d.select("source", "doc_id", h.alias("_h"))
+        .withColumn("smp_rank", F.row_number().over(w))
+        .filter(F.col("smp_rank") <= _STRAT_K)
+        .select("source", "doc_id", "smp_rank")
     )

@@ -424,3 +424,66 @@ class TestMultiTableLsh:
         }
         recall = len(exact & multi) / len(exact)
         assert recall > 0.7  # measured 0.88; floor guards regressions
+
+
+class TestGlobalCumsum:
+    def test_matches_window_cumsum(self, spark):
+        from pyspark.sql import Window
+
+        from fcs_etl_reactor_spark.operators.ordering import global_cumsum
+
+        df = spark.range(0, 997).select(
+            F.col("id"), (F.col("id") % 37 + 1).alias("v")
+        )
+        for exclusive in (False, True):
+            got = {
+                r["id"]: r["cs"]
+                for r in global_cumsum(
+                    df, ["id"], "v", out_col="cs",
+                    num_partitions=7, exclusive=exclusive,
+                ).collect()
+            }
+            frame = (-(2 ** 63), -1) if exclusive else (-(2 ** 63), 0)
+            w = Window.orderBy("id").rowsBetween(*frame)
+            want = {
+                r["id"]: r["cs"]
+                for r in df.select(
+                    "id",
+                    F.coalesce(F.sum("v").over(w), F.lit(0)).alias("cs"),
+                ).collect()
+            }
+            assert got == want
+
+
+class TestBloom:
+    def test_no_false_negatives_and_exact_semi_join(self, spark):
+        from fcs_etl_reactor_spark.operators.bloom import (
+            bloom_prune,
+            bloom_semi_join,
+        )
+
+        probe = spark.range(0, 5000).select(
+            F.concat(F.lit("k"), F.col("id")).alias("k"), F.col("id").alias("v")
+        )
+        build = spark.range(0, 5000, 3).select(
+            F.concat(F.lit("k"), F.col("id")).alias("k")
+        )
+        n_bits = 5000 * 10 // 3
+
+        exact = {r["v"] for r in probe.join(build, "k", "left_semi").collect()}
+        pruned = {r["v"] for r in bloom_prune(probe, build, "k", n_bits).collect()}
+        assert exact <= pruned  # zero false negatives
+        # ~1% FPR at 10 bits/key: the pruned superset stays close
+        assert len(pruned) - len(exact) < 0.05 * len(exact)
+
+        got = {r["v"] for r in bloom_semi_join(probe, build, "k", n_bits).collect()}
+        assert got == exact  # residual join removes false positives
+
+    def test_might_contain_expression_only(self, spark):
+        # the probe path must stay UDF-free (whole-stage codegen)
+        from fcs_etl_reactor_spark.operators.bloom import bloom_prune
+
+        probe = spark.range(0, 100).select(F.col("id").alias("k"))
+        build = spark.range(0, 50).select(F.col("id").alias("k"))
+        plan = bloom_prune(probe, build, "k", 1000)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
