@@ -325,3 +325,38 @@ def q9_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# q18 — Bloom-pruned semi-join (J4 scale path, operators/bloom.py):
+# the explicit form of a runtime row filter. The build side's key
+# bitset (10 bits/key — far smaller than a broadcast key dictionary
+# when keys are wide) prunes the probe BEFORE its shuffle; the
+# residual exact semi-join removes false positives, so the result —
+# and the oracle — is exactly the plain semi-join.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q18_bloom_semi_join",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
+    """,
+)
+def q18_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.bloom import bloom_semi_join
+
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_partkey").alias("p_partkey")
+    )
+    small = load(spark, sf_dir, "part").filter(F.col("p_size") <= 5).select("p_partkey")
+    # size the bitset from the build side: a count() of the SMALL side
+    # only (bounded by assumption — the same bounded-driver-job pattern
+    # as the similarity query batches)
+    n_keys = small.count()
+    pruned = bloom_semi_join(l, small, "p_partkey", n_bits=max(1024, 10 * n_keys))
+    return pruned.select(
+        "l_orderkey", "l_linenumber", F.col("p_partkey").alias("l_partkey")
+    )

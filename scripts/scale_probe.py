@@ -43,6 +43,9 @@ PROBE_QUERIES = [  # all run on the replicated tables
     # the q92 registry entry is an oracle envelope that also computes the
     # exact verifier (deliberately quadratic); the operator alone is what
     # runs at scale.
+    "q6c_context_packing",   # distributed prefix sum (global_cumsum)
+    "q6f_domain_mixture",    # broadcast-stats temperature sampling
+    "q18_bloom_semi_join",   # bloom-pruned semi-join
 ]
 
 
