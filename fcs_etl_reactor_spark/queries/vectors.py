@@ -320,3 +320,65 @@ def q94_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_min(emb).cast("double"), 6).alias("vmin"),
         F.array_contains(emb, F.element_at(emb, 1)).cast("int").alias("has_first"),
     )
+
+
+# --------------------------------------------------------------------------
+# q8b — int8-quantized cosine top-k (L3 compressed-domain scale path):
+# symmetric per-vector scalar quantization (the first compression rung
+# of a billion-vector ANN stack: 4× smaller, integer dot products),
+# then top-k by quantized cosine. Unlike float ANN, the round-half-up
+# quantization rule and integer arithmetic are engine-exact, so the
+# oracle replays the ENTIRE pipeline — codes, dots, ranking — and the
+# result hash-matches bit-for-bit (no recall envelope needed).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q8b_quantized_topk",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id, label, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+             GENERATE_SUBSCRIPTS(embedding, 1) AS i
+      FROM embeddings
+    ), mx AS (
+      SELECT vec_id, MAX(ABS(v)) AS m FROM x GROUP BY vec_id
+    ), qz AS (
+      SELECT x.vec_id, x.label, x.i,
+             CAST(GREATEST(-127.0, LEAST(127.0,
+               FLOOR(v * (CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END) + 0.5)))
+             AS BIGINT) AS qv
+      FROM x JOIN mx ON x.vec_id = mx.vec_id
+    ), nrm AS (
+      SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS n2 FROM qz GROUP BY vec_id
+    ), dots AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS match_id,
+             CAST(SUM(a.qv * b.qv) AS BIGINT) AS q_dot
+      FROM qz a JOIN qz b ON a.i = b.i
+      WHERE a.label = 0 AND b.label = 1
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT d.query_id, d.match_id, d.q_dot,
+             CAST(d.q_dot AS DOUBLE) / SQRT(CAST(na.n2 * nb.n2 AS DOUBLE)) AS cos_q,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.query_id
+               ORDER BY CAST(d.q_dot AS DOUBLE)
+                          / SQRT(CAST(na.n2 * nb.n2 AS DOUBLE)) DESC,
+                        d.match_id) AS rn
+      FROM dots d
+      JOIN nrm na ON d.query_id = na.vec_id
+      JOIN nrm nb ON d.match_id = nb.vec_id
+    )
+    SELECT query_id, match_id, q_dot, cos_q, rn FROM scored WHERE rn <= {_TOPK}
+    """,
+)
+def q8b_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.quantize import quantized_cosine_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    return quantized_cosine_topk(
+        e.filter(F.col("label") == 0),
+        e.filter(F.col("label") == 1),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=_TOPK,
+    )

@@ -487,3 +487,44 @@ class TestBloom:
         build = spark.range(0, 50).select(F.col("id").alias("k"))
         plan = bloom_prune(probe, build, "k", 1000)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestInt8Quantize:
+    def _vecs(self, spark):
+        rows = [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+            (4, [-0.5, 0.25, 0.125]),
+            (5, [0.0, 0.0, 0.0]),  # zero vector must not NaN
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_codes_in_range_and_max_abs_hits_127(self, spark):
+        from fcs_etl_reactor_spark.operators.quantize import int8_quantize
+
+        v = self._vecs(spark)
+        out = v.select("vec_id", int8_quantize("embedding").alias("q")).collect()
+        by_id = {r["vec_id"]: r["q"] for r in out}
+        assert all(-127 <= c <= 127 for q in by_id.values() for c in q)
+        assert by_id[1] == [127, 0, 0]
+        assert by_id[4] == [-127, 64, 32]  # scale 254, round-half-up
+        assert by_id[5] == [0, 0, 0]
+
+    def test_topk_matches_exact_on_separated_vectors(self, spark):
+        from fcs_etl_reactor_spark.operators.quantize import quantized_cosine_topk
+        from fcs_etl_reactor_spark.operators.similarity import cosine_topk_exact
+
+        v = self._vecs(spark).filter("vec_id < 5")
+        q = v.filter("vec_id = 1")
+        a = quantized_cosine_topk(q, v, k=2).select("query_id", "match_id", "rn")
+        b = cosine_topk_exact(q, v, k=2).select("query_id", "match_id", "rn")
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_plan_is_expression_only(self, spark):
+        from fcs_etl_reactor_spark.operators.quantize import quantized_cosine_topk
+
+        v = self._vecs(spark)
+        plan = quantized_cosine_topk(v, v, k=1)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
