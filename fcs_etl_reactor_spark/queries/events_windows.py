@@ -311,3 +311,66 @@ def q3a_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lag_micros"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q3b — retention cohort matrix: users cohorted by the week of their
+# first event; each (cohort, week-offset) cell counts distinct users
+# still active that week and their share of the cohort. The classic
+# product-analytics rollup, and a two-level distinct-aggregation
+# exercise (first-touch min, then per-cell countDistinct).
+#
+# Scale: both groupBys key on user_id first, so the second reuses the
+# first's partitioning; the cohort-sizes frame is bounded by the
+# number of calendar weeks — broadcast side by construction.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q3b_retention_cohorts",
+    oracle="""
+    WITH wk AS (
+      SELECT DISTINCT user_id,
+             CAST(DATE_TRUNC('week', CAST(ts AS TIMESTAMP)) AS DATE) AS w
+      FROM events
+    ), firsts AS (
+      SELECT user_id, MIN(w) AS cohort_week FROM wk GROUP BY user_id
+    ), sizes AS (
+      SELECT cohort_week, COUNT(*) AS n_cohort FROM firsts GROUP BY cohort_week
+    ), cells AS (
+      SELECT f.cohort_week,
+             CAST(DATE_DIFF('day', f.cohort_week, a.w) / 7 AS INTEGER)
+               AS week_offset,
+             COUNT(DISTINCT a.user_id) AS n_active
+      FROM wk a JOIN firsts f ON a.user_id = f.user_id
+      GROUP BY 1, 2
+    )
+    SELECT c.cohort_week, c.week_offset, c.n_active, s.n_cohort,
+           ROUND(CAST(c.n_active AS DOUBLE) / s.n_cohort, 9) AS retention
+    FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
+    """,
+)
+def q3b_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    wk = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("w")
+    ).distinct()
+    firsts = wk.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    sizes = firsts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_cohort"))
+    cells = (
+        wk.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("w", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return cells.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "n_cohort",
+        F.round(F.col("n_active").cast("double") / F.col("n_cohort"), 9).alias(
+            "retention"
+        ),
+    )

@@ -83,3 +83,58 @@ def q35_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# q19 — skew diagnostics: the planning companion to q34/q35. One
+# groupBy produces the per-key histogram; a 1-row global-stats frame
+# (broadcast by construction) turns it into actionable salting advice:
+# share of traffic, hot-key flag (> 2× mean), and the salt factor
+# salted_join/salted_agg would need to level that key. Top-20 keys
+# with a total-order tie-break, so the result set is deterministic.
+#
+# Scale: shuffle = |distinct keys| (map-side partial agg), the stats
+# side is ONE row, and top-20 runs as TakeOrderedAndProject — no
+# global sort materialization.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q19_skew_stats",
+    oracle="""
+    WITH k AS (
+      SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ), s AS (
+      SELECT SUM(cnt) AS total, COUNT(*) AS n_keys FROM k
+    )
+    SELECT user_id, cnt,
+           ROUND(CAST(cnt AS DOUBLE) / total, 9) AS share,
+           cnt > 2.0 * total / n_keys AS is_hot,
+           CAST(GREATEST(1, CEIL(cnt / (2.0 * total / n_keys))) AS BIGINT)
+             AS salt_factor
+    FROM k, s
+    ORDER BY cnt DESC, user_id
+    LIMIT 20
+    """,
+)
+def q19_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    k = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    s = k.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    mean2 = F.lit(2.0) * F.col("total") / F.col("n_keys")
+    return (
+        k.crossJoin(F.broadcast(s))
+        .select(
+            "user_id",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("total"), 9).alias("share"),
+            (F.col("cnt") > mean2).alias("is_hot"),
+            F.greatest(F.lit(1), F.ceil(F.col("cnt") / mean2))
+            .cast("bigint")
+            .alias("salt_factor"),
+        )
+        .orderBy(F.desc("cnt"), "user_id")
+        .limit(20)
+    )

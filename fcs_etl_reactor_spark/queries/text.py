@@ -446,3 +446,69 @@ def q8a_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("n_chars", F.lit(0.95)), 6).alias("p95_chars"),
         F.sum(n_toks).cast("bigint").alias("total_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# q8c — char-trigram LM familiarity (L4 quality scoring, the KenLM-ish
+# shape): train a per-language character-trigram frequency model over
+# the corpus in one pass, then score every document by the fraction of
+# its trigram tokens whose (lang, trigram) corpus frequency clears a
+# threshold. Low familiarity = out-of-distribution text (wrong
+# language, mojibake, boilerplate markup) — the standard cheap LM
+# quality gate before an actual perplexity model.
+#
+# Integer counts and a single final divide keep it engine-exact (no
+# log-sum float drift), so the oracle replays the whole thing.
+#
+# Scale: one explode of the corpus (shuffle = trigram token count with
+# map-side partial agg); the trained model is bounded by
+# |langs|·|charset|³ — a broadcast-join build side by construction,
+# so scoring is a map-only pass over the exploded tokens.
+# --------------------------------------------------------------------------
+
+_LM_MIN_COUNT = 10
+
+
+@query(
+    "q8c_lm_familiarity",
+    oracle=f"""
+    WITH tri AS (
+      SELECT doc_id, lang, SUBSTR(text, i, 3) AS tri
+      FROM (SELECT doc_id, lang, text,
+                   UNNEST(RANGE(1, GREATEST(LEN(text) - 2, 0) + 1)) AS i
+            FROM documents)
+    ), model AS (
+      SELECT lang, tri, COUNT(*) AS n FROM tri GROUP BY lang, tri
+    )
+    SELECT t.doc_id,
+           t.lang,
+           COUNT(*) AS n_tri,
+           ROUND(CAST(SUM(CASE WHEN m.n >= {_LM_MIN_COUNT} THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 9) AS familiarity
+    FROM tri t
+    JOIN model m ON t.lang = m.lang AND t.tri = m.tri
+    GROUP BY t.doc_id, t.lang
+    """,
+)
+def q8c_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    idx = F.when(
+        F.length("text") >= 3, F.sequence(F.lit(1), F.length("text") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    tri = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.transform(idx, lambda i: F.col("text").substr(i, F.lit(3)))).alias(
+            "tri"
+        ),
+    )
+    model = tri.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("n"))
+    scored = tri.join(F.broadcast(model), ["lang", "tri"])
+    return scored.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_tri"),
+        F.round(
+            F.sum(F.when(F.col("n") >= _LM_MIN_COUNT, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("familiarity"),
+    )
