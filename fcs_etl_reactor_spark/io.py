@@ -96,12 +96,39 @@ def _relayout(spark: SparkSession, src: str, df: DataFrame) -> DataFrame:
         return df
 
 
+def _normalize_ts(df: DataFrame, legacy_nanos: tuple[str, ...] = ()) -> DataFrame:
+    """Normalize every time column to TimestampType (µs, session-tz
+    UTC) from every physical form the fixtures have shipped:
+    TIMESTAMP_NTZ (plain timestamp[us] — current fixtures for
+    events.ts, orders.o_orderdate, lineitem.l_shipdate) → cast (UTC
+    session tz makes the wall clock == the epoch instant, matching the
+    tz-naive DuckDB oracle); long nanos (events.ts as TIMESTAMP(NANOS)
+    via nanosAsLong, older fixtures) → floor to µs; TimestampType →
+    unchanged. Epoch functions (unix_micros/unix_seconds) reject NTZ
+    input, so skipping this normalization is a query-time
+    AnalysisException — and the driver's schema gate sees NTZ-derived
+    columns as a type mismatch.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    out = df
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            out = out.withColumn(f.name, F.col(f.name).cast("timestamp"))
+        elif f.name in legacy_nanos and isinstance(f.dataType, LongType):
+            out = out.withColumn(
+                f.name, F.timestamp_micros(F.expr(f"{f.name} div 1000"))
+            )
+    return out
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S1: columnar parquet scan; Catalyst pushes filters/projection.
 
-    events.ts is physically TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects; read it as long nanos and convert to a
-    microsecond timestamp (floor, matching DuckDB's ns→us behavior).
+    Every NTZ time column (events.ts, orders.o_orderdate,
+    lineitem.l_shipdate in current fixtures) is normalized to
+    TimestampType — see _normalize_ts for the physical forms handled.
 
     Session timezone is pinned to UTC here — the driver hands us its
     own SparkSession and calendar functions (year/month/unix_timestamp)
@@ -117,17 +144,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = table_path(sf_dir, name)
     df = spark.read.parquet(src)
-    if name == "events":
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
-
-        # the driver fixture stores ts as TIMESTAMP(NANOS), surfaced as
-        # long nanos via nanosAsLong; derived copies (layout cache,
-        # scale probe) are already micros timestamps — convert only the
-        # raw form
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    legacy = ("ts",) if name == "events" else ()
+    df = _normalize_ts(df, legacy_nanos=legacy)
     df = _relayout(spark, src, df)
+    # idempotent re-normalize: a relayout copy cached by an older
+    # build may still carry the NTZ physical type
+    df = _normalize_ts(df, legacy_nanos=legacy)
     cache[key] = df
     return df
 

@@ -61,22 +61,28 @@ def query(name: str, oracle: str | None = None):
 # hard-verifies the first 50 registered entries per round, so each
 # round rotates the modules whose queries most need fresh signal to
 # the front. Round 1 verified relational/joins/aggregates/windows/
-# setops (46/50 green); round 2 leads with the then-unverified half —
-# envelopes (the 4 round-1 erroring queries, recast), scalar, domain,
-# text, vectors, events_windows, then dedup_extra. Rotate again next
-# round to cover whatever the window missed (q58/q59, skew, …).
+# setops (46/50 green); round 2 verified envelopes/scalar/domain/text/
+# vectors (44/50 green) but its window closed before the LLM-pipeline
+# family. Round 3 leads with everything never driver-tested —
+# pipeline (q6a–q6g, L9–L15), dedup_extra (q5b/q56–q59, L2/L8/P6),
+# skew (q19/q34/q35), media (q74, plus the q75 hash fix), joins
+# (q18 bloom + the green join family), streaming tail — then the
+# re-fixed regressions (events_windows q95–q99/q3a/q3b, windows q41)
+# so every round-2 failure gets a fresh verdict in the same window.
+from fcs_etl_reactor_spark.queries import pipeline  # noqa: E402,F401
+from fcs_etl_reactor_spark.queries import dedup_extra  # noqa: E402,F401
+from fcs_etl_reactor_spark.queries import skew  # noqa: E402,F401
+from fcs_etl_reactor_spark.queries import media  # noqa: E402,F401
+from fcs_etl_reactor_spark.queries import events_windows  # noqa: E402,F401
+from fcs_etl_reactor_spark.queries import gates  # noqa: E402,F401
+from fcs_etl_reactor_spark.queries import streaming_extra  # noqa: E402,F401
+from fcs_etl_reactor_spark.queries import joins  # noqa: E402,F401
+from fcs_etl_reactor_spark.queries import domain  # noqa: E402,F401
+from fcs_etl_reactor_spark.queries import windows  # noqa: E402,F401
+from fcs_etl_reactor_spark.queries import relational  # noqa: E402,F401
+from fcs_etl_reactor_spark.queries import aggregates  # noqa: E402,F401
+from fcs_etl_reactor_spark.queries import setops  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import envelopes  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import scalar  # noqa: E402,F401
-from fcs_etl_reactor_spark.queries import domain  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import text  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import vectors  # noqa: E402,F401
-from fcs_etl_reactor_spark.queries import events_windows  # noqa: E402,F401
-from fcs_etl_reactor_spark.queries import dedup_extra  # noqa: E402,F401
-from fcs_etl_reactor_spark.queries import media  # noqa: E402,F401
-from fcs_etl_reactor_spark.queries import pipeline  # noqa: E402,F401
-from fcs_etl_reactor_spark.queries import skew  # noqa: E402,F401
-from fcs_etl_reactor_spark.queries import relational  # noqa: E402,F401
-from fcs_etl_reactor_spark.queries import joins  # noqa: E402,F401
-from fcs_etl_reactor_spark.queries import aggregates  # noqa: E402,F401
-from fcs_etl_reactor_spark.queries import windows  # noqa: E402,F401
-from fcs_etl_reactor_spark.queries import setops  # noqa: E402,F401

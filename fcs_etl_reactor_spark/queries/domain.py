@@ -185,9 +185,9 @@ def q73_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN 'fr' THEN 'audio/wav' WHEN 'es' THEN 'audio/mp3'
                 ELSE 'video/mp4' END AS modality,
       COUNT(*) AS n_blobs,
-      SUM(CASE lang WHEN 'en' THEN 6 WHEN 'de' THEN 4 WHEN 'fr' THEN 6
+      CAST(SUM(CASE lang WHEN 'en' THEN 6 WHEN 'de' THEN 4 WHEN 'fr' THEN 6
                     WHEN 'es' THEN 4 ELSE 8 END
-          + OCTET_LENGTH(ENCODE(text))) AS sum_bytes,
+          + OCTET_LENGTH(ENCODE(text))) AS BIGINT) AS sum_bytes,
       TRUE AS features_ok
     FROM documents
     GROUP BY 1

@@ -27,9 +27,14 @@ from fcs_etl_reactor_spark.queries import query
 
 @query(
     "q95_tumbling_window",
+    # MAKE_TIMESTAMP(µs), not TO_TIMESTAMP: DuckDB's TO_TIMESTAMP
+    # returns TIMESTAMPTZ, which fails the driver's type-strict schema
+    # check against Spark's (naive, UTC-session) TimestampType — and
+    # casting TIMESTAMPTZ→TIMESTAMP would shift by the oracle's session
+    # tz. MAKE_TIMESTAMP is naive and tz-independent.
     oracle=f"""
     SELECT
-      TO_TIMESTAMP(FLOOR(EPOCH(ts) / 600) * 600) AS win_start,
+      MAKE_TIMESTAMP(CAST(FLOOR(EPOCH(ts) / 600) * 600000000 AS BIGINT)) AS win_start,
       event_type,
       COUNT(*) AS n,
       {o_dsum("value", "sum_value")}
@@ -59,10 +64,13 @@ def q95_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q96_sliding_window",
     oracle="""
     WITH assigned AS (
-      SELECT TO_TIMESTAMP(FLOOR(EPOCH(ts) / 300) * 300) AS win_start, event_type
+      SELECT MAKE_TIMESTAMP(CAST(FLOOR(EPOCH(ts) / 300) * 300000000 AS BIGINT))
+               AS win_start, event_type
       FROM events
       UNION ALL
-      SELECT TO_TIMESTAMP(FLOOR(EPOCH(ts) / 300) * 300 - 300), event_type
+      SELECT MAKE_TIMESTAMP(CAST(FLOOR(EPOCH(ts) / 300) * 300000000
+                                 - 300000000 AS BIGINT)),
+             event_type
       FROM events
     )
     SELECT win_start, event_type, COUNT(*) AS n
@@ -193,7 +201,7 @@ def _events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     # value-hash check of the stateful operator's output.
     oracle="""
     SELECT
-      TO_TIMESTAMP(FLOOR(EPOCH(ts) / 600) * 600) AS win_start,
+      MAKE_TIMESTAMP(CAST(FLOOR(EPOCH(ts) / 600) * 600000000 AS BIGINT)) AS win_start,
       event_type,
       COUNT(*) AS n
     FROM events

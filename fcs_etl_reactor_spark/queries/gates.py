@@ -1,0 +1,72 @@
+"""P5 gating envelope query (SURVEY.md §2.2): polygon point-in-polygon
+gate over two lineitem-derived coordinates, oracle-checked exactly.
+
+The polygon gate itself is the vectorized pandas_udf ray-caster in
+operators/gates.py (the documented U2 escape hatch — point-in-polygon
+has no built-in Column form). The envelope makes it oracle-checkable:
+the SAME even-odd crossing arithmetic, with the SAME literal vertices,
+is emitted as SQL — float64 ops in identical order are IEEE-exact in
+both engines, so the boolean matches row for row (the q6f trick).
+
+Scale: the UDF is Arrow-batched, stateless, and shuffle-free — it
+filters at scan parallelism whatever the row count; per-batch cost is
+O(rows × edges) in NumPy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fcs_etl_reactor_spark.io import load
+from fcs_etl_reactor_spark.operators.gates import polygon_gate
+from fcs_etl_reactor_spark.queries import query
+
+#: Non-convex integer-lattice pentagon inside the (quantity, partkey%40)
+#: domain [1,50]×[0,39]. No horizontal edges (adjacent y's all differ),
+#: so the crossing division is never 0/0.
+_POLY = [(5, 5), (45, 2), (40, 35), (25, 15), (10, 38)]
+
+
+def _edge_terms_sql(px: str, py: str) -> str:
+    """The ray-caster's per-edge crossing test as SQL, replicating
+    operators/gates.polygon_gate arithmetic term for term: edge i pairs
+    vertex i with vertex i-1 (j = i-1 mod n), crosses iff the edge
+    spans py's horizontal line, counts iff px is left of the
+    intersection x = (x2-x1)*(py-y1)/(y2-y1)+x1 (float64, same op
+    order both engines)."""
+    terms = []
+    n = len(_POLY)
+    for i in range(n):
+        x1, y1 = _POLY[i]
+        x2, y2 = _POLY[(i - 1) % n]
+        terms.append(
+            f"CASE WHEN ({y1} > {py}) != ({y2} > {py})"
+            f" AND {px} < ({x2} - {x1}) * ({py} - {y1})"
+            f" / CAST({y2} - {y1} AS DOUBLE) + {x1}"
+            f" THEN 1 ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+@query(
+    "q4b_polygon_gate",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           l_quantity AS x,
+           CAST(l_partkey % 40 AS DOUBLE) AS y,
+           ({_edge_terms_sql("l_quantity", "CAST(l_partkey % 40 AS DOUBLE)")})
+             % 2 = 1 AS inside
+    FROM lineitem
+    WHERE l_orderkey % 10 = 0
+    """,
+)
+def q4b_polygon_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")  # noqa: E741
+    sample = l.filter(F.col("l_orderkey") % 10 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("x"),
+        (F.col("l_partkey") % 40).cast("double").alias("y"),
+    )
+    return sample.withColumn("inside", polygon_gate("x", "y", _POLY))

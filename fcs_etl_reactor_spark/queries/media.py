@@ -80,7 +80,7 @@ def q74_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feature[0] = kind (1=image, 2=audio); feature[4] = mean/255 (BMP)
     # or RMS (WAV) — both the decoded per-pixel/per-sample level
     return feats.select(
-        F.col("path").cast("bigint").alias("n_nationkey"),
+        F.col("path").cast("int").alias("n_nationkey"),
         "modality",
         F.element_at("feature", 1).cast("int").alias("kind"),
         F.round(F.element_at("feature", 5).cast("double"), 6).alias("level"),

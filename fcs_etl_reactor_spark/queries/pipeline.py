@@ -242,7 +242,7 @@ _CTX_TOKENS = 4096
     )
     SELECT CAST(FLOOR(tokens_before / {_CTX_TOKENS}) AS BIGINT) AS chunk_id,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS chunk_tokens
+           CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens
     FROM c
     GROUP BY 1
     """,
@@ -373,7 +373,7 @@ _STRAT_K = 10
 @query(
     "q6g_stratified_sample",
     oracle=f"""
-    SELECT source, doc_id, smp_rank FROM (
+    SELECT source, doc_id, CAST(smp_rank AS INTEGER) AS smp_rank FROM (
       SELECT source, doc_id,
              ROW_NUMBER() OVER (
                PARTITION BY source

@@ -287,8 +287,8 @@ def q67_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       p_partkey,
-      LEVENSHTEIN(p_brand, 'Brand#00') AS brand_dist,
-      LEVENSHTEIN(p_type, 'STANDARD POLISHED TIN') AS type_dist,
+      CAST(LEVENSHTEIN(p_brand, 'Brand#00') AS INTEGER) AS brand_dist,
+      CAST(LEVENSHTEIN(p_type, 'STANDARD POLISHED TIN') AS INTEGER) AS type_dist,
       LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
       REPEAT(p_brand, 2) AS brand_twice,
       REPLACE(TRANSLATE(p_brand, '#', '-'), 'Brand', 'B') AS brand_slug

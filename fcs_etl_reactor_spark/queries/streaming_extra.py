@@ -1,0 +1,223 @@
+"""Driver-facing evidence for the streaming tail (SURVEY.md §2.10
+T4 watermark/late-data, T5 streaming dedup, T7 stream-static join).
+
+Same construction as q98/q99: a TRUE Structured Streaming execution
+(readStream → stateful op → availableNow trigger → memory sink) whose
+final table is deterministic by construction, restated as batch SQL
+for the oracle.
+
+- q9a (T4): a TWO-file source replayed one file per micro-batch —
+  recent slice first (advancing the watermark to max(ts) − 1 h), the
+  out-of-order backlog second. Append mode emits exactly the windows
+  the watermark has closed and WITHHOLDS every window it hasn't (the
+  trailing hour) — the watermark contract as a value-hash assertion.
+  (Measured on this Spark: the aggregation ADMITS late input rows —
+  numRowsDroppedByWatermark=0 — the watermark bounds state eviction
+  and append emission, not input admission; the oracle states that
+  exact semantic.)
+- q9b (T5): the SAME events file copied twice into the source dir;
+  dropDuplicatesWithinWatermark collapses the double feed to exactly
+  one row per event_id — the oracle is plain SELECT FROM events.
+- q9c (T7): stream joined to a broadcast static dim per micro-batch
+  (no state), then a complete-mode rollup.
+
+Scale: watermark state is bounded by horizon × key cardinality; the
+dedup state holds only keys younger than the watermark; the static
+side of q9c is a bounded dim (broadcast). Nothing here is
+local-mode-specific.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fcs_etl_reactor_spark.functions.exact import dsum, o_dsum
+from fcs_etl_reactor_spark.io import load
+from fcs_etl_reactor_spark.queries import query
+
+_SPLIT_ROOT = "/tmp/spark_graft_stream_split"
+_DOUBLE_ROOT = "/tmp/spark_graft_stream_double"
+
+#: Recent/late split point: max(ts) − 26 h. Late windows end ≥ 25 h
+#: below the final watermark (max − 1 h) — no boundary ties possible.
+_SPLIT_HOURS = 26
+
+
+def _one_file(spark: SparkSession, df, scratch: str) -> str:
+    """Write df as a single parquet part file; return its path."""
+    df.repartition(1).write.mode("overwrite").parquet(scratch)
+    part = next(
+        f for f in os.listdir(scratch)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    return os.path.join(scratch, part)
+
+
+def _split_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Two-file source: 00_recent.parquet (ts ≥ max−26 h, older mtime →
+    replayed first) then 01_late.parquet. Built once per sf_dir."""
+    key = sf_dir.rstrip("/").strip("/").replace("/", "_")
+    dest = os.path.join(_SPLIT_ROOT, key)
+    marker = os.path.join(dest, "_READY")
+    if not os.path.exists(marker):
+        e = load(spark, sf_dir, "events")
+        cutoff = F.max("ts") - F.expr(f"INTERVAL {_SPLIT_HOURS} HOURS")
+        t0 = e.agg(cutoff.alias("t0")).collect()[0][0]  # bounded: 1 row
+        shutil.rmtree(dest, ignore_errors=True)
+        os.makedirs(dest, exist_ok=True)
+        import time
+
+        now = time.time()
+        for fname, cond, mtime in [
+            ("00_recent.parquet", F.col("ts") >= F.lit(t0), now - 60),
+            ("01_late.parquet", F.col("ts") < F.lit(t0), now - 30),
+        ]:
+            scratch = dest + ".scratch"
+            part = _one_file(spark, e.filter(cond), scratch)
+            final = os.path.join(dest, fname)
+            shutil.move(part, final)
+            shutil.rmtree(scratch, ignore_errors=True)
+            os.utime(final, (mtime, mtime))  # file source orders by mtime
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return dest
+
+
+def _double_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The full events table twice (two identical-content files) —
+    every event_id arrives exactly twice."""
+    key = sf_dir.rstrip("/").strip("/").replace("/", "_")
+    dest = os.path.join(_DOUBLE_ROOT, key)
+    marker = os.path.join(dest, "_READY")
+    if not os.path.exists(marker):
+        shutil.rmtree(dest, ignore_errors=True)
+        os.makedirs(dest, exist_ok=True)
+        scratch = dest + ".scratch"
+        part = _one_file(spark, load(spark, sf_dir, "events"), scratch)
+        shutil.copy(part, os.path.join(dest, "copy1.parquet"))
+        shutil.move(part, os.path.join(dest, "copy2.parquet"))
+        shutil.rmtree(scratch, ignore_errors=True)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return dest
+
+
+def _sink_name(prefix: str, src: str) -> str:
+    return prefix + "_" + src.rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")
+
+
+# --------------------------------------------------------------------------
+# q9a — T4: watermark-gated append emission under out-of-order replay.
+# The recent slice is replayed first, so the watermark is already at
+# max(ts) − 1 h when the backlog arrives; at termination the sink holds
+# exactly the windows whose end the watermark passed — the trailing
+# hour of windows exists in the source but is provably withheld. File
+# order (mtime-ascending, 30 s apart) makes the final watermark — and
+# hence the emitted set — deterministic.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q9a_watermark_late",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    w AS (
+      SELECT MAKE_TIMESTAMP(CAST(FLOOR(EPOCH(ts) / 600) * 600000000 AS BIGINT))
+               AS win_start,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT w.win_start, w.event_type, w.n FROM w, mx
+    WHERE EPOCH(w.win_start) + 600 <= EPOCH(mx.m) - 3600
+    """,
+)
+def q9a_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.streaming.windows import (
+        read_events_stream,
+        to_memory_sink,
+        tumbling_counts,
+    )
+
+    src = _split_stream_dir(spark, sf_dir)
+    sink = _sink_name("q9a_sink", src)
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    q = to_memory_sink(
+        tumbling_counts(stream, width="10 minutes", watermark="1 hour"),
+        sink,
+        output_mode="append",
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+# --------------------------------------------------------------------------
+# q9b — T5: exactly-once from a double feed. Every event arrives twice;
+# the output holds each exactly once, so the operator provably dropped
+# 50% of its input as duplicates.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q9b_streaming_dedup",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    """,
+)
+def q9b_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.streaming.windows import (
+        dedup_stream,
+        read_events_stream,
+        to_memory_sink,
+    )
+
+    src = _double_stream_dir(spark, sf_dir)
+    sink = _sink_name("q9b_sink", src)
+    stream = read_events_stream(spark, src)
+    q = to_memory_sink(dedup_stream(stream), sink, output_mode="append")
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+# --------------------------------------------------------------------------
+# q9c — T7: stream-static join (static side broadcast per micro-batch,
+# zero state) + complete-mode rollup per dim attribute.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q9c_stream_static_join",
+    oracle=f"""
+    SELECT n.n_name, COUNT(*) AS n_events, {o_dsum("e.value", "sum_value")}
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q9c_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.queries.events_windows import _events_stream_dir
+    from fcs_etl_reactor_spark.streaming.windows import (
+        enrich_with_dim,
+        read_events_stream,
+        to_memory_sink,
+    )
+
+    src = _events_stream_dir(spark, sf_dir)
+    sink = _sink_name("q9c_sink", src)
+    nation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("nk"), "n_name"
+    )
+    stream = read_events_stream(spark, src).withColumn(
+        "nk", F.col("user_id") % 25
+    )
+    joined = enrich_with_dim(stream, nation, "nk")
+    agg = joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")
+    )
+    q = to_memory_sink(agg, sink, output_mode="complete")
+    q.awaitTermination()
+    return spark.table(sink)

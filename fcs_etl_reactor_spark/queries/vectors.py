@@ -95,7 +95,8 @@ _TOPK = 5
       JOIN norms nq ON d.query_id = nq.vec_id
       JOIN norms nm ON d.match_id = nm.vec_id
     )
-    SELECT query_id, match_id, cosine, rn FROM scored WHERE rn <= {_TOPK}
+    SELECT query_id, match_id, cosine, CAST(rn AS INTEGER) AS rn
+    FROM scored WHERE rn <= {_TOPK}
     """,
 )
 def q91_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -368,7 +369,8 @@ def q94_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN nrm na ON d.query_id = na.vec_id
       JOIN nrm nb ON d.match_id = nb.vec_id
     )
-    SELECT query_id, match_id, q_dot, cos_q, rn FROM scored WHERE rn <= {_TOPK}
+    SELECT query_id, match_id, q_dot, cos_q, CAST(rn AS INTEGER) AS rn
+    FROM scored WHERE rn <= {_TOPK}
     """,
 )
 def q8b_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -24,10 +24,10 @@ from fcs_etl_reactor_spark.queries import query
     oracle="""
     SELECT
       o_custkey, o_orderkey,
-      ROW_NUMBER() OVER w AS rn,
-      RANK() OVER w AS rnk,
-      DENSE_RANK() OVER w AS drnk,
-      NTILE(4) OVER w AS quartile
+      CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+      CAST(RANK() OVER w AS INTEGER) AS rnk,
+      CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+      CAST(NTILE(4) OVER w AS INTEGER) AS quartile
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
     """,
@@ -157,7 +157,7 @@ def q43_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q44_topk_per_group",
     oracle="""
-    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
              ROW_NUMBER() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey) AS rn

@@ -1,10 +1,13 @@
 """Local differ replicating the driver's correctness gate
 (__spark_entry__.py contract): run the Spark query and the DuckDB
 oracle SQL on the same parquet fixtures, compare row count, schema
-(column names), and order-insensitive values.
+(column names AND types), and order-insensitive values.
 
 Stricter than the driver: values are compared EXACTLY (after
 canonicalization) — if this passes, any reasonable value-hash passes.
+Types are compared via an explicit Spark↔DuckDB mapping (round-2
+lesson: the driver rejects TIMESTAMPTZ vs TIMESTAMP and HUGEINT vs
+BIGINT; a names-only local check masked all four such failures).
 """
 
 from __future__ import annotations
@@ -16,6 +19,76 @@ from dataclasses import dataclass, field
 import duckdb
 
 from fcs_etl_reactor_spark.io import TABLES, table_path
+
+
+def spark_type_to_duck(dt) -> str:
+    """The DuckDB type string a driver-passing oracle must produce for
+    a Spark column of type `dt`. One-to-one on purpose: SUM(BIGINT) in
+    DuckDB yields HUGEINT and TO_TIMESTAMP yields TIMESTAMP WITH TIME
+    ZONE — both driver-rejected against Spark BIGINT/TIMESTAMP, so the
+    oracle must cast. TIMESTAMP_NTZ maps to an impossible sentinel:
+    engine queries must normalize it away (io._normalize_ts), never
+    surface it."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.LongType):
+        return "BIGINT"
+    if isinstance(dt, T.IntegerType):
+        return "INTEGER"
+    if isinstance(dt, T.ShortType):
+        return "SMALLINT"
+    if isinstance(dt, T.ByteType):
+        return "TINYINT"
+    if isinstance(dt, T.DoubleType):
+        return "DOUBLE"
+    if isinstance(dt, T.FloatType):
+        return "FLOAT"
+    if isinstance(dt, T.StringType):
+        return "VARCHAR"
+    if isinstance(dt, T.BooleanType):
+        return "BOOLEAN"
+    if isinstance(dt, T.DateType):
+        return "DATE"
+    if isinstance(dt, T.TimestampType):
+        return "TIMESTAMP"
+    if isinstance(dt, T.TimestampNTZType):
+        return "<TIMESTAMP_NTZ — normalize before surfacing>"
+    if isinstance(dt, T.DecimalType):
+        return f"DECIMAL({dt.precision},{dt.scale})"
+    if isinstance(dt, T.BinaryType):
+        return "BLOB"
+    if isinstance(dt, T.ArrayType):
+        return spark_type_to_duck(dt.elementType) + "[]"
+    if isinstance(dt, T.MapType):
+        return (
+            f"MAP({spark_type_to_duck(dt.keyType)}, "
+            f"{spark_type_to_duck(dt.valueType)})"
+        )
+    if isinstance(dt, T.StructType):
+        inner = ", ".join(
+            f"{f.name} {spark_type_to_duck(f.dataType)}" for f in dt.fields
+        )
+        return f"STRUCT({inner})"
+    return "<unmapped spark type " + dt.simpleString() + ">"
+
+
+def schema_diff(spark_df, rel) -> str:
+    """'' if the DuckDB relation's schema maps exactly onto the Spark
+    DataFrame's (names AND types, order-insensitive), else a message."""
+    sfields = {f.name: spark_type_to_duck(f.dataType) for f in spark_df.schema.fields}
+    ofields = dict(zip(rel.columns, (str(t) for t in rel.types)))
+    if sorted(sfields) != sorted(ofields):
+        return (
+            f"schema mismatch: spark={sorted(sfields)} oracle={sorted(ofields)}"
+        )
+    bad = [
+        f"{name}: spark {sfields[name]} != oracle {ofields[name]}"
+        for name in sorted(sfields)
+        if sfields[name] != ofields[name]
+    ]
+    if bad:
+        return "type mismatch: " + "; ".join(bad)
+    return ""
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -42,7 +115,13 @@ def _canon(v):
     if isinstance(v, dict):
         return ("map", tuple(sorted((k, _canon(x)) for k, x in v.items())))
     if isinstance(v, _dt.datetime):
-        return ("ts", v.replace(tzinfo=None).isoformat())
+        # tz-aware and naive canonicalize DIFFERENTLY (round-2 lesson:
+        # stripping tzinfo here hid a TIMESTAMPTZ oracle the driver
+        # rejected). Type-strict schema_diff fails first, but keep the
+        # value layer honest too.
+        if v.tzinfo is not None:
+            return ("tsz", v.astimezone(_dt.timezone.utc).isoformat())
+        return ("ts", v.isoformat())
     if isinstance(v, _dt.date):
         return ("d", v.isoformat())
     return (type(v).__name__, v)
@@ -67,8 +146,10 @@ def compare(name: str, spark_df, sql: str, sf_dir: str, con=None) -> DiffResult:
     if own:
         con = duck_connection(sf_dir)
     try:
-        oracle = con.execute(sql).fetchall()
-        ocols = [d[0] for d in con.description]
+        rel = con.sql(sql)
+        ocols = list(rel.columns)
+        sdiff = schema_diff(spark_df, rel)
+        oracle = rel.fetchall()
     finally:
         if own:
             con.close()
@@ -76,11 +157,8 @@ def compare(name: str, spark_df, sql: str, sf_dir: str, con=None) -> DiffResult:
     srows = spark_df.collect()
     scols = spark_df.columns
 
-    if sorted(scols) != sorted(ocols):
-        return DiffResult(
-            name, False, len(srows), len(oracle),
-            f"schema mismatch: spark={sorted(scols)} oracle={sorted(ocols)}",
-        )
+    if sdiff:
+        return DiffResult(name, False, len(srows), len(oracle), sdiff)
     if len(srows) != len(oracle):
         return DiffResult(
             name, False, len(srows), len(oracle), "row count mismatch"

@@ -36,6 +36,38 @@ def test_no_complex_toplevel_output_types(spark):
     )
 
 
+def test_oracle_types_congruent_with_spark_schema(spark):
+    """Round-2 class fix: the driver compares DuckDB↔Spark dtypes
+    (TIMESTAMPTZ≠TIMESTAMP, HUGEINT≠BIGINT, DECIMAL≠DOUBLE). Prepare
+    every oracle in DuckDB (no execution — relation .types is
+    analysis-time) and assert exact congruence with the Spark schema
+    via the testkit mapping. Catches the q95/q75 class before the
+    driver does."""
+    import pytest
+
+    from fcs_etl_reactor_spark.testkit import duck_connection, schema_diff
+
+    con = duck_connection(SF_SMALL)
+    bad = {}
+    try:
+        for name in sorted(ORACLE):
+            try:
+                sdf = QUERIES[name](spark, SF_SMALL)
+            except Exception as exc:  # spark-side breakage owned by parity tests
+                bad[name] = f"spark build failed: {type(exc).__name__}: {exc}"
+                continue
+            diff = schema_diff(sdf, con.sql(ORACLE[name]))
+            if diff:
+                bad[name] = diff
+    finally:
+        con.close()
+    if bad:
+        pytest.fail(
+            "oracle↔spark type incongruence (driver schema check would fail):\n"
+            + "\n".join(f"  {k}: {v}" for k, v in bad.items())
+        )
+
+
 def test_rows_only_entries_are_justified():
     missing = set(QUERIES) - set(ORACLE)
     unjustified = missing - set(ROWS_ONLY_JUSTIFIED)
