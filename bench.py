@@ -62,22 +62,29 @@ def main() -> int:
     spark = tune_for_input(get_spark(app_name="fcs-etl-reactor-spark-bench"), sf_dir)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Per-query isolation (round-2 lesson: one broken query aborted the
+    # whole harness and the round had NO bench artifact). A failing
+    # query reports per-query and is excluded from the total; the JSON
+    # line is ALWAYS emitted.
     timings = {}
+    errors = {}
     for name in HEADLINE:
-        timings[name] = round(time_query(spark, name, sf_dir), 4)
+        try:
+            timings[name] = round(time_query(spark, name, sf_dir), 4)
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     return 0
 
 

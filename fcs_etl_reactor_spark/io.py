@@ -51,6 +51,18 @@ def table_bytes(sf_dir: str, name: str) -> int:
         return 1 << 60
 
 
+def source_fingerprint(sf_dir: str, name: str) -> str:
+    """Identity of a fixture file for derived-copy cache keys (stream
+    source dirs, layout cache): (mtime, size) — regenerated fixtures
+    get a new fingerprint, so no /tmp copy outlives its source."""
+    path = table_path(sf_dir, name)
+    try:
+        st = os.stat(path)
+        return f"{int(st.st_mtime)}_{st.st_size}"
+    except OSError:
+        return "missing"
+
+
 #: Scan DataFrames are cached ON the session object (attribute dict):
 #: building a scan is driver-side work Spark repeats on every
 #: spark.read.parquet call — file listing + footer schema inference +
@@ -85,9 +97,12 @@ def _relayout(spark: SparkSession, src: str, df: DataFrame) -> DataFrame:
         meta = pq.ParquetFile(src).metadata
         if meta.num_rows < _LAYOUT_MIN_ROWS or meta.num_row_groups >= _LAYOUT_CHUNKS:
             return df
+        st = os.stat(src)
         dest = os.path.join(
             _LAYOUT_ROOT, os.path.dirname(src).strip("/").replace("/", "_"),
-            os.path.basename(src),
+            # (mtime, size) in the path: a regenerated fixture never
+            # serves a stale re-chunked copy
+            f"{os.path.basename(src)}_{int(st.st_mtime)}_{st.st_size}",
         )
         if not os.path.exists(os.path.join(dest, "_SUCCESS")):
             df.repartition(_LAYOUT_CHUNKS).write.mode("overwrite").parquet(dest)

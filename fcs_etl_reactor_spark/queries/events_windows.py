@@ -170,13 +170,20 @@ _STREAM_DIRS: dict[str, str] = {}
 def _events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     """The file-stream source needs a DIRECTORY of micros-timestamp
     parquet; materialize the converted events table once per sf_dir
-    (same ingest-copy pattern as the io layout cache)."""
+    (same ingest-copy pattern as the io layout cache). The cache key
+    includes the source file's (mtime, size) so regenerated fixtures
+    never serve a stale copy (the round-2 fixture-drift lesson)."""
     import os
+
+    from fcs_etl_reactor_spark.io import source_fingerprint
 
     key = sf_dir.rstrip("/")
     if key not in _STREAM_DIRS:
         dest = os.path.join(
-            "/tmp/spark_graft_stream_src", key.strip("/").replace("/", "_")
+            "/tmp/spark_graft_stream_src",
+            key.strip("/").replace("/", "_")
+            + "_"
+            + source_fingerprint(sf_dir, "events"),
         )
         if not os.path.exists(os.path.join(dest, "_SUCCESS")):
             # ONE file ⇒ availableNow runs exactly one micro-batch ⇒ the

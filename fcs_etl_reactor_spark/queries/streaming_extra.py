@@ -60,7 +60,13 @@ def _one_file(spark: SparkSession, df, scratch: str) -> str:
 def _split_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     """Two-file source: 00_recent.parquet (ts ≥ max−26 h, older mtime →
     replayed first) then 01_late.parquet. Built once per sf_dir."""
-    key = sf_dir.rstrip("/").strip("/").replace("/", "_")
+    from fcs_etl_reactor_spark.io import source_fingerprint
+
+    key = (
+        sf_dir.rstrip("/").strip("/").replace("/", "_")
+        + "_"
+        + source_fingerprint(sf_dir, "events")
+    )
     dest = os.path.join(_SPLIT_ROOT, key)
     marker = os.path.join(dest, "_READY")
     if not os.path.exists(marker):
@@ -90,7 +96,13 @@ def _split_stream_dir(spark: SparkSession, sf_dir: str) -> str:
 def _double_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     """The full events table twice (two identical-content files) —
     every event_id arrives exactly twice."""
-    key = sf_dir.rstrip("/").strip("/").replace("/", "_")
+    from fcs_etl_reactor_spark.io import source_fingerprint
+
+    key = (
+        sf_dir.rstrip("/").strip("/").replace("/", "_")
+        + "_"
+        + source_fingerprint(sf_dir, "events")
+    )
     dest = os.path.join(_DOUBLE_ROOT, key)
     marker = os.path.join(dest, "_READY")
     if not os.path.exists(marker):
@@ -182,6 +194,38 @@ def q9b_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
+
+
+# --------------------------------------------------------------------------
+# q9d — T6: custom stateful operator (applyInPandasWithState). Per-user
+# running counters with arbitrary user state, replayed availableNow in
+# ONE batch so update mode emits each key exactly once; the state
+# function accumulates the float total as dsum's scaled integer, so
+# the emitted value is bit-identical to the batch oracle.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q9d_stateful_counters",
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS n_events, {o_dsum("value", "total_value")}
+    FROM events GROUP BY user_id
+    """,
+)
+def q9d_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.queries.events_windows import _events_stream_dir
+    from fcs_etl_reactor_spark.streaming.stateful import running_user_totals
+    from fcs_etl_reactor_spark.streaming.windows import (
+        read_events_stream,
+        to_memory_sink,
+    )
+
+    src = _events_stream_dir(spark, sf_dir)
+    sink = _sink_name("q9d_sink", src)
+    stream = read_events_stream(spark, src)
+    q = to_memory_sink(running_user_totals(stream), sink, output_mode="update")
+    q.awaitTermination()
+    return spark.table(sink)
 
 
 # --------------------------------------------------------------------------

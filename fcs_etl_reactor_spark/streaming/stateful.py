@@ -56,6 +56,56 @@ def running_user_counters(stream):
 
 
 # ---------------------------------------------------------------------------
+# Oracle-exact variant: same T6 state machinery, but the float total is
+# accumulated as the SAME scaled integer functions/exact.dsum uses
+# (floor(x*1e6+0.5), IEEE-identical in NumPy/Spark/DuckDB), so the
+# emitted total is bit-identical to the batch oracle whatever the
+# batch/partition split. last_event_id is dropped: "latest" needs a
+# (ts, event_id) tiebreak the demo above doesn't carry in state.
+# ---------------------------------------------------------------------------
+
+TOTALS_OUTPUT_SCHEMA = "user_id BIGINT, n_events BIGINT, total_value DOUBLE"
+TOTALS_STATE_SCHEMA = "n BIGINT, total_scaled BIGINT"
+
+
+def _update_totals(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    if state.exists:
+        n, total_scaled = state.get
+    else:
+        n, total_scaled = 0, 0
+    for pdf in pdfs:
+        n += len(pdf)
+        total_scaled += int(
+            np.floor(pdf["value"].to_numpy(dtype=np.float64) * 1e6 + 0.5)
+            .astype(np.int64)
+            .sum()
+        )
+    state.update((n, total_scaled))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total_scaled / 1e6],
+        }
+    )
+
+
+def running_user_totals(stream):
+    """T6 with an exact accumulator — the driver-facing form."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _update_totals,
+        outputStructType=TOTALS_OUTPUT_SCHEMA,
+        stateStructType=TOTALS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Spark 4 native stateful API: transformWithStateInPandas. Same running
 # counters as above, but with typed per-key state handles (ValueState)
 # managed by the StatefulProcessor lifecycle — the forward path for

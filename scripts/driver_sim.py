@@ -31,7 +31,9 @@ def canon_cell(v):
     if isinstance(v, float):
         return repr(v)
     if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        # keep the offset: a tz-aware cell must NOT hash equal to its
+        # naive twin (the driver rejects TIMESTAMPTZ oracles)
+        return v.isoformat()
     if isinstance(v, dt.date):
         return v.isoformat()
     if isinstance(v, (list, tuple, dict)) or hasattr(v, "asDict"):
@@ -84,9 +86,14 @@ def main():
                 value_hash(srows, scols)
                 print(f"  [rows-only → driver err no_oracle] {name}: {len(srows)} rows")
                 continue
-            orows = con.execute(oracles[name]).fetchall()
-            ocols = [d[0] for d in con.description]
-            ok_schema = sorted(scols) == sorted(ocols)
+            rel = con.sql(oracles[name])
+            orows = rel.fetchall()
+            ocols = list(rel.columns)
+            # type-strict (round-2 lesson): names-only masked the
+            # TIMESTAMPTZ/HUGEINT class the driver rejects
+            from fcs_etl_reactor_spark.testkit import schema_diff
+
+            ok_schema = not schema_diff(sdf, rel)
             ok_count = len(srows) == len(orows)
             ok_hash = value_hash(srows, scols) == value_hash(orows, ocols)
         except Exception as exc:  # the driver records the traceback as err

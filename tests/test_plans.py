@@ -46,11 +46,18 @@ def test_column_pruning(spark):
 
 
 def test_star_join_broadcasts_dims(spark):
+    from fcs_etl_reactor_spark.io import table_bytes
+    from fcs_etl_reactor_spark.queries.joins import BROADCAST_GATE_BYTES
+
     s = plan_of(spark, "q10_star_join_revenue")
     assert "BroadcastHashJoin" in s
     assert "CartesianProduct" not in s
-    # no baked-in persist: a registry query must not pin executor memory
-    assert "InMemoryRelation" not in s and "InMemoryTableScan" not in s
+    # persist of the collapsed dim map is allowed ONLY below the same
+    # size gate as its broadcast (round-2 verdict's size-gated re-add);
+    # an ungated pin would OOM at scale (round-1 lesson)
+    gated_small = table_bytes(SF_SMALL, "orders") < BROADCAST_GATE_BYTES
+    has_persist = "InMemoryRelation" in s or "InMemoryTableScan" in s
+    assert has_persist == gated_small
 
 
 def test_star_join_hint_is_size_gated(spark):
