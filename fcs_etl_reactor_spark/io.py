@@ -200,6 +200,36 @@ def write_parquet(
     writer.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """S2+: ORC scan — Spark-native columnar alternative to parquet.
+
+    ORC carries the same pushdown surface as parquet (predicate
+    pushdown, column pruning, stripe-level min/max skipping), so a
+    100 TB deployment standardized on ORC loses nothing: the plans in
+    this repo are format-agnostic above the scan node.
+    """
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    """ORC sink with the same partition-pruning layout as write_parquet."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_text(spark: SparkSession, path: str, whole: bool = False) -> DataFrame:
+    """Line-oriented (or whole-file) text ingest — raw-corpus entry
+    point for the LLM pipeline ops (one row per line / per document).
+    """
+    # NB: must be the text() kwarg — the reader-level "wholetext"
+    # option is ignored by the text source (verified on 4.1).
+    return spark.read.text(path, wholetext=whole)
+
+
 def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """S3: manifest/config ingest."""
     reader = spark.read

@@ -8,8 +8,11 @@ from fcs_etl_reactor_spark.io import (
     load,
     read_csv,
     read_json,
+    read_orc,
+    read_text,
     write_bucketed,
     write_csv,
+    write_orc,
 )
 from tests.conftest import SF_SMALL
 
@@ -34,6 +37,36 @@ class TestCsvJson:
         rows = {r["sample"]: r for r in df.collect()}
         assert rows["a.fcs"]["role"] == "bead"
         assert list(rows["a.fcs"]["channels"]) == ["FSC", "FL1"]
+
+
+class TestOrcText:
+    def test_orc_roundtrip_with_pruning(self, spark, tmp_path):
+        orig = load(spark, SF_SMALL, "orders")
+        write_orc(orig, str(tmp_path / "orders_orc"), partition_by=["o_orderpriority"])
+        back = read_orc(spark, str(tmp_path / "orders_orc"))
+        assert back.count() == orig.count()
+        # partition pruning: a filter on the partition column must cut
+        # the scanned files to that partition's directory only
+        one = back.filter(F.col("o_orderpriority") == "1-URGENT")
+        plan = one._jdf.queryExecution().executedPlan().toString()
+        assert one.count() == orig.filter(F.col("o_orderpriority") == "1-URGENT").count()
+        assert "PartitionFilters" in plan or "1-URGENT" in plan
+        # value-level parity on a stable projection
+        a = sorted(r["o_orderkey"] for r in one.collect())
+        b = sorted(
+            r["o_orderkey"]
+            for r in orig.filter(F.col("o_orderpriority") == "1-URGENT").collect()
+        )
+        assert a == b
+
+    def test_text_lines_and_wholefile(self, spark, tmp_path):
+        doc = tmp_path / "doc.txt"
+        doc.write_text("alpha\nbeta\ngamma\n")
+        lines = read_text(spark, str(doc))
+        assert sorted(r["value"] for r in lines.collect()) == ["alpha", "beta", "gamma"]
+        whole = read_text(spark, str(doc), whole=True)
+        assert whole.count() == 1
+        assert whole.collect()[0]["value"].startswith("alpha\n")
 
 
 class TestBucketedJoin:
