@@ -154,6 +154,99 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_cross_pairs(
+    train: DataFrame,
+    holdout: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """L12 scale path: cross-corpus LSH — candidate (train, holdout)
+    near-dup pairs without ever joining train against itself.
+
+    Decontamination at 100 TB: the training corpus is huge, the
+    benchmark/holdout side is small. Banding both sides and equi-joining
+    on (band, band_hash) touches only bucket collisions, and the join
+    is broadcast-able whenever the holdout's band table is small —
+    the training side never self-joins and never shuffles more than
+    its own band rows.
+    """
+    assert num_perm % bands == 0
+    r = num_perm // bands
+
+    def band_rows(df: DataFrame, out: str) -> DataFrame:
+        sig = minhash_signatures(df, id_col, text_col, n, num_perm)
+        return sig.select(
+            F.col(id_col).alias(out),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            *[F.element_at("signature", b * r + i + 1) for i in range(r)]
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band", "band_hash"),
+        )
+
+    a = band_rows(train, "train_id")
+    b = band_rows(holdout, "holdout_id")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .groupBy("train_id", "holdout_id")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def span_dedup(
+    df: DataFrame, id_col: str, text_col: str, span_tokens: int = 8
+) -> DataFrame:
+    """Sub-document exact dedup: split each document into fixed
+    non-overlapping token spans, keep one canonical copy per distinct
+    span globally (the occurrence with the lowest (id, span_idx)).
+
+    Output: (id, n_spans, n_canonical) — how many of the document's
+    spans survive span-level dedup. The practical middle ground
+    between document-level exact dedup (L1) and suffix-array exact
+    substring dedup: boilerplate repeated across documents is dropped
+    at span granularity with one hash shuffle, no pairwise work.
+
+    Scale: the shuffle key is the span digest (balanced unless one
+    span dominates → salt); the keep-first rule is a min over the
+    occurrence key, not a window sort, so map-side partial
+    aggregation applies.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_spans = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda s: F.concat_ws(" ", F.slice(toks, s * span_tokens + 1, span_tokens)),
+    )
+    occ = df.select(
+        F.col(id_col), F.posexplode(spans).alias("span_idx", "span")
+    ).withColumn("span_digest", F.md5(F.col("span")))
+    # canonical occurrence per digest = min combined key (id, span_idx
+    # packed into one long so the min is a plain aggregate, not a
+    # window sort; span_idx is bounded by doc length / span_tokens)
+    occ = occ.withColumn(
+        "occ_key", F.col(id_col).cast("long") * 1_000_000 + F.col("span_idx")
+    )
+    keeper = occ.groupBy("span_digest").agg(F.min("occ_key").alias("keep_key"))
+    return (
+        occ.join(keeper, "span_digest")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("occ_key") == F.col("keep_key")).cast("long")).alias(
+                "n_canonical"
+            ),
+        )
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     src: str = "doc_a",

@@ -484,3 +484,42 @@ def q37_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q8 (heavy hitters via freqItems, A7's counting cousin) moved to
 # queries/envelopes.py, checked via the sketch's superset guarantee.
 # --------------------------------------------------------------------------
+
+
+# --------------------------------------------------------------------------
+# q4c — U4 as a TRUE vectorized UDAF (pandas GROUPED_AGG), not an
+# expression composition: 10%-trimmed mean price per (flag, status).
+# The oracle is the rank-window SQL twin — which is also the plan
+# you'd run when a single group outgrows one Arrow batch.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q4c_trimmed_mean",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v100,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
+                                ORDER BY l_extendedprice) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag, l_linestatus) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag, l_linestatus,
+           (CAST(SUM(v100) AS DOUBLE) / 100.0) / COUNT(*) AS trimmed_mean,
+           COUNT(*) AS n_kept
+    FROM s
+    WHERE rn > CAST(FLOOR(n * 0.1) AS BIGINT)
+      AND rn <= n - CAST(FLOOR(n * 0.1) AS BIGINT)
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q4c_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.functions.udfs import trimmed_mean_udaf
+
+    l = load(spark, sf_dir, "lineitem")
+    tm, tc = trimmed_mean_udaf()
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        tm(F.col("l_extendedprice")).alias("trimmed_mean"),
+        tc(F.col("l_extendedprice")).alias("n_kept"),
+    )

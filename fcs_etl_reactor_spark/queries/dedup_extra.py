@@ -28,9 +28,11 @@ from pyspark.sql import functions as F
 from fcs_etl_reactor_spark.io import load
 from fcs_etl_reactor_spark.operators.dedup import (
     dedup_clusters,
+    minhash_lsh_cross_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_candidates,
+    span_dedup,
 )
 from fcs_etl_reactor_spark.operators.similarity import (
     cosine_topk_fast,
@@ -161,6 +163,100 @@ def q5b_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=_NEARDUP_J)
     verified = cands.join(exact, ["doc_a", "doc_b"])
     return dedup_clusters(verified)
+
+
+@query(
+    "q5c_span_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents
+    ), occ AS (
+      SELECT doc_id, CAST(s AS INT) AS span_idx,
+             MD5(ARRAY_TO_STRING(w[s*8+1 : s*8+8], ' ')) AS span_digest,
+             doc_id * 1000000 + s AS occ_key
+      FROM (SELECT doc_id, w,
+                   UNNEST(RANGE(0, CAST(CEIL(LEN(w) / 8.0) AS BIGINT))) AS s
+            FROM toks)
+    ), keeper AS (
+      SELECT span_digest, MIN(occ_key) AS keep_key FROM occ GROUP BY span_digest
+    )
+    SELECT o.doc_id, COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN o.occ_key = k.keep_key THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_canonical
+    FROM occ o JOIN keeper k USING (span_digest)
+    GROUP BY o.doc_id
+    """,
+)
+def q5c_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup: 8-token non-overlapping spans, one
+    canonical copy per distinct span globally (lowest (doc_id,
+    span_idx) wins). Sub-document granularity catches boilerplate that
+    document-level L1 misses; one digest-keyed shuffle, no pairwise
+    work, min-aggregate keeper (map-side combinable, no window sort).
+    """
+    d = load(spark, sf_dir, "documents")
+    return span_dedup(d, "doc_id", "text", span_tokens=8)
+
+
+@query(
+    "q6h_lsh_decontamination",
+    # exact cross-split Jaccard from raw text: every train–holdout
+    # pair at J ≥ 0.8 (holdout = doc_id ≡ 0 mod 5) must surface
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM (SELECT doc_id, w, UNNEST(RANGE(1, GREATEST(LEN(w) - 2, 0) + 1)) AS i
+            FROM toks)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS train_id, b.doc_id AS holdout_id, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+      GROUP BY 1, 2
+    )
+    SELECT train_id, holdout_id,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 9)
+             AS jaccard
+    FROM pairs
+    JOIN sizes sa ON train_id = sa.doc_id
+    JOIN sizes sb ON holdout_id = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+    """,
+)
+def q6h_lsh_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L12 scale path: near-dup decontamination via cross-corpus LSH
+    (train = doc_id % 5 != 0, holdout = the rest). Unlike q6d's exact
+    8-gram broadcast (verbatim leakage), this catches NEAR-duplicate
+    leakage; the train side never self-joins. Candidates are
+    exact-verified by Jaccard ≥ 0.8 — same miss-probability argument
+    as q56 (banding at s ≥ 0.8 misses with p ≈ 1e-18 on these
+    fixtures), so candidates ∩ {J ≥ 0.8} equals the full set."""
+    d = load(spark, sf_dir, "documents")
+    holdout = d.filter(F.col("doc_id") % 5 == 0)
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    cands = minhash_lsh_cross_pairs(
+        train, holdout, "doc_id", "text", n=3, num_perm=64, bands=16
+    )
+    exact = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=_NEARDUP_J)
+    # exact emits doc_a < doc_b; a cross pair may sit either way round
+    both = exact.unionByName(
+        exact.select(
+            F.col("doc_b").alias("doc_a"),
+            F.col("doc_a").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    return (
+        cands.join(
+            both,
+            (cands["train_id"] == both["doc_a"])
+            & (cands["holdout_id"] == both["doc_b"]),
+        )
+        .select("train_id", "holdout_id", F.round("jaccard", 9).alias("jaccard"))
+    )
 
 
 @query(

@@ -265,3 +265,42 @@ def q9c_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = to_memory_sink(agg, sink, output_mode="complete")
     q.awaitTermination()
     return spark.table(sink)
+
+
+# --------------------------------------------------------------------------
+# q9e — T8: foreachBatch sink. The two-file split source replays as
+# two micro-batches (maxFilesPerTrigger=1); foreachBatch appends each
+# batch to parquet tagged with its batch_id. The accumulated sink
+# holds every event exactly once regardless of batch boundaries, so
+# the oracle is the plain events table; tests/test_streaming.py
+# additionally asserts ≥ 2 distinct batch ids reached the sink.
+# --------------------------------------------------------------------------
+
+_FOREACH_ROOT = "/tmp/spark_graft_stream_foreach"
+
+
+@query(
+    "q9e_foreach_batch_sink",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    """,
+)
+def q9e_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.streaming.windows import (
+        read_events_stream,
+        to_foreach_batch_parquet,
+    )
+
+    src = _split_stream_dir(spark, sf_dir)
+    dest = os.path.join(_FOREACH_ROOT, src.rsplit("/", 1)[-1])
+    sink_dir = os.path.join(dest, "sink")
+    checkpoint = os.path.join(dest, "ckpt")
+    # the sink is append-mode parquet: always start from a clean slate
+    # so a re-run in a fresh session can't double-append
+    shutil.rmtree(dest, ignore_errors=True)
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    q = to_foreach_batch_parquet(stream, sink_dir, checkpoint)
+    q.awaitTermination()
+    return spark.read.parquet(sink_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )

@@ -384,3 +384,56 @@ def q8b_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="embedding",
         k=_TOPK,
     )
+
+
+# --------------------------------------------------------------------------
+# q8d — random-projection embedding compression (Johnson–Lindenstrauss
+# sketch, 64 → 16 dims): proj[j] = Σ_i emb[i] · sign(md5(j, i)). The
+# ±1 matrix is DERIVED from md5 on both engines — not an embedded
+# literal — so the oracle independently reconstructs the projection.
+# Inputs are floor-quantized to integers first (q90's pattern), making
+# every sum engine- and order-exact. At scale the 16×64 sign matrix is
+# a broadcast constant and the projection is one narrow map-side
+# aggregation per vector — the cheap first stage of an ANN/clustering
+# stack (4× smaller vectors, distances preserved within JL bounds).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q8d_random_projection",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+             GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS i
+      FROM embeddings
+    ), m AS (
+      SELECT j, i,
+             CASE WHEN SUBSTR(MD5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)
+                  IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END AS sign
+      FROM RANGE(0, 16) t1(j) CROSS JOIN RANGE(0, 64) t2(i)
+    )
+    SELECT x.vec_id, CAST(m.j AS INTEGER) AS j,
+           CAST(SUM(CAST(FLOOR(x.v * 1000000.0) AS BIGINT) * m.sign) AS BIGINT)
+             / 1000000.0 AS proj
+    FROM x JOIN m USING (i)
+    GROUP BY 1, 2
+    """,
+)
+def q8d_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    dims = spark.range(16).select(F.col("id").cast("int").alias("j"))
+    comps = spark.range(64).select(F.col("id").cast("int").alias("i"))
+    hex1 = F.substring(F.md5(F.concat_ws("_", "j", "i")), 1, 1)
+    sign = F.when(hex1.isin(*"02468ace"), 1).otherwise(-1).alias("sign")
+    matrix = dims.crossJoin(comps).select("j", "i", sign)
+    x = e.select("vec_id", F.posexplode("embedding").alias("i", "v"))
+    q_v = F.floor(F.col("v").cast("double") * 1_000_000.0).cast("bigint")
+    return (
+        x.join(F.broadcast(matrix), "i")
+        .groupBy("vec_id", "j")
+        .agg(
+            (F.sum(q_v * F.col("sign")).cast("double") / F.lit(1_000_000.0)).alias(
+                "proj"
+            )
+        )
+    )

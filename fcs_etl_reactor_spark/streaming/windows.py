@@ -90,6 +90,30 @@ def enrich_with_dim(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     return stream.join(F.broadcast(dim), on, "left")
 
 
+def to_foreach_batch_parquet(stream_df: DataFrame, path: str, checkpoint: str):
+    """T8: foreachBatch sink — the production pattern for sinks Spark
+    has no native connector for (JDBC upserts, external indexes,
+    multi-table fan-out). Each micro-batch arrives as a BATCH
+    DataFrame with a monotonically increasing batch_id; the checkpoint
+    makes re-delivery after failure idempotent-by-batch-id (here:
+    append parquet tagged with _batch_id, so a test can prove the
+    stream really arrived in multiple batches)."""
+    from pyspark.sql import functions as SF
+
+    def _write(batch_df, batch_id):
+        batch_df.withColumn("_batch_id", SF.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def to_memory_sink(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """T8: memory sink for tests; availableNow processes the full
     backlog then stops (deterministic — never wall-clock-dependent)."""

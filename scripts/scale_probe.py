@@ -46,6 +46,9 @@ PROBE_QUERIES = [  # all run on the replicated tables
     "q6c_context_packing",   # distributed prefix sum (global_cumsum)
     "q6f_domain_mixture",    # broadcast-stats temperature sampling
     "q18_bloom_semi_join",   # bloom-pruned semi-join
+    "q5c_span_dedup",        # sub-document span dedup (digest shuffle)
+    "lsh_cross_decontam",    # cross-corpus LSH, RAW operator (registry
+    # q6h also computes the quadratic-side exact verifier envelope)
 ]
 
 
@@ -56,6 +59,24 @@ def _lsh_topk_auto_probe(spark, sf_dir):
     return lsh_topk_auto(
         e.filter(F.col("label") == 0), e.filter(F.col("label") == 1), k=5
     )
+
+
+def _lsh_cross_decontam_probe(spark, sf_dir):
+    from fcs_etl_reactor_spark.operators.dedup import minhash_lsh_cross_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return minhash_lsh_cross_pairs(
+        d.filter(F.col("doc_id") % 5 != 0),
+        d.filter(F.col("doc_id") % 5 == 0),
+        "doc_id",
+        "text",
+    )
+
+
+_EXTRA_PROBES = {
+    "lsh_topk_auto": _lsh_topk_auto_probe,
+    "lsh_cross_decontam": _lsh_cross_decontam_probe,
+}
 #: tables replicated with key offsets (fact side); the rest copy as-is
 REPLICATED = {
     "lineitem": ("l_orderkey", 10_000_000),
@@ -90,7 +111,7 @@ def build_scaled_dir(spark, base: str, dest: str) -> str:
 
 
 def time_query(spark, name: str, sf_dir: str, runs: int = 3) -> float:
-    fn = QUERIES.get(name, _lsh_topk_auto_probe if name == "lsh_topk_auto" else None)
+    fn = QUERIES.get(name, _EXTRA_PROBES.get(name))
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     samples = []
     for _ in range(runs):

@@ -16,6 +16,10 @@ REPRESENTATIVE = [
     "q34_salted_agg",
     "q42_running_total",
     "q47_time_frames",
+    "q4c_trimmed_mean",
+    "q5c_span_dedup",
+    "q6h_lsh_decontamination",
+    "q8d_random_projection",
     "q81_tfidf",
     "q88_cosine_neardup",
     "q91_cosine_topk",

@@ -115,6 +115,44 @@ class TestDedup:
         assert (1, 2) in pairs  # near-dup caught by some band
         assert not any(4 in p for p in pairs)
 
+    def test_span_dedup_counts(self, spark):
+        from fcs_etl_reactor_spark.operators.dedup import span_dedup
+
+        # doc 1: spans "a b" and "c d"; doc 2 repeats "a b" (dup span,
+        # canonical copy belongs to doc 1) plus its own "x y"
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b x y")], "doc_id INT, text STRING"
+        )
+        out = {
+            r["doc_id"]: (r["n_spans"], r["n_canonical"])
+            for r in span_dedup(df, "doc_id", "text", span_tokens=2).collect()
+        }
+        assert out == {1: (2, 2), 2: (2, 1)}
+
+    def test_span_dedup_within_doc_repeat(self, spark):
+        from fcs_etl_reactor_spark.operators.dedup import span_dedup
+
+        # the same span twice inside ONE document: first occurrence wins
+        df = spark.createDataFrame([(7, "a b a b")], "doc_id INT, text STRING")
+        (row,) = span_dedup(df, "doc_id", "text", span_tokens=2).collect()
+        assert (row["n_spans"], row["n_canonical"]) == (2, 1)
+
+    def test_minhash_cross_pairs_directional(self, spark):
+        from fcs_etl_reactor_spark.operators.dedup import minhash_lsh_cross_pairs
+
+        docs = self._docs(spark)
+        train = docs.filter("doc_id IN (1, 4)")
+        holdout = docs.filter("doc_id IN (2, 3)")
+        out = {
+            (r["train_id"], r["holdout_id"]): r["n_bands"]
+            for r in minhash_lsh_cross_pairs(
+                train, holdout, "doc_id", "text", bands=16
+            ).collect()
+        }
+        assert out[(1, 3)] == 16  # identical after lower()
+        assert (1, 2) in out  # near-dup crosses the split
+        assert not any(t == 4 for t, _ in out)  # unrelated doc never pairs
+
     def test_dedup_clusters_connected_components(self, spark):
         from fcs_etl_reactor_spark.operators.dedup import dedup_clusters
 

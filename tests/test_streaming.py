@@ -205,3 +205,25 @@ def test_q99_harness_sessions_equal_batch_twin(spark):
         for r in QUERIES["q97_sessionization"](spark, SF_SMALL).collect()
     }
     assert s == b
+
+
+def test_q9e_foreach_batch_multi_batch_delivery(spark):
+    import os
+
+    from fcs_etl_reactor_spark.queries import QUERIES
+    from fcs_etl_reactor_spark.queries.streaming_extra import (
+        _FOREACH_ROOT,
+        _split_stream_dir,
+    )
+    from tests.conftest import SF_SMALL
+
+    out = QUERIES["q9e_foreach_batch_sink"](spark, SF_SMALL)
+    src = _split_stream_dir(spark, SF_SMALL)
+    sink_dir = os.path.join(_FOREACH_ROOT, src.rsplit("/", 1)[-1], "sink")
+    tagged = spark.read.parquet(sink_dir)
+    batch_ids = sorted(r["_batch_id"] for r in tagged.select("_batch_id").distinct().collect())
+    # maxFilesPerTrigger=1 over the two-file split source → the sink
+    # really accumulated at least two separate micro-batches
+    assert len(batch_ids) >= 2
+    # exactly-once across batch boundaries
+    assert out.count() == tagged.count() == out.select("event_id").distinct().count()
