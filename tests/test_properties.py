@@ -79,6 +79,24 @@ def test_exact_dedup_idempotent_and_minimal(spark, texts):
 
 
 @SETTINGS
+@given(texts=st.lists(st.text(alphabet="ab ", min_size=1, max_size=16).map(str.strip),
+                      min_size=1, max_size=10))
+def test_span_dedup_conservation(spark, texts):
+    """Σ n_canonical == global distinct span count; Σ n_spans == total
+    span occurrences — no span is lost or double-kept under any input."""
+    from fcs_etl_reactor_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id INT, text STRING")
+    out = span_dedup(df, "doc_id", "text", span_tokens=2).collect()
+    all_spans = []
+    for _, text in enumerate(texts):
+        toks = (text or "").split(" ")
+        all_spans += [" ".join(toks[i : i + 2]) for i in range(0, len(toks), 2)]
+    assert sum(r["n_spans"] for r in out) == len(all_spans)
+    assert sum(r["n_canonical"] for r in out) == len(set(all_spans))
+
+
+@SETTINGS
 @given(
     lefts=st.lists(st.integers(0, 1000), min_size=1, max_size=20),
     rights=st.lists(st.integers(0, 1000), min_size=0, max_size=20),

@@ -1,5 +1,6 @@
 """U1 scalar-UDF surface: works, and the expression twin matches."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from fcs_etl_reactor_spark.functions.udfs import decade_label, decade_label_expr
@@ -23,3 +24,35 @@ def test_scalar_udf_registered_for_sql(spark):
         "SELECT decade_label(value) AS d FROM udf_events WHERE value > 0 LIMIT 5"
     ).collect()
     assert all(r["d"].startswith("1e") for r in out)
+
+
+class TestMapInArrow:
+    def test_l2_normalize_matches_expression_twin(self, spark):
+        from pyspark.sql import functions as F
+
+        from fcs_etl_reactor_spark.functions.arrow_ops import l2_normalize_arrow
+        from fcs_etl_reactor_spark.io import load
+        from tests.conftest import SF_SMALL
+
+        e = load(spark, SF_SMALL, "embeddings").limit(50)
+        got = l2_normalize_arrow(e, "embedding")
+        # expression twin: aggregate-fold norm, transform-divide
+        norm = F.sqrt(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        )
+        twin = e.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double") / norm).alias("unit"),
+        )
+        g = {r["vec_id"]: r["unit"] for r in got.select("vec_id", "unit").collect()}
+        t = {r["vec_id"]: r["unit"] for r in twin.collect()}
+        assert g.keys() == t.keys()
+        for k in g:
+            assert g[k] == pytest.approx(t[k], rel=1e-12)
+        # unit-length invariant
+        for v in g.values():
+            assert sum(x * x for x in v) == pytest.approx(1.0, rel=1e-9)
