@@ -389,3 +389,68 @@ def q3b_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q4d — time-bucket gap-fill + LOCF (the hypertable "gapfill"
+# continuous-aggregate shape): hourly buckets per event_type, a dense
+# bucket grid spanning [min, max] per key, missing buckets filled with
+# n=0 and last-observation-carried-forward value. The grid is
+# sequence+explode (rows ∝ key_cardinality × hours — metadata-sized
+# next to the fact table); LOCF is one ordered window per key, no
+# self-join. Exact davg arithmetic keeps the carried values
+# hash-identical to the SQL twin.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q4d_gapfill",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS bucket,
+             COUNT(*) AS n_obs,
+             (CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)
+              / 1000000.0) / COUNT(value) AS avg_value
+      FROM events GROUP BY 1, 2
+    ), ext AS (
+      SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx FROM b GROUP BY 1
+    ), grid AS (
+      SELECT event_type, UNNEST(GENERATE_SERIES(mn, mx, INTERVAL 1 HOUR)) AS bucket
+      FROM ext
+    )
+    SELECT g.event_type, g.bucket,
+           COALESCE(b.n_obs, 0) AS n_obs,
+           ROUND(LAST_VALUE(b.avg_value IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 9) AS value_locf
+    FROM grid g LEFT JOIN b ON g.event_type = b.event_type AND g.bucket = b.bucket
+    """,
+)
+def q4d_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.functions.exact import davg
+
+    e = load(spark, sf_dir, "events")
+    b = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_obs"), davg("value", "avg_value"))
+    grid = (
+        b.groupBy("event_type")
+        .agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return grid.join(b, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+        F.round(F.last("avg_value", ignorenulls=True).over(w), 9).alias("value_locf"),
+    )

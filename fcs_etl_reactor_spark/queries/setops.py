@@ -208,3 +208,106 @@ def q39_bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or("user_id").alias("mask_or"),
         F.bit_xor("user_id").alias("mask_xor"),
     )
+
+
+# --------------------------------------------------------------------------
+# q7a — order-independent table fingerprint (pipeline integrity
+# verification): per-row 60-bit digest from md5 over a canonicalized
+# column string, folded with TWO order/partition-independent
+# aggregates — bit_xor and an exact decimal sum. Verifying a 100 TB
+# copy is one scan + a 1-row-per-group exchange; the float column
+# enters via exact scaling so both engines digest identical strings.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q7a_table_fingerprint",
+    oracle="""
+    WITH h AS (
+      SELECT o_orderstatus,
+             ('0x' || SUBSTR(MD5(
+               CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+               || '|' || o_orderstatus || '|' ||
+               CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
+               || '|' || o_orderpriority), 1, 15))::BIGINT AS d
+      FROM orders
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_rows,
+           BIT_XOR(d) AS xor_fp,
+           CAST(SUM(d) AS DECIMAL(38,0)) AS sum_fp
+    FROM h GROUP BY o_orderstatus
+    """,
+)
+def q7a_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").cast("string"),
+        "o_orderpriority",
+    )
+    d = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("long")
+    return (
+        o.select("o_orderstatus", d.alias("d"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor("d").alias("xor_fp"),
+            F.sum(F.col("d").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sum_fp"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q7b — upsert / merge (SCD-style maintenance without a table format):
+# updates replace matching base rows by key, new keys append. The
+# anti-join shuffles on the merge key (broadcast when the update
+# batch is bounded — the common CDC case); nothing rewrites
+# untouched partitions. Here the update batch is derived
+# deterministically from orders itself so both engines replay it.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q7b_upsert_merge",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             o_totalprice + 1000.0 AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 = 0
+    ), merged AS (
+      SELECT * FROM updates
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS HUGEINT)) AS DOUBLE)
+             / 100.0 AS total_price
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def q7b_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.merge import merge_upsert
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    updates = o.filter(F.col("o_orderkey") % 97 == 0).withColumns(
+        {
+            "o_orderstatus": F.lit("U"),
+            "o_totalprice": F.col("o_totalprice") + 1000.0,
+        }
+    )
+    merged = merge_upsert(o, updates, ["o_orderkey"])
+    scaled = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(scaled).cast("double") / 100.0).alias("total_price"),
+    )

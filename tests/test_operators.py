@@ -566,3 +566,27 @@ class TestInt8Quantize:
         plan = quantized_cosine_topk(v, v, k=1)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+class TestMergeUpsert:
+    def test_replace_append_passthrough(self, spark):
+        from fcs_etl_reactor_spark.operators.merge import merge_upsert
+
+        base = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k INT, s STRING, v DOUBLE"
+        )
+        updates = spark.createDataFrame(
+            [(2, "B", 99.0), (4, "d", 40.0)], "k INT, s STRING, v DOUBLE"
+        )
+        got = {r["k"]: (r["s"], r["v"]) for r in merge_upsert(base, updates, ["k"]).collect()}
+        assert got == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+    def test_schema_mismatch_rejected(self, spark):
+        import pytest as _pytest
+
+        from fcs_etl_reactor_spark.operators.merge import merge_upsert
+
+        base = spark.createDataFrame([(1, "a")], "k INT, s STRING")
+        upd = spark.createDataFrame([(1,)], "k INT")
+        with _pytest.raises(AssertionError):
+            merge_upsert(base, upd, ["k"])
