@@ -64,11 +64,14 @@ def query(name: str, oracle: str | None = None):
 # setops (46/50 green); round 2 verified envelopes/scalar/domain/text/
 # vectors (44/50 green) but its window closed before the LLM-pipeline
 # family. Round 3 leads with everything never driver-tested —
-# pipeline (q6a–q6g, L9–L15), dedup_extra (q5b/q56–q59, L2/L8/P6),
-# skew (q19/q34/q35), media (q74, plus the q75 hash fix), joins
-# (q18 bloom + the green join family), streaming tail — then the
-# re-fixed regressions (events_windows q95–q99/q3a/q3b, windows q41)
-# so every round-2 failure gets a fresh verdict in the same window.
+# pipeline (q6a–q6g, L9–L15), dedup_extra (q5b/q5c/q56–q59/q6h),
+# skew (q19/q34/q35), media (q74, plus the q75 hash fix), the
+# re-fixed regressions (events_windows q95–q99/q3a/q3b plus q41,
+# which lives in events_windows so the W2 regression fix lands inside
+# the window), the new streaming/gap-fill/upsert entries (q4d,
+# q9a–q9f), then joins (q18 bloom + the green join family) and the
+# domain re-confirms — the 50th entry is q76; q77 (r2-green) yields
+# its slot to the q41 regression evidence.
 from fcs_etl_reactor_spark.queries import pipeline  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import dedup_extra  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import skew  # noqa: E402,F401

@@ -454,3 +454,36 @@ def q4d_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
         F.round(F.last("avg_value", ignorenulls=True).over(w), 9).alias("value_locf"),
     )
+
+
+# --------------------------------------------------------------------------
+# q41 — lag/lead offsets (W2): inter-event gap per user — the classic
+# sessionization primitive.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q41_event_gaps",
+    oracle="""
+    SELECT
+      user_id, event_id, ts,
+      LAG(event_id) OVER w AS prev_event_id,
+      EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) AS gap_micros,
+      LEAD(event_type) OVER w AS next_event_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q41_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_micros"),
+        F.lead("event_type").over(w).alias("next_event_type"),
+    )

@@ -304,3 +304,97 @@ def q9e_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink_dir).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
+
+
+# --------------------------------------------------------------------------
+# q9f — streaming CDC upsert: foreachBatch maintains a keyed state
+# table (latest event per user) across micro-batches — the lakehouse
+# MERGE INTO pattern without a table format. Each batch reduces to one
+# row per key (argmax by (ts, event_id)) and merges into the previous
+# state version with a CONDITIONAL rule — the globally newer row wins,
+# not blindly the incoming one (the split source replays the recent
+# slice first, so the second batch is OLDER data; q7b's
+# updates-always-win merge_upsert would be wrong here). Each version
+# writes a NEW directory (no in-place overwrite of a table being
+# read). The final state is independent of batch boundaries, so the
+# oracle is a plain latest-row-per-user window over the whole table.
+# --------------------------------------------------------------------------
+
+_UPSERT_ROOT = "/tmp/spark_graft_stream_upsert"
+
+
+@query(
+    "q9f_streaming_upsert",
+    oracle="""
+    SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+           value AS last_value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q9f_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from fcs_etl_reactor_spark.streaming.windows import read_events_stream
+
+    src = _split_stream_dir(spark, sf_dir)
+    dest = os.path.join(_UPSERT_ROOT, src.rsplit("/", 1)[-1])
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest, exist_ok=True)
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def latest_per_user(df):
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "user_id",
+                F.col("ts").alias("last_ts"),
+                F.col("event_type").alias("last_event_type"),
+                F.col("value").alias("last_value"),
+                "event_id",
+                "ts",
+            )
+        )
+
+    def apply_batch(batch_df, batch_id):
+        delta = latest_per_user(batch_df)
+        prev = os.path.join(dest, f"state_v{batch_id - 1}")
+        if os.path.exists(prev):
+            base = batch_df.sparkSession.read.parquet(prev)
+            merged_all = base.unionByName(delta)
+            # re-reduce: a key updated in both versions keeps the
+            # globally latest row (ts, event_id ordering)
+            merged = (
+                merged_all.withColumn("__rn", F.row_number().over(
+                    Window.partitionBy("user_id").orderBy(
+                        F.col("ts").desc(), F.col("event_id").desc()
+                    )
+                ))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(os.path.join(dest, f"state_v{batch_id}"))
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(dest, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    versions = sorted(
+        (d for d in os.listdir(dest) if d.startswith("state_v")),
+        key=lambda d: int(d.rsplit("v", 1)[-1]),
+    )
+    final = spark.read.parquet(os.path.join(dest, versions[-1]))
+    return final.select("user_id", "last_ts", "last_event_type", "last_value")

@@ -46,39 +46,6 @@ def q40_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q41 — lag/lead offsets (W2): inter-event gap per user — the classic
-# sessionization primitive.
-# --------------------------------------------------------------------------
-
-
-@query(
-    "q41_event_gaps",
-    oracle="""
-    SELECT
-      user_id, event_id, ts,
-      LAG(event_id) OVER w AS prev_event_id,
-      EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) AS gap_micros,
-      LEAD(event_type) OVER w AS next_event_type
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    """,
-)
-def q41_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return e.select(
-        "user_id",
-        "event_id",
-        "ts",
-        F.lag("event_id").over(w).alias("prev_event_id"),
-        (
-            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
-        ).alias("gap_micros"),
-        F.lead("event_type").over(w).alias("next_event_type"),
-    )
-
-
-# --------------------------------------------------------------------------
 # q42 — running / framed aggregates (W3): cumulative revenue per
 # customer. Decimal-cast inside the window sum keeps the prefix sums
 # exact and order-independent of partitioning.

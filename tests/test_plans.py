@@ -143,3 +143,26 @@ def test_salted_join_spreads_key(spark):
     s = plan_of(spark, "q35_salted_join")
     # the join key must include the salt column so hot keys spread
     assert "_salt" in s
+
+
+def test_span_dedup_keeper_is_aggregate_not_window(spark):
+    # q5c's canonical-occurrence rule is a MIN aggregate on the digest
+    # (map-side combinable), never a per-digest window sort
+    s = plan_of(spark, "q5c_span_dedup")
+    assert "Window" not in s
+    assert "CartesianProduct" not in s
+
+
+def test_cross_corpus_lsh_never_cartesian(spark):
+    # q6h joins train×holdout band rows on (band, band_hash) equality;
+    # a cross product would defeat the whole decontamination design
+    s = plan_of(spark, "q6h_lsh_decontamination")
+    assert "CartesianProduct" not in s
+
+
+def test_random_projection_matrix_is_broadcast(spark):
+    # q8d's 16×64 sign matrix joins the exploded components via
+    # broadcast — the fact side never shuffles for the join
+    s = plan_of(spark, "q8d_random_projection")
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s
