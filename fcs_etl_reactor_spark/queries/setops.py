@@ -311,3 +311,162 @@ def q7b_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         (F.sum(scaled).cast("double") / 100.0).alias("total_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# q7c — per-column table profiler (schema-level data quality): one
+# output row per column with null/distinct/extreme stats. One pass:
+# every per-column aggregate runs in a single scan (no per-column
+# jobs); the unpivot to rows happens AFTER aggregation on a 1-row
+# frame, so profiling a 100 TB table costs exactly one scan + a
+# metadata-sized stack.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q7c_column_profile",
+    oracle="""
+    WITH s AS (
+      SELECT
+        COUNT(*) AS n,
+        COUNT(c_custkey) AS nn_custkey, COUNT(DISTINCT c_custkey) AS nd_custkey,
+        CAST(MIN(c_custkey) AS VARCHAR) AS mn_custkey,
+        CAST(MAX(c_custkey) AS VARCHAR) AS mx_custkey,
+        COUNT(c_name) AS nn_name, COUNT(DISTINCT c_name) AS nd_name,
+        MIN(c_name) AS mn_name, MAX(c_name) AS mx_name,
+        COUNT(c_nationkey) AS nn_nationkey, COUNT(DISTINCT c_nationkey) AS nd_nationkey,
+        CAST(MIN(c_nationkey) AS VARCHAR) AS mn_nationkey,
+        CAST(MAX(c_nationkey) AS VARCHAR) AS mx_nationkey,
+        COUNT(c_mktsegment) AS nn_mktsegment, COUNT(DISTINCT c_mktsegment) AS nd_mktsegment,
+        MIN(c_mktsegment) AS mn_mktsegment, MAX(c_mktsegment) AS mx_mktsegment
+      FROM customer
+    )
+    SELECT col, n_rows, n_nonnull, n_distinct, min_str, max_str FROM (
+      SELECT 'c_custkey' AS col, n AS n_rows, nn_custkey AS n_nonnull,
+             nd_custkey AS n_distinct, mn_custkey AS min_str, mx_custkey AS max_str FROM s
+      UNION ALL
+      SELECT 'c_name', n, nn_name, nd_name, mn_name, mx_name FROM s
+      UNION ALL
+      SELECT 'c_nationkey', n, nn_nationkey, nd_nationkey, mn_nationkey, mx_nationkey FROM s
+      UNION ALL
+      SELECT 'c_mktsegment', n, nn_mktsegment, nd_mktsegment, mn_mktsegment, mx_mktsegment FROM s
+    )
+    """,
+)
+def q7c_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for col in cols:
+        aggs += [
+            F.count(col).alias(f"nn_{col}"),
+            F.countDistinct(col).alias(f"nd_{col}"),
+            F.min(col).cast("string").alias(f"mn_{col}"),
+            F.max(col).cast("string").alias(f"mx_{col}"),
+        ]
+    one = c.agg(*aggs)
+    profile = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(col).alias("col"),
+                    F.col("n").alias("n_rows"),
+                    F.col(f"nn_{col}").alias("n_nonnull"),
+                    F.col(f"nd_{col}").alias("n_distinct"),
+                    F.col(f"mn_{col}").alias("min_str"),
+                    F.col(f"mx_{col}").alias("max_str"),
+                )
+                for col in cols
+            ]
+        )
+    ).alias("p")
+    return one.select(profile).select("p.*")
+
+
+# --------------------------------------------------------------------------
+# q7d — referential-integrity audit: orphan counts for each FK edge of
+# the star schema, as anti-join aggregates. Each edge is one shuffle
+# on its key (broadcastable when the parent's key set is bounded);
+# the output is one row per edge — the shape a nightly 100 TB
+# integrity gate emits.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q7d_fk_check",
+    oracle="""
+    SELECT 'orders->customer' AS fk_edge,
+           (SELECT COUNT(*) FROM orders) AS n_child,
+           (SELECT COUNT(*) FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->orders',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(*) FROM customer
+            WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+    """,
+)
+def q7d_fk_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def edge(name: str, child: DataFrame, key: str, parent: DataFrame, pkey: str):
+        n_child = child.agg(F.count(F.lit(1)).alias("n_child"))
+        orphans = (
+            child.join(parent.select(F.col(pkey).alias(key)), key, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        return (
+            n_child.crossJoin(F.broadcast(orphans))
+            .select(F.lit(name).alias("fk_edge"), "n_child", "n_orphans")
+        )
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    l = load(spark, sf_dir, "lineitem")
+    n = load(spark, sf_dir, "nation")
+    return (
+        edge("orders->customer", o, "o_custkey", c, "c_custkey")
+        .unionByName(edge("lineitem->orders", l, "l_orderkey", o, "o_orderkey"))
+        .unionByName(edge("customer->nation", c, "c_nationkey", n, "n_nationkey"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q7e — equi-depth histogram (the complement of q27's equi-width log
+# bins): 10 equal-population buckets per event_type via ntile. The
+# (value, event_id) tie-break makes bucket boundaries deterministic —
+# NTILE splits ties by row order, so an unordered tie would make
+# bucket extrema partition-dependent. At scale this is the sort-based
+# statistics pass a query optimizer runs to build its own histograms.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q7e_equidepth_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, value,
+             NTILE(10) OVER (PARTITION BY event_type
+                             ORDER BY value, event_id) AS bucket
+      FROM events
+    )
+    SELECT event_type, CAST(bucket AS INTEGER) AS bucket, COUNT(*) AS n,
+           MIN(value) AS lo, MAX(value) AS hi
+    FROM b GROUP BY event_type, bucket
+    """,
+)
+def q7e_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        e.select("event_type", "value", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
