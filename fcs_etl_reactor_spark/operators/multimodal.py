@@ -288,3 +288,92 @@ def write_partitioned_by_modality(df: DataFrame, path: str) -> None:
     """S5 for media: partition the lake by modality so downstream scans
     prune entire modalities."""
     df.write.mode("overwrite").partitionBy("modality").parquet(path)
+
+
+# --------------------------------------------------------------------------
+# Video-shaped ops: frame sampling and resize. Real video codecs are
+# absent from the container, so the honest design splits cleanly:
+# the CONTAINER layer (RAWV below: length-indexed concatenated BMP
+# frames) is real and seekable, the per-frame codec is the real BMP
+# one, and an actual mp4/webm would plug in behind decode_frame with
+# the same signature. The load-bearing property for 100 TB video is
+# SEEKABILITY: sampling k of n frames reads k frames' bytes via the
+# index table — never a full-container decode.
+# --------------------------------------------------------------------------
+
+_RAWV_MAGIC = b"RAWV"
+
+
+def encode_rawv(frames: list[np.ndarray]) -> bytes:
+    """Container: magic, u32 frame count, u32 per-frame lengths, then
+    the frames as BMP blobs back-to-back (the length table makes any
+    frame O(1) seekable)."""
+    blobs = [encode_bmp(f) for f in frames]
+    import struct
+
+    head = _RAWV_MAGIC + struct.pack("<I", len(blobs))
+    head += b"".join(struct.pack("<I", len(b)) for b in blobs)
+    return head + b"".join(blobs)
+
+
+def rawv_frame_count(data: bytes) -> int:
+    import struct
+
+    assert data[:4] == _RAWV_MAGIC, "not a RAWV container"
+    return struct.unpack_from("<I", data, 4)[0]
+
+
+def decode_rawv_frame(data: bytes, idx: int) -> np.ndarray:
+    """Seek + decode ONE frame: index-table lookup, then the real BMP
+    decoder on that frame's byte range only."""
+    import struct
+
+    n = rawv_frame_count(data)
+    assert 0 <= idx < n, f"frame {idx} out of range {n}"
+    lengths = struct.unpack_from(f"<{n}I", data, 8)
+    start = 8 + 4 * n + sum(lengths[:idx])
+    return decode_bmp(data[start : start + lengths[idx]])
+
+
+def frame_indices(n_total: int, k: int) -> list[int]:
+    """Uniform k-of-n sampling with pure integer arithmetic —
+    replayable in any engine: idx_i = floor(i·(n−1)/(k−1))."""
+    if k <= 1 or n_total <= 1:
+        return [0]
+    return [min((i * (n_total - 1)) // (k - 1), n_total - 1) for i in range(k)]
+
+
+def resize_nn(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize (pure NumPy): index maps computed once,
+    applied as a fancy-index gather — the vectorized kernel shape any
+    real resampler (bilinear, area) would reuse."""
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return img[rows][:, cols]
+
+
+def sample_frames(df: DataFrame, k: int = 3) -> DataFrame:
+    """Frame-sample operator over (path, content) RAWV rows: emits
+    (path, frame_idx, frame_mean) for k uniformly-spaced frames per
+    container — mapInPandas, decoding ONLY the sampled frames."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            paths, idxs, means = [], [], []
+            for path, data in zip(pdf["path"], pdf["content"]):
+                data = bytes(data)
+                n = rawv_frame_count(data)
+                for idx in frame_indices(n, k):
+                    img = decode_rawv_frame(data, idx)
+                    paths.append(path)
+                    idxs.append(idx)
+                    means.append(float(np.float32(img.mean() / 255.0)))
+            yield pd.DataFrame(
+                {"path": paths, "frame_idx": pd.array(idxs, dtype="int32"),
+                 "frame_mean": means}
+            )
+
+    return df.select("path", "content").mapInPandas(
+        _sample, "path STRING, frame_idx INT, frame_mean DOUBLE"
+    )

@@ -85,3 +85,64 @@ def q74_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("feature", 1).cast("int").alias("kind"),
         F.round(F.element_at("feature", 5).cast("double"), 6).alias("level"),
     )
+
+
+# --------------------------------------------------------------------------
+# q7f — video frame sampling (L6): nation keys render into seekable
+# RAWV containers (6–10 real BMP frames each, levels an arithmetic
+# function of (key, frame)); sample_frames decodes ONLY the 3
+# uniformly-indexed frames per container via the length table. The
+# oracle recomputes the integer sampling indices and the decoded
+# levels from the same arithmetic — a hash match certifies both the
+# seek arithmetic and real per-frame decoding.
+# --------------------------------------------------------------------------
+
+_VID_H, _VID_W = 8, 8
+
+
+def _render_videos(batches):
+    import numpy as np
+
+    from fcs_etl_reactor_spark.operators.multimodal import encode_rawv
+
+    for pdf in batches:
+        paths, blobs = [], []
+        for k in pdf["n_nationkey"]:
+            k = int(k)
+            n_frames = 6 + (k % 5)
+            frames = [
+                np.full((_VID_H, _VID_W), (k * 17 + f * 11) % 256, dtype=np.uint8)
+                for f in range(n_frames)
+            ]
+            paths.append(str(k))
+            blobs.append(encode_rawv(frames))
+        yield pd.DataFrame({"path": paths, "content": blobs})
+
+
+@query(
+    "q7f_frame_sample",
+    oracle="""
+    WITH v AS (
+      SELECT n_nationkey, 6 + (n_nationkey % 5) AS n_frames FROM nation
+    )
+    SELECT n_nationkey,
+           CAST((i * (n_frames - 1)) // 2 AS INTEGER) AS frame_idx,
+           ROUND(CAST(CAST(
+             ((n_nationkey * 17 + ((i * (n_frames - 1)) // 2) * 11) % 256) / 255.0
+           AS FLOAT) AS DOUBLE), 6) AS level
+    FROM v CROSS JOIN RANGE(0, 3) t(i)
+    """,
+)
+def q7f_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.multimodal import sample_frames
+
+    n = load(spark, sf_dir, "nation")
+    vids = n.select("n_nationkey").mapInPandas(
+        _render_videos, "path STRING, content BINARY"
+    )
+    out = sample_frames(vids, k=3)
+    return out.select(
+        F.col("path").cast("int").alias("n_nationkey"),
+        "frame_idx",
+        F.round(F.col("frame_mean"), 6).alias("level"),
+    )

@@ -187,3 +187,43 @@ def test_partitioned_write(spark, media_dir, tmp_path):
     # partition pruning: reading one modality touches one directory
     pruned = spark.read.parquet(out).filter("modality = 'image/png'")
     assert pruned.count() == 1
+
+
+class TestRawvFrameSampling:
+    def test_container_roundtrip_and_seek(self):
+        import numpy as np
+
+        from fcs_etl_reactor_spark.operators.multimodal import (
+            decode_rawv_frame,
+            encode_rawv,
+            rawv_frame_count,
+        )
+
+        frames = [
+            np.arange(64, dtype=np.uint8).reshape(8, 8) + i for i in range(5)
+        ]
+        data = encode_rawv(frames)
+        assert rawv_frame_count(data) == 5
+        for i in (0, 2, 4):
+            assert (decode_rawv_frame(data, i) == frames[i]).all()
+
+    def test_frame_indices_integer_uniform(self):
+        from fcs_etl_reactor_spark.operators.multimodal import frame_indices
+
+        assert frame_indices(7, 3) == [0, 3, 6]
+        assert frame_indices(10, 4) == [0, 3, 6, 9]
+        assert frame_indices(1, 3) == [0]
+        assert frame_indices(2, 2) == [0, 1]
+
+    def test_resize_nn_values(self):
+        import numpy as np
+
+        from fcs_etl_reactor_spark.operators.multimodal import resize_nn
+
+        img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+        up = resize_nn(img, 8, 8)
+        assert up.shape == (8, 8)
+        # each source pixel maps to a 2x2 block under exact 2x upscale
+        assert (up[::2, ::2] == img).all() and (up[1::2, 1::2] == img).all()
+        down = resize_nn(img, 2, 2)
+        assert (down == img[[0, 2]][:, [0, 2]]).all()
