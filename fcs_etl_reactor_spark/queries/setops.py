@@ -470,3 +470,82 @@ def q7e_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("hi"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q7g — table diff (snapshot regression detection): classify every key
+# of two table versions as added / removed / changed / unchanged with
+# ONE full-outer join on the key, comparing md5 row digests — never
+# column-by-column row comparison. The "new version" is derived
+# deterministically from orders (q7b's update rule plus a deletion
+# rule) so both engines replay it.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q7g_table_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey AS k,
+             MD5(o_orderstatus || '|' ||
+                 CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR))
+               AS digest
+      FROM orders
+    ), new AS (
+      SELECT o_orderkey AS k,
+             MD5(CASE WHEN o_orderkey % 97 = 0 THEN 'U' ELSE o_orderstatus END
+                 || '|' ||
+                 CAST(CAST(FLOOR(
+                   (CASE WHEN o_orderkey % 97 = 0
+                         THEN o_totalprice + 1000.0 ELSE o_totalprice END) * 100
+                   + 0.5) AS BIGINT) AS VARCHAR)) AS digest
+      FROM orders WHERE o_orderkey % 101 <> 0
+    )
+    SELECT CASE
+             WHEN o.k IS NULL THEN 'added'
+             WHEN n.k IS NULL THEN 'removed'
+             WHEN o.digest <> n.digest THEN 'changed'
+             ELSE 'unchanged'
+           END AS change_kind,
+           COUNT(*) AS n_keys
+    FROM old o FULL OUTER JOIN new n ON o.k = n.k
+    GROUP BY 1
+    """,
+)
+def q7g_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+
+    def digest(status, price):
+        return F.md5(
+            F.concat_ws(
+                "|",
+                status,
+                F.floor(price * 100 + 0.5).cast("bigint").cast("string"),
+            )
+        )
+
+    old = o.select(
+        F.col("o_orderkey").alias("k"),
+        digest(F.col("o_orderstatus"), F.col("o_totalprice")).alias("old_digest"),
+    )
+    upd = F.col("o_orderkey") % 97 == 0
+    new = (
+        o.filter(F.col("o_orderkey") % 101 != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            digest(
+                F.when(upd, "U").otherwise(F.col("o_orderstatus")),
+                F.when(upd, F.col("o_totalprice") + 1000.0).otherwise(
+                    F.col("o_totalprice")
+                ),
+            ).alias("new_digest"),
+        )
+    )
+    j = old.join(new, "k", "full_outer")
+    kind = (
+        F.when(F.col("old_digest").isNull(), "added")
+        .when(F.col("new_digest").isNull(), "removed")
+        .when(F.col("old_digest") != F.col("new_digest"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.groupBy(kind.alias("change_kind")).agg(F.count(F.lit(1)).alias("n_keys"))
