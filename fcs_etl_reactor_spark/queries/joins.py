@@ -371,3 +371,98 @@ def q18_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pruned.select(
         "l_orderkey", "l_linenumber", F.col("p_partkey").alias("l_partkey")
     )
+
+
+# --------------------------------------------------------------------------
+# q1a — TPC-H Q5 shape (local supplier volume): 6-table star/snowflake
+# join with the customer-and-supplier-same-nation predicate, revenue
+# per nation. Dim chain (region→nation) broadcasts; the two fact-side
+# joins shuffle on their keys. The same-nation equality is part of
+# the supplier join key — not a post-join filter — so the planner
+# never materializes the mismatched pairs.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q1a_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name,
+           {o_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue", scale="10000.0")}
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name
+    """,
+)
+def q1a_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    dim = (
+        n.join(F.broadcast(r.filter(F.col("r_name").isin("ASIA", "EUROPE"))),
+               n["n_regionkey"] == r["r_regionkey"])
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        c.join(F.broadcast(dim), c["c_nationkey"] == dim["n_nationkey"])
+        .join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .join(
+            s,
+            (l["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .groupBy("n_name")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+                scale=1e4,
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q1b — TPC-H Q6 shape (forecast revenue change): pure scan-filter-agg
+# over lineitem; every predicate must reach the parquet scan as a
+# pushed filter and the whole aggregation is one codegen stage with a
+# 1-row exchange — the cheapest possible plan for the question.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q1b_forecast_revenue",
+    oracle=f"""
+    SELECT
+      COUNT(*) AS n_lines,
+      {o_dsum("l_extendedprice * l_discount", "revenue", scale="10000.0")}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q1b_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue", scale=1e4),
+        )
+    )

@@ -512,3 +512,66 @@ def q8c_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("familiarity"),
     )
+
+
+# --------------------------------------------------------------------------
+# q8g — vocabulary building + OOV rate (the tokenizer-training
+# precursor): top-100 corpus vocabulary by frequency (deterministic
+# (count DESC, term ASC) tie-break), then per-language OOV token
+# rates against it. The vocab top-k is TakeOrderedAndProject
+# (per-partition heads + a k-row merge — asserted in test_plans),
+# bounded-size by construction, and broadcast back against the token
+# stream — at 100 TB the vocab is the only thing that ever leaves the
+# token-shuffle stage.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q8g_vocab_oov",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS term
+      FROM documents
+    ), counts AS (
+      SELECT term, COUNT(*) AS n FROM toks WHERE term <> '' GROUP BY term
+    ), vocab AS (
+      SELECT term FROM (
+        SELECT term, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rk FROM counts
+      ) WHERE rk <= 100
+    )
+    SELECT t.lang,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           ROUND(SUM(CASE WHEN v.term IS NULL THEN 1.0 ELSE 0.0 END)
+                 / COUNT(*), 9) AS oov_rate
+    FROM toks t LEFT JOIN vocab v USING (term)
+    WHERE t.term <> ''
+    GROUP BY t.lang
+    """,
+)
+def q8g_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    # orderBy+limit → TakeOrderedAndProject (per-partition heads, then
+    # a k-row merge) — NOT a global row_number window, which would
+    # sort the whole vocabulary candidate set on one partition
+    vocab = (
+        counts.orderBy(F.col("n").desc(), F.col("term"))
+        .limit(100)
+        .select("term", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("in_vocab").isNull().cast("long")).alias("n_oov"),
+            F.round(
+                F.sum(F.col("in_vocab").isNull().cast("double")) / F.count(F.lit(1)), 9
+            ).alias("oov_rate"),
+        )
+    )

@@ -166,3 +166,11 @@ def test_random_projection_matrix_is_broadcast(spark):
     s = plan_of(spark, "q8d_random_projection")
     assert "BroadcastHashJoin" in s
     assert "CartesianProduct" not in s
+
+
+def test_vocab_topk_is_take_ordered(spark):
+    # q8g's vocabulary cut must be per-partition heads + k-row merge,
+    # never a single-partition global window sort
+    s = plan_of(spark, "q8g_vocab_oov")
+    assert "TakeOrderedAndProject" in s
+    assert "CartesianProduct" not in s
