@@ -198,3 +198,52 @@ def q8_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.join(F.broadcast(sketch))
         .select("item", "n", F.array_contains("_items", F.col("item")).alias("found"))
     )
+
+
+# --------------------------------------------------------------------------
+# q8h — count-min sketch (A7 family completion): per-user event counts
+# estimated from a 4×1024-counter sketch vs their exact counts. The
+# envelope states CMS's one-sided guarantee: estimates NEVER
+# undercount, and here every estimate also lands within the ε·N
+# overcount bound (ε = e/width; checked exhaustively at this scale —
+# deterministic, seeded hashes). Sketch memory is 32 KB regardless of
+# key cardinality, and two sketches ADD exactly — the distributed
+# mergeability HLL lacks.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q8h_countmin",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_exact,
+           TRUE AS never_undercounts,
+           TRUE AS within_eps
+    FROM events GROUP BY user_id
+    """,
+)
+def q8h_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from fcs_etl_reactor_spark.operators.countmin import cms_build, cms_estimate
+
+    e = load(spark, sf_dir, "events")
+    depth, width = 4, 1024
+    sketch = cms_build(e, "user_id", depth, width)
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = cms_estimate(sketch, exact.select("user_id"), "user_id", depth, width)
+    n_total = e.agg(F.count(F.lit(1)).alias("n")).select("n")
+    eps = math.e / width
+    return (
+        exact.join(est, "user_id")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "user_id",
+            "n_exact",
+            (F.col("cms_count") >= F.col("n_exact")).alias("never_undercounts"),
+            (
+                F.col("cms_count")
+                <= F.col("n_exact") + F.ceil(F.lit(eps) * F.col("n"))
+            ).alias("within_eps"),
+        )
+    )

@@ -590,3 +590,34 @@ class TestMergeUpsert:
         upd = spark.createDataFrame([(1,)], "k INT")
         with _pytest.raises(AssertionError):
             merge_upsert(base, upd, ["k"])
+
+
+class TestCountMin:
+    def test_never_undercounts_and_merges_exactly(self, spark):
+        from pyspark.sql import functions as SF
+
+        from fcs_etl_reactor_spark.operators.countmin import cms_build, cms_estimate
+
+        a = spark.createDataFrame([(i % 7,) for i in range(200)], "k BIGINT")
+        b = spark.createDataFrame([(i % 5,) for i in range(100)], "k BIGINT")
+        # tiny width forces collisions — the one-sided guarantee must hold
+        d, w = 3, 8
+        sk_a, sk_b = cms_build(a, "k", d, w), cms_build(b, "k", d, w)
+        probes = a.union(b).distinct()
+        exact = {r["k"]: 0 for r in probes.collect()}
+        for r in a.union(b).groupBy("k").count().collect():
+            exact[r["k"]] = r["count"]
+        # counter-wise addition of two sketches == sketch of the union
+        merged = (
+            sk_a.unionByName(sk_b)
+            .groupBy("r", "bucket")
+            .agg(SF.sum("counter").alias("counter"))
+        )
+        direct = cms_build(a.union(b), "k", d, w)
+        assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+        est = {
+            r["k"]: r["cms_count"]
+            for r in cms_estimate(merged, probes, "k", d, w).collect()
+        }
+        for k, n in exact.items():
+            assert est[k] >= n  # never undercounts, even at width 8
