@@ -365,3 +365,48 @@ def q77_bead_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("intercept", 6).alias("intercept"),
         "n_peaks",
     )
+
+
+# --------------------------------------------------------------------------
+# q7h — arcsinh cofactor transform (the standard cytometry variance-
+# stabilizing transform; flowCore's logicle is its iterative cousin,
+# arcsinh(x/c) the accepted closed form — cofactor 5 per CyTOF
+# convention, 150 for fluorescence). Computed as ln(x+√(x²+1)) on
+# BOTH engines (DuckDB 1.0 has no ASINH; the identical expression
+# graph keeps the float paths aligned, and 9-dp rounding absorbs the
+# last-ulp libm-vs-JVM drift). Pure codegen — the transform adds zero
+# shuffles to any plan it feeds.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q7h_arcsinh_transform",
+    oracle="""
+    WITH t AS (
+      SELECT l_returnflag,
+             l_quantity / 5.0 AS x
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(MIN(LN(x + SQRT(x * x + 1))), 9) AS asinh_min,
+           ROUND(MAX(LN(x + SQRT(x * x + 1))), 9) AS asinh_max,
+           ROUND(CAST(CAST(SUM(CAST(FLOOR(LN(x + SQRT(x * x + 1)) * 1000000000.0)
+                       AS HUGEINT)) AS DOUBLE) / 1000000000.0 AS DOUBLE), 6)
+             AS asinh_sum
+    FROM t GROUP BY l_returnflag
+    """,
+)
+def q7h_arcsinh_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity") / 5.0
+    a = F.log(x + F.sqrt(x * x + 1))
+    scaled = F.floor(a * 1_000_000_000.0).cast("decimal(38,0)")
+    return l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min(a), 9).alias("asinh_min"),
+        F.round(F.max(a), 9).alias("asinh_max"),
+        F.round(
+            (F.sum(scaled).cast("double") / 1_000_000_000.0).cast("double"), 6
+        ).alias("asinh_sum"),
+    )
