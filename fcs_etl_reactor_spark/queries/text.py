@@ -575,3 +575,57 @@ def q8g_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q8i — sliding-window document chunking (the RAG/context-window prep
+# op q5c's non-overlapping spans don't cover): width-6 stride-4 token
+# windows per document, each chunk addressed (doc_id, chunk_idx) and
+# content-fingerprinted. Pure expression pipeline (sequence →
+# transform → posexplode): chunking 100 TB is one narrow map stage,
+# no shuffle at all until something downstream aggregates.
+# --------------------------------------------------------------------------
+
+_CHUNK_W, _CHUNK_S = 6, 4
+
+
+@query(
+    "q8i_chunking",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents
+    ), chunks AS (
+      SELECT doc_id, CAST(s AS INT) AS chunk_idx,
+             ARRAY_TO_STRING(w[s*{_CHUNK_S}+1 : s*{_CHUNK_S}+{_CHUNK_W}], ' ') AS chunk
+      FROM (SELECT doc_id, w,
+                   UNNEST(RANGE(0, GREATEST(CAST(CEIL((LEN(w) - {_CHUNK_W}) / {_CHUNK_S}.0)
+                                            AS BIGINT) + 1, 1))) AS s
+            FROM toks)
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(LEN(STRING_SPLIT(chunk, ' ')) AS INTEGER) AS n_tokens,
+           MD5(chunk) AS chunk_digest
+    FROM chunks
+    """,
+)
+def q8i_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    # chunk starts: 0, S, 2S, ... covering the tail (last window may be
+    # short); ceil((len-W)/S)+1 windows, minimum 1
+    n_chunks = F.greatest(
+        (F.ceil((F.size(toks) - _CHUNK_W) / F.lit(float(_CHUNK_S)))).cast("long") + 1,
+        F.lit(1).cast("long"),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda s: F.concat_ws(" ", F.slice(toks, (s * _CHUNK_S + 1).cast("int"), _CHUNK_W)),
+    )
+    return d.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(F.split(F.col("chunk"), " ")).alias("n_tokens"),
+        F.md5(F.col("chunk")).alias("chunk_digest"),
+    )
