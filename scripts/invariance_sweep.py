@@ -1,0 +1,51 @@
+#!/usr/bin/env python
+"""Partition-count invariance sweep over the FULL registry: every
+query's value-hash must be identical at shuffle.partitions 3 vs 17
+(sf0.001). This is the determinism gate that protects the driver's
+value-hash from float reduction-order drift — run it after fixture
+regeneration or any new-query batch.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from fcs_etl_reactor_spark.queries import QUERIES
+from fcs_etl_reactor_spark.session import get_spark
+from scripts.driver_sim import value_hash
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+
+def main() -> int:
+    spark = get_spark(app_name="invariance-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    bad, err = [], []
+    for name, fn in QUERIES.items():
+        hashes = []
+        try:
+            for parts in ("3", "17"):
+                spark.conf.set("spark.sql.shuffle.partitions", parts)
+                # bypass the plan cache: a cached DataFrame would reuse
+                # the first run's shuffle setting
+                spark.__dict__.pop("_fcs_plan_cache", None)
+                df = fn(spark, SF)
+                hashes.append(value_hash(df.collect(), df.columns))
+        except Exception as exc:
+            err.append((name, repr(exc)[:200]))
+            print(f"[ERR ] {name}: {exc}", flush=True)
+            continue
+        status = "OK  " if hashes[0] == hashes[1] else "DIFF"
+        if status == "DIFF":
+            bad.append(name)
+        print(f"[{status}] {name}", flush=True)
+    print(f"\n{len(QUERIES) - len(bad) - len(err)}/{len(QUERIES)} invariant; "
+          f"{len(bad)} hash-diff {bad}; {len(err)} errors {[n for n, _ in err]}")
+    return 1 if bad or err else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
