@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Non-UTC driver-session probe: run the timestamp-heavy queries on a
+SparkSession whose session timezone is America/New_York (odd shuffle
+partition count too), and hash-compare against the naive-UTC DuckDB
+oracles. io.load pins spark.sql.session.timeZone to UTC — this probe
+proves that pin holds whatever session the driver brings.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+from pyspark.sql import SparkSession
+
+from fcs_etl_reactor_spark.queries import ORACLE, QUERIES
+from fcs_etl_reactor_spark.testkit import schema_diff
+from scripts.driver_sim import TABLES, value_hash
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+TS_QUERIES = [
+    "q41_event_gaps", "q47_time_frames", "q49_calendar_parts",
+    "q62_datetime", "q95_tumbling_window", "q96_sliding_window",
+    "q97_sessionization", "q98_streaming_tumbling",
+    "q99_streaming_sessions", "q3a_funnel", "q3b_retention_cohorts",
+    "q4d_gapfill", "q7e_equidepth_histogram", "q9a_watermark_late",
+    "q9b_streaming_dedup", "q9c_stream_static_join",
+    "q9d_stateful_counters", "q9e_foreach_batch_sink",
+    "q9f_streaming_upsert", "q16_asof_join", "q42_running_total",
+]
+
+
+def main() -> int:
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .appName("tz-probe")
+        .config("spark.sql.session.timeZone", "America/New_York")
+        .config("spark.sql.shuffle.partitions", "7")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    bad = []
+    for name in TS_QUERIES:
+        try:
+            sdf = QUERIES[name](spark, SF)
+            srows = sdf.collect()
+            rel = con.sql(ORACLE[name])
+            orows = rel.fetchall()
+            ok = (
+                not schema_diff(sdf, rel)
+                and len(srows) == len(orows)
+                and value_hash(srows, sdf.columns)
+                == value_hash(orows, list(rel.columns))
+            )
+        except Exception as exc:
+            bad.append((name, repr(exc)[:160]))
+            print(f"[ERR ] {name}: {exc}", flush=True)
+            continue
+        print(f"[{'OK  ' if ok else 'FAIL'}] {name}", flush=True)
+        if not ok:
+            bad.append((name, "hash/schema"))
+    print(f"\n{len(TS_QUERIES) - len(bad)}/{len(TS_QUERIES)} green under "
+          f"America/New_York session tz; failures: {bad}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
