@@ -49,6 +49,11 @@ PROBE_QUERIES = [  # all run on the replicated tables
     "q5c_span_dedup",        # sub-document span dedup (digest shuffle)
     "lsh_cross_decontam",    # cross-corpus LSH, RAW operator (registry
     # q6h also computes the quadratic-side exact verifier envelope)
+    "q8i_chunking",          # RAG chunking (pure map stage)
+    "q8g_vocab_oov",         # top-k vocab + broadcast OOV join
+    "q8h_countmin",          # bounded-memory sketch build + probe
+    "q7a_table_fingerprint", # integrity digest fold (scan-bound)
+    "q4d_gapfill",           # dense grid + LOCF window
 ]
 
 
