@@ -629,3 +629,60 @@ def q8i_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.col("chunk"), " ")).alias("n_tokens"),
         F.md5(F.col("chunk")).alias("chunk_digest"),
     )
+
+
+# --------------------------------------------------------------------------
+# q8j — BPE merge-step pair counts (tokenizer training's inner loop):
+# the most frequent adjacent symbol pairs, counted over the DISTINCT
+# word table weighted by word frequency — the classic BPE efficiency
+# trick (pair extraction touches |vocab| rows, not |corpus| tokens;
+# at 100 TB the distinct-word table is orders of magnitude smaller).
+# Top-20 via TakeOrderedAndProject with a total tie-break. A full BPE
+# trainer iterates this step re-segmenting after each merge; each
+# iteration is this same bounded-output job.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q8j_bpe_pair_counts",
+    oracle="""
+    WITH toks AS (
+      SELECT UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+    ), wc AS (
+      SELECT term, COUNT(*) AS n FROM toks WHERE term <> '' GROUP BY term
+    ), pairs AS (
+      SELECT SUBSTR(term, CAST(i AS INT), 2) AS pair, n
+      FROM (SELECT term, n, UNNEST(RANGE(1, LENGTH(term))) AS i
+            FROM wc WHERE LENGTH(term) >= 2)
+    )
+    SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT 20
+    """,
+)
+def q8j_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = (
+        wc.filter(F.length("term") >= 2)
+        .select(
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("term") - 1),
+                    lambda i: F.substring(F.col("term"), i, 2),
+                )
+            ).alias("_", "pair"),
+            "n",
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(20)
+    )

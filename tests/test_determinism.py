@@ -20,6 +20,10 @@ REPRESENTATIVE = [
     "q5c_span_dedup",
     "q6h_lsh_decontamination",
     "q8d_random_projection",
+    "q8h_countmin",
+    "q8i_chunking",
+    "q8j_bpe_pair_counts",
+    "q9f_streaming_upsert",
     "q81_tfidf",
     "q88_cosine_neardup",
     "q91_cosine_topk",
