@@ -621,3 +621,57 @@ class TestCountMin:
         }
         for k, n in exact.items():
             assert est[k] >= n  # never undercounts, even at width 8
+
+
+class TestBpeTrainer:
+    @staticmethod
+    def _reference_bpe(words, n_merges):
+        from collections import Counter
+
+        wc = Counter(w for w in words if w)
+        vocab = {w: list(w) for w in wc}
+        merges = []
+        for rank in range(n_merges):
+            pc = Counter()
+            for w, syms in vocab.items():
+                for x, y in zip(syms, syms[1:]):
+                    pc[(x, y)] += wc[w]
+            if not pc:
+                break
+            # (count DESC, pair ASC) total order — same rule as the operator
+            (a, b), _ = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((rank, a, b))
+            for w, syms in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[w] = out
+        return merges
+
+    def test_matches_pure_python_reference(self, spark):
+        from fcs_etl_reactor_spark.operators.bpe import train_bpe
+
+        texts = [
+            "low lower lowest low low",
+            "new newer newest new newer",
+            "wide wider widest wide",
+            "low newer low wide lowest",
+        ]
+        words = [w for t in texts for w in t.split(" ")]
+        df = spark.createDataFrame([(t,) for t in texts], "text STRING")
+        got = train_bpe(df, "text", n_merges=6)
+        assert got == self._reference_bpe(words, 6)
+
+    def test_overlapping_merge_is_leftmost_greedy(self, spark):
+        from fcs_etl_reactor_spark.operators.bpe import train_bpe
+
+        # 'aaaa': rule (a,a) learned first; re-segmentation must give
+        # (aa)(aa), and the next round then learns (aa,aa)
+        df = spark.createDataFrame([("aaaa aaaa",)], "text STRING")
+        got = train_bpe(df, "text", n_merges=2)
+        assert got == [(0, "a", "a"), (1, "aa", "aa")]
