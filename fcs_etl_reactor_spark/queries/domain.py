@@ -410,3 +410,79 @@ def q7h_arcsinh_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(scaled).cast("double") / 1_000_000_000.0).cast("double"), 6
         ).alias("asinh_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# q7i — cross-sample quantile normalization (the flowCore/limma-style
+# batch-effect correction): each sample's value distribution is mapped
+# onto the average quantile profile across samples. Rows rank into 100
+# equal-population buckets per sample (deterministic ntile tie-break),
+# the per-(sample, bucket) means average across samples per bucket,
+# and every row's normalized value is its bucket's cross-sample
+# target. Two window-free aggregations after the ntile sort; the
+# bucket tables are (samples × 100) rows — metadata-sized at any
+# corpus scale. Exact scaled-integer arithmetic end-to-end.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q7i_quantile_normalization",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag AS sample_id, l_quantity,
+             NTILE(100) OVER (PARTITION BY l_returnflag
+                              ORDER BY l_quantity, l_orderkey, l_linenumber)
+               AS bucket
+      FROM lineitem
+    ), bm AS (
+      SELECT sample_id, bucket,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS HUGEINT)) AS DOUBLE)
+               / 100.0 / COUNT(*) AS bucket_mean
+      FROM b GROUP BY 1, 2
+    )
+    SELECT sample_id, CAST(bucket AS INTEGER) AS bucket, n,
+           ROUND(bucket_mean, 9) AS bucket_mean,
+           ROUND(CAST(SUM(CAST(FLOOR(bucket_mean * 1000000.0) AS HUGEINT))
+                        OVER (PARTITION BY bucket) AS DOUBLE)
+                 / 1000000.0
+                 / (COUNT(*) OVER (PARTITION BY bucket)), 9) AS target
+    FROM bm
+    """,
+)
+def q7i_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    l = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    b = l.select(
+        F.col("l_returnflag").alias("sample_id"),
+        "l_quantity",
+        F.ntile(100).over(w).alias("bucket"),
+    )
+    bm = b.groupBy("sample_id", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.floor(F.col("l_quantity") * 100 + 0.5).cast("long")).cast("double")
+            / 100.0
+            / F.count(F.lit(1))
+        ).alias("bucket_mean"),
+    )
+    # cross-sample target per bucket: floor-scaled so the 3-addend
+    # double sum is partition-order independent
+    wb = Window.partitionBy("bucket")
+    target = (
+        F.sum(F.floor(F.col("bucket_mean") * 1_000_000.0).cast("long")).over(wb)
+        .cast("double")
+        / 1_000_000.0
+        / F.count(F.lit(1)).over(wb)
+    )
+    return bm.select(
+        "sample_id",
+        "bucket",
+        "n",
+        F.round("bucket_mean", 9).alias("bucket_mean"),
+        F.round(target, 9).alias("target"),
+    )
