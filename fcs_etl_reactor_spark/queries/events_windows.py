@@ -487,3 +487,85 @@ def q41_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gap_micros"),
         F.lead("event_type").over(w).alias("next_event_type"),
     )
+
+
+# --------------------------------------------------------------------------
+# q3c — windowed rate anomaly detection (ops analytics): per-type
+# 10-minute event counts, each compared to the mean/stddev of the SIX
+# preceding windows (ROWS frame); |z| > 3 flags the anomaly. The
+# trailing stats are exact integer sums (counts), so z-scores are
+# bit-identical across engines; windows with an undefined baseline
+# (fewer than 2 predecessors or zero variance) report z = NULL and
+# never flag. One shuffle (the bucket agg) + one ordered window per
+# key — the streaming twin would be the same arithmetic under a
+# watermark.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q3c_rate_anomaly",
+    oracle="""
+    WITH w AS (
+      SELECT event_type,
+             MAKE_TIMESTAMP(CAST(FLOOR(EPOCH(ts) / 600) * 600000000 AS BIGINT))
+               AS win_start,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type, win_start, n,
+             COUNT(*) OVER f AS n_base,
+             SUM(n) OVER f AS base_sum,
+             SUM(n * n) OVER f AS base_sum2
+      FROM w
+      WINDOW f AS (PARTITION BY event_type ORDER BY win_start
+                   ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, win_start, n,
+           CAST(n_base AS BIGINT) AS n_base,
+           ROUND(CASE WHEN n_base >= 2
+                       AND n_base * base_sum2 > base_sum * base_sum
+                 THEN (n - CAST(base_sum AS DOUBLE) / n_base)
+                      / SQRT((base_sum2 - CAST(base_sum AS DOUBLE) * base_sum / n_base)
+                             / (n_base - 1))
+                 END, 9) AS z,
+           COALESCE(ABS(CASE WHEN n_base >= 2
+                              AND n_base * base_sum2 > base_sum * base_sum
+                        THEN (n - CAST(base_sum AS DOUBLE) / n_base)
+                             / SQRT((base_sum2 - CAST(base_sum AS DOUBLE) * base_sum / n_base)
+                                    / (n_base - 1))
+                        END) > 3, FALSE) AS is_anomaly
+    FROM s
+    """,
+)
+def q3c_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = e.groupBy(
+        "event_type",
+        F.timestamp_seconds(
+            (F.unix_timestamp("ts") / 600).cast("long") * 600
+        ).alias("win_start"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    f = (
+        Window.partitionBy("event_type")
+        .orderBy("win_start")
+        .rowsBetween(-6, -1)
+    )
+    n_base = F.count(F.lit(1)).over(f)
+    base_sum = F.sum("n").over(f)
+    base_sum2 = F.sum(F.col("n") * F.col("n")).over(f)
+    defined = (n_base >= 2) & (n_base * base_sum2 > base_sum * base_sum)
+    z = F.when(
+        defined,
+        (F.col("n") - base_sum.cast("double") / n_base)
+        / F.sqrt(
+            (base_sum2 - base_sum.cast("double") * base_sum / n_base) / (n_base - 1)
+        ),
+    )
+    return w.select(
+        "event_type",
+        "win_start",
+        "n",
+        n_base.alias("n_base"),
+        F.round(z, 9).alias("z"),
+        F.coalesce(F.abs(z) > 3, F.lit(False)).alias("is_anomaly"),
+    )
