@@ -675,3 +675,44 @@ class TestBpeTrainer:
         df = spark.createDataFrame([("aaaa aaaa",)], "text STRING")
         got = train_bpe(df, "text", n_merges=2)
         assert got == [(0, "a", "a"), (1, "aa", "aa")]
+
+
+class TestEmptyInputs:
+    """New operators must behave on empty/degenerate inputs — a 100 TB
+    pipeline always has an empty partition, filter result, or day."""
+
+    def test_span_dedup_empty(self, spark):
+        from fcs_etl_reactor_spark.operators.dedup import span_dedup
+
+        empty = spark.createDataFrame([], "doc_id INT, text STRING")
+        assert span_dedup(empty, "doc_id", "text").count() == 0
+
+    def test_merge_upsert_empty_updates(self, spark):
+        from fcs_etl_reactor_spark.operators.merge import merge_upsert
+
+        base = spark.createDataFrame([(1, "a")], "k INT, s STRING")
+        empty = spark.createDataFrame([], "k INT, s STRING")
+        assert [tuple(r) for r in merge_upsert(base, empty, ["k"]).collect()] == [(1, "a")]
+        got = merge_upsert(empty, base, ["k"]).collect()
+        assert [tuple(r) for r in got] == [(1, "a")]
+
+    def test_countmin_empty_sketch_estimates_zero(self, spark):
+        from fcs_etl_reactor_spark.operators.countmin import cms_build, cms_estimate
+
+        empty = spark.createDataFrame([], "k BIGINT")
+        probes = spark.createDataFrame([(1,), (2,)], "k BIGINT")
+        sketch = cms_build(empty, "k")
+        est = {r["k"]: r["cms_count"] for r in cms_estimate(sketch, probes, "k").collect()}
+        assert est == {1: 0, 2: 0}
+
+    def test_bpe_empty_corpus(self, spark):
+        from fcs_etl_reactor_spark.operators.bpe import train_bpe
+
+        empty = spark.createDataFrame([], "text STRING")
+        assert train_bpe(empty, "text", n_merges=3) == []
+
+    def test_frame_indices_degenerate(self):
+        from fcs_etl_reactor_spark.operators.multimodal import frame_indices
+
+        assert frame_indices(0, 3) == [0]
+        assert frame_indices(5, 1) == [0]
