@@ -190,13 +190,21 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 
 def write_parquet(
-    df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    compression: str | None = None,
 ) -> None:
     """S5: partitioned parquet sink — partition big outputs by a
-    low-cardinality key (sample_id / date) so downstream scans prune."""
+    low-cardinality key (sample_id / date) so downstream scans prune.
+    `compression`: snappy (default, fast) vs zstd (~30-50% smaller —
+    at 100 TB the storage/scan-IO saving usually wins)."""
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    if compression:
+        writer = writer.option("compression", compression)
     writer.parquet(path)
 
 
@@ -236,6 +244,20 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S5: line-delimited JSON sink (manifest/interchange output)."""
+    df.write.mode(mode).json(path)
+
+
+def read_parquet_evolving(spark: SparkSession, *paths: str) -> DataFrame:
+    """Schema-evolution read: union parquet directories written with
+    DIFFERENT (compatible) schemas — mergeSchema resolves the superset
+    by name, null-padding missing columns. The footer-merge cost is
+    per-file; at 100 TB you enable it only on evolving tables (or pin
+    the schema explicitly)."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
 def write_bucketed(

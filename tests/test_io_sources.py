@@ -137,3 +137,39 @@ class TestPartitionPruning:
         assert "PartitionFilters" in plan and "click" in plan
         n_click = e.filter("event_type = 'click'").count()
         assert back.count() == n_click
+
+
+class TestSinkOptions:
+    def test_json_sink_roundtrip(self, spark, tmp_path):
+        from fcs_etl_reactor_spark.io import write_json
+
+        orig = load(spark, SF_SMALL, "nation")
+        write_json(orig, str(tmp_path / "nation_json"))
+        back = spark.read.schema(
+            "n_nationkey INT, n_name STRING, n_regionkey INT"
+        ).json(str(tmp_path / "nation_json"))
+        assert sorted(map(tuple, back.select(*orig.columns).collect())) == sorted(
+            map(tuple, orig.collect())
+        )
+
+    def test_zstd_compression_applied(self, spark, tmp_path):
+        import os
+
+        from fcs_etl_reactor_spark.io import write_parquet
+
+        orig = load(spark, SF_SMALL, "orders")
+        write_parquet(orig, str(tmp_path / "zstd"), compression="zstd")
+        files = os.listdir(tmp_path / "zstd")
+        assert any(".zstd.parquet" in f for f in files), files
+        assert spark.read.parquet(str(tmp_path / "zstd")).count() == orig.count()
+
+    def test_merge_schema_read(self, spark, tmp_path):
+        from fcs_etl_reactor_spark.io import read_parquet_evolving, write_parquet
+
+        v1 = spark.createDataFrame([(1, "a")], "id INT, name STRING")
+        v2 = spark.createDataFrame([(2, "b", 9.5)], "id INT, name STRING, score DOUBLE")
+        write_parquet(v1, str(tmp_path / "v1"))
+        write_parquet(v2, str(tmp_path / "v2"))
+        got = read_parquet_evolving(spark, str(tmp_path / "v1"), str(tmp_path / "v2"))
+        rows = {r["id"]: (r["name"], r["score"]) for r in got.collect()}
+        assert rows == {1: ("a", None), 2: ("b", 9.5)}
