@@ -486,3 +486,116 @@ def q7i_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("bucket_mean", 9).alias("bucket_mean"),
         F.round(target, 9).alias("target"),
     )
+
+
+# --------------------------------------------------------------------------
+# q7j — the FULL reference pipeline chain as one driver-verified query:
+# FCS binary ingest (S4) → spillover compensation (C1) → affine MEFL
+# calibration (C2) → range gate (P2) → per-sample exact stats (A1).
+# Input FCS files are rendered from events (one float64 file per
+# event_type — lossless roundtrip), so the oracle replays the whole
+# chain arithmetically from the events table. This is plans/
+# fcs_pipeline.py's shape with the stats stage swapped for exact
+# scaled-integer aggregation (driver hashes need bit-equality, not
+# float avg/stddev). One narrow pipeline scan→parse→codegen through
+# the gate; the only shuffle is the final per-sample aggregation.
+# --------------------------------------------------------------------------
+
+_PIPE_ROOT = "/tmp/spark_graft_fcs_pipe"
+
+
+def _fcs_pipeline_dir(spark: SparkSession, sf_dir: str) -> str:
+    """One float64 FCS file per event_type, rendered on executors
+    (local mode: shared FS) — fingerprint-keyed like the stream dirs."""
+    import os
+    import shutil
+
+    from fcs_etl_reactor_spark.io import source_fingerprint
+
+    key = (
+        sf_dir.rstrip("/").strip("/").replace("/", "_")
+        + "_"
+        + source_fingerprint(sf_dir, "events")
+    )
+    dest = os.path.join(_PIPE_ROOT, key)
+    marker = os.path.join(dest, "_READY")
+    if not os.path.exists(marker):
+        shutil.rmtree(dest, ignore_errors=True)
+        os.makedirs(dest, exist_ok=True)
+        e = load(spark, sf_dir, "events")
+
+        def render(pdf):
+            import numpy as np
+            import pandas as pd
+
+            from fcs_etl_reactor_spark.sources.fcs import make_fcs_bytes
+
+            pdf = pdf.sort_values("event_id")
+            sample = str(pdf["event_type"].iloc[0])
+            mat = np.column_stack(
+                [
+                    pdf["value"].to_numpy(np.float64),
+                    pdf["user_id"].to_numpy(np.float64),
+                ]
+            )
+            blob = make_fcs_bytes(["VAL", "USER"], mat, datatype="D")
+            with open(os.path.join(dest, f"{sample}.fcs"), "wb") as fh:
+                fh.write(blob)
+            return pd.DataFrame({"sample_id": [sample]})
+
+        e.select("event_type", "event_id", "user_id", "value").groupBy(
+            "event_type"
+        ).applyInPandas(render, "sample_id string").collect()
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return dest
+
+
+@query(
+    "q7j_fcs_pipeline",
+    # the chain replayed from events: comp_val = value − 0.1·user,
+    # cal = 2·comp + 10, gate 10 ≤ cal ≤ 400 — identical double ops
+    oracle="""
+    WITH chain AS (
+      SELECT event_type AS sample_id,
+             2.0 * (value - 0.1 * CAST(user_id AS DOUBLE)) + 10.0 AS cal_val,
+             CAST(user_id AS DOUBLE) AS usr
+      FROM events
+    )
+    SELECT sample_id, COUNT(*) AS n_gated,
+           CAST(SUM(CAST(FLOOR(cal_val * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000 / COUNT(*) AS mean_cal_val,
+           CAST(SUM(CAST(FLOOR(usr * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000 / COUNT(*) AS mean_user
+    FROM chain
+    WHERE cal_val BETWEEN 10.0 AND 400.0
+    GROUP BY sample_id
+    """,
+)
+def q7j_fcs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.gates import apply_gates, range_gate
+    from fcs_etl_reactor_spark.sources.fcs import fcs_wide, read_fcs_long
+
+    src = _fcs_pipeline_dir(spark, sf_dir)
+    wide = fcs_wide(read_fcs_long(spark, src + "/*.fcs"), ["VAL", "USER"])
+    # row i of the matrix is comp_channel_i's weights over raw channels
+    comp = compensate(
+        wide, ["VAL", "USER"], [[1.0, -0.1], [0.0, 1.0]],
+        keep=["sample_id", "event_id"],
+    )
+    cal = comp.select(
+        F.regexp_replace("sample_id", r"\.fcs$", "").alias("sample_id"),
+        (2.0 * F.col("comp_VAL") + 10.0).alias("cal_val"),
+        F.col("comp_USER").alias("usr"),
+    )
+    gated = apply_gates(cal, {"in_range": range_gate("cal_val", 10.0, 400.0)}).filter(
+        F.col("all_gates")
+    )
+    scaled = lambda c: F.sum(F.floor(F.col(c) * 1e6 + 0.5).cast("long")).cast(  # noqa: E731
+        "double"
+    ) / 1e6 / F.count(F.lit(1))
+    return gated.groupBy("sample_id").agg(
+        F.count(F.lit(1)).alias("n_gated"),
+        scaled("cal_val").alias("mean_cal_val"),
+        scaled("usr").alias("mean_user"),
+    )
