@@ -549,3 +549,77 @@ def q7g_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unchanged")
     )
     return j.groupBy(kind.alias("change_kind")).agg(F.count(F.lit(1)).alias("n_keys"))
+
+
+# --------------------------------------------------------------------------
+# q7k — incremental rollup maintenance (materialized-view semantics):
+# a precomputed base aggregate plus a delta batch's partial aggregate
+# combine (sum-of-sums / sum-of-counts) into EXACTLY the full
+# recompute — the algebraic property that lets a 100 TB nightly
+# rollup absorb a day's delta without touching history. The oracle IS
+# the full recompute; additivity of the scaled-integer sums makes the
+# combine bit-exact.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q7k_incremental_rollup",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS HUGEINT)) AS DOUBLE)
+             / 100.0 AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q7k_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    scaled = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(scaled).alias("s")
+        )
+
+    base = partial(o.filter(F.col("o_orderkey") % 11 != 0))  # "history"
+    delta = partial(o.filter(F.col("o_orderkey") % 11 == 0))  # "today"
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").alias("n_orders"),
+            (F.sum("s").cast("double") / 100.0).alias("total_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q7l — event-transition analysis (user-path bigrams): per-user
+# consecutive event_type pairs by time order, counted corpus-wide —
+# the Markov-transition table funnels and session analyses start
+# from. One keyed window (lag) + one aggregation.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q7l_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def q7l_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    return seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
