@@ -70,8 +70,10 @@ def query(name: str, oracle: str | None = None):
 # which lives in events_windows so the W2 regression fix lands inside
 # the window), the new streaming/gap-fill/upsert entries (q4d,
 # q9a–q9f), then joins (q18 bloom + the green join family) and the
-# domain re-confirms — the 50th entry is q76; q77 (r2-green) yields
-# its slot to the q41 regression evidence.
+# new storage-layout entries: the bucketed exchange-free join (q2a)
+# and the partition-pruned scan (q2b) take the window's last two
+# slots from the r2-green domain re-confirms; the recursive CTE
+# (q2c) sits just outside at 51 and rotates in next round.
 from fcs_etl_reactor_spark.queries import pipeline  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import dedup_extra  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import skew  # noqa: E402,F401
@@ -80,6 +82,8 @@ from fcs_etl_reactor_spark.queries import events_windows  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import gates  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import streaming_extra  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import joins  # noqa: E402,F401
+from fcs_etl_reactor_spark.queries import storage  # noqa: E402,F401
+from fcs_etl_reactor_spark.queries import advanced  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import domain  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import windows  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import relational  # noqa: E402,F401

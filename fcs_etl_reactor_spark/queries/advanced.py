@@ -1,0 +1,179 @@
+"""Advanced composites: stream-stream joins and SCD2 history builds.
+
+- **q9g stream-stream interval join**: the one Structured Streaming
+  join class the T-family didn't yet evidence — BOTH sides unbounded,
+  matched on key + event-time range. Each side is watermarked and the
+  join condition bounds p.ts to (c.ts, c.ts + 1 h], so the state
+  store retains only rows inside the watermark horizon — at 100 TB/d
+  the state is bounded by (horizon × arrival rate), not history.
+  Inner-join matches are emitted as soon as both rows exist, so the
+  availableNow replay's final sink content equals the batch range
+  join, stated directly as the oracle.
+- **q7m SCD2 history**: the warehouse slowly-changing-dimension build
+  — collapse each customer's order-status timeline into change runs
+  (gaps-and-islands: lag → change flag → prefix-sum group id), emit
+  [valid_from, valid_to) intervals with an is_current flag. One
+  shuffle on the partition key; both window passes and the run
+  aggregation reuse it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fcs_etl_reactor_spark.io import load
+from fcs_etl_reactor_spark.queries import query
+
+# --------------------------------------------------------------------------
+# q9g — stream-stream interval join: click → purchase attribution
+# within 1 hour per user.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q9g_stream_stream_join",
+    oracle="""
+    SELECT
+      c.event_id AS c_event_id,
+      p.event_id AS p_event_id,
+      c.user_id,
+      EPOCH_US(p.ts) - EPOCH_US(c.ts) AS gap_us
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def q9g_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream ⋈ stream: two readStream sources over the same
+    event log, inner-joined on user + (0, 1 h] event-time interval,
+    replayed availableNow into an append memory sink."""
+    from fcs_etl_reactor_spark.queries.events_windows import _events_stream_dir
+    from fcs_etl_reactor_spark.streaming.windows import (
+        read_events_stream,
+        to_memory_sink,
+    )
+
+    src = _events_stream_dir(spark, sf_dir)
+    sink = "q9g_sink_" + src.rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")
+
+    clicks = (
+        read_events_stream(spark, src)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, src)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        "c_event_id",
+        "p_event_id",
+        "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+    q = to_memory_sink(joined, sink, output_mode="append")
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+# --------------------------------------------------------------------------
+# q7m — SCD Type-2 dimension build from the order-status timeline.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q7m_scd2_history",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+             LAG(o_orderstatus) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS prev_status
+      FROM orders
+    ),
+    grp AS (
+      SELECT *,
+             SUM(CASE WHEN prev_status IS NULL
+                        OR prev_status <> o_orderstatus THEN 1 ELSE 0 END)
+               OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS UNBOUNDED PRECEDING) AS g
+      FROM seq
+    ),
+    runs AS (
+      SELECT o_custkey, g, o_orderstatus,
+             MIN(o_orderdate) AS valid_from,
+             COUNT(*) AS n_orders
+      FROM grp GROUP BY o_custkey, g, o_orderstatus
+    )
+    SELECT
+      o_custkey,
+      o_orderstatus,
+      valid_from,
+      LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY g) AS valid_to,
+      n_orders,
+      (LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY g) IS NULL)
+        AS is_current
+    FROM runs
+    """,
+)
+def q7m_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands run collapse → [valid_from, valid_to)
+    intervals. The change flag (lag ≠ current) prefix-summed over the
+    same (key, time) ordering assigns run ids without a self-join;
+    run boundaries then become the SCD2 validity interval via LEAD.
+    Ties on o_orderdate are broken by o_orderkey on BOTH engines, so
+    run ids are deterministic."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_orderstatus",
+        F.lag("o_orderstatus").over(w).alias("prev_status"),
+    )
+    grp = seq.withColumn(
+        "g",
+        F.sum(
+            F.when(
+                F.col("prev_status").isNull()
+                | (F.col("prev_status") != F.col("o_orderstatus")),
+                1,
+            ).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    runs = grp.groupBy("o_custkey", "g", "o_orderstatus").agg(
+        F.min("o_orderdate").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    wv = Window.partitionBy("o_custkey").orderBy("g")
+    return runs.select(
+        "o_custkey",
+        "o_orderstatus",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "n_orders",
+        F.lead("valid_from").over(wv).isNull().alias("is_current"),
+    )

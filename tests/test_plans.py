@@ -174,3 +174,50 @@ def test_vocab_topk_is_take_ordered(spark):
     s = plan_of(spark, "q8g_vocab_oov")
     assert "TakeOrderedAndProject" in s
     assert "CartesianProduct" not in s
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    # q2a's whole point: matching bucket specs on both sides make the
+    # sort-merge join exchange-free. Broadcast is forced off so the
+    # small sf0.001 fixture can't sidestep the assertion.
+    from fcs_etl_reactor_spark.queries.storage import bucketed_table
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        l = bucketed_table(spark, SF_SMALL, "lineitem", "l_orderkey")
+        o = bucketed_table(spark, SF_SMALL, "orders", "o_orderkey")
+        j = l.join(o, l.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        s = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in s, s
+        # no shuffle below the join: the only allowed exchange is the
+        # one ABOVE it for the groupBy
+        join_part = s[s.index("SortMergeJoin"):]
+        assert "Exchange hashpartitioning" not in join_part, join_part
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_partition_pruned_scan_prunes(spark):
+    import contextlib
+    import io
+
+    df = QUERIES["q2b_partition_pruned_scan"](spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    s = buf.getvalue()
+    # the date-range predicate must land in PartitionFilters (dir-level
+    # pruning), not just PushedFilters (row-group-level)
+    m = re.search(r"PartitionFilters: \[([^\]]*)", s)
+    assert m and "event_date" in m.group(1), s
+
+
+def test_recursive_spine_runs_distributed(spark):
+    # the recursion is a plan node (UnionLoop/CTE), not a driver loop:
+    # assert the month spine produced the full closed range
+    df = QUERIES["q2c_recursive_month_spine"](spark, SF_SMALL)
+    rows = df.collect()
+    yms = sorted(r.ym for r in rows)
+    assert yms == list(range(yms[0], yms[-1] + 1))
+    assert all(r.month >= 1 and r.month <= 12 for r in rows)
