@@ -686,3 +686,78 @@ def q8j_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# q8k — count-based n-gram language model training (L4 scale-up): the
+# classic distributed-LM estimation pass — trigram counts, context
+# marginals, MLE conditional probabilities — restricted to the top-100
+# contexts (deterministic (count DESC, context) cutoff) so the result
+# is reviewable. One explode produces all trigram occurrences; both
+# count layers are map-side-combinable hash aggregations; the top-100
+# cutoff is TakeOrderedAndProject (per-partition heads + k-row merge,
+# never a single-partition window); the 100-row context table joins
+# back by broadcast. At 100 TB this is exactly the Google-ngrams /
+# KenLM counting topology: nothing materializes except the two count
+# tables, both shuffled on their own keys once.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q8k_trigram_lm",
+    oracle="""
+    WITH toks AS (
+      SELECT STRING_SPLIT(text, ' ') AS w FROM documents
+    ), tri AS (
+      SELECT ARRAY_TO_STRING(w[i:i+1], ' ') AS context, w[i+2] AS next_tok
+      FROM (SELECT w, UNNEST(RANGE(1, GREATEST(LEN(w) - 2, 0) + 1)) AS i
+            FROM toks)
+    ), c3 AS (
+      SELECT context, next_tok, COUNT(*) AS n_trigram
+      FROM tri GROUP BY context, next_tok
+    ), c2 AS (
+      SELECT context, CAST(SUM(n_trigram) AS BIGINT) AS n_context
+      FROM c3 GROUP BY context
+    ), top AS (
+      SELECT context, n_context,
+             ROW_NUMBER() OVER (ORDER BY n_context DESC, context) AS rk
+      FROM c2
+    )
+    SELECT c3.context, c3.next_tok, c3.n_trigram, t.n_context,
+           ROUND(c3.n_trigram / CAST(t.n_context AS DOUBLE), 9) AS prob
+    FROM c3 JOIN top t ON c3.context = t.context
+    WHERE t.rk <= 100
+    """,
+)
+def q8k_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tri = (
+        d.select(F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 3)  # sequence(1,0) would run DOWNWARD
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 2),
+                    lambda i: F.struct(
+                        F.concat_ws(" ", F.slice("w", i, 2)).alias("context"),
+                        F.element_at("w", (i + 2).cast("int")).alias("next_tok"),
+                    ),
+                )
+            ).alias("t")
+        )
+        .select("t.context", "t.next_tok")
+    )
+    c3 = tri.groupBy("context", "next_tok").agg(
+        F.count(F.lit(1)).alias("n_trigram")
+    )
+    c2 = c3.groupBy("context").agg(F.sum("n_trigram").alias("n_context"))
+    top = c2.orderBy(F.desc("n_context"), "context").limit(100)
+    return c3.join(F.broadcast(top), "context").select(
+        "context",
+        "next_tok",
+        "n_trigram",
+        "n_context",
+        F.round(F.col("n_trigram") / F.col("n_context").cast("double"), 9).alias(
+            "prob"
+        ),
+    )

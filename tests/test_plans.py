@@ -221,3 +221,13 @@ def test_recursive_spine_runs_distributed(spark):
     yms = sorted(r.ym for r in rows)
     assert yms == list(range(yms[0], yms[-1] + 1))
     assert all(r.month >= 1 and r.month <= 12 for r in rows)
+
+
+def test_trigram_lm_topk_is_take_ordered(spark):
+    # q8k's context cutoff must be per-partition heads + k-row merge
+    # with a broadcast join back — never a single-partition window
+    s = plan_of(spark, "q8k_trigram_lm")
+    assert "TakeOrderedAndProject" in s
+    assert "BroadcastHashJoin" in s
+    assert "Window" not in s
+    assert "CartesianProduct" not in s
