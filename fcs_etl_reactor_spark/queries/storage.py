@@ -40,11 +40,25 @@ from fcs_etl_reactor_spark.io import (
     _LAYOUT_ROOT,
     load,
     source_fingerprint,
+    table_bytes,
     write_bucketed,
 )
 from fcs_etl_reactor_spark.queries import query
 
 _BUCKETS = 8
+
+
+def buckets_for(nbytes: int) -> int:
+    """Bucket count from compressed source size (~4 MB per bucket —
+    snappy parquet decompresses ~5-10×, so this is ~20-40 MB of scan
+    work per bucket), clamped to [8, 4096]. A bucketed scan's
+    parallelism is capped at the bucket count, so a fixed small count
+    strangles big tables (measured: 8 buckets over 10×-sf0.1 lineitem
+    scanned on 8 of 32 cores — 9.5× wall-clock at 10× data;
+    size-derived counts restore linear scan fan-out). Both join sides
+    must share ONE count for the exchange-free SMJ, so callers derive
+    it from the larger side."""
+    return int(min(max(nbytes // (4 << 20), 8), 4096))
 
 
 def bucketed_table(
@@ -122,8 +136,11 @@ def q2a_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange-free sort-merge join. At 100 TB lineitem⋈orders is THE
     shuffle to eliminate — bucketing pays its one-time write cost
     back on every subsequent join against the same key."""
-    l = bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
-    o = bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    nb = buckets_for(
+        max(table_bytes(sf_dir, "lineitem"), table_bytes(sf_dir, "orders"))
+    )
+    l = bucketed_table(spark, sf_dir, "lineitem", "l_orderkey", buckets=nb)
+    o = bucketed_table(spark, sf_dir, "orders", "o_orderkey", buckets=nb)
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .groupBy("o_orderpriority")

@@ -54,6 +54,12 @@ PROBE_QUERIES = [  # all run on the replicated tables
     "q8h_countmin",          # bounded-memory sketch build + probe
     "q7a_table_fingerprint", # integrity digest fold (scan-bound)
     "q4d_gapfill",           # dense grid + LOCF window
+    "q2a_bucketed_join",     # exchange-free SMJ (incl. one-time bucket write)
+    "q2b_partition_pruned_scan",  # day-partition pruning (incl. layout write)
+    "q2c_recursive_month_spine",  # WITH RECURSIVE spine + gap join
+    "q7m_scd2_history",      # gaps-and-islands SCD2 run collapse
+    "q8k_trigram_lm",        # n-gram LM counting topology
+    "q9g_stream_stream_join",  # stream-stream interval join state at 10x
 ]
 
 
