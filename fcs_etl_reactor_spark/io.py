@@ -282,3 +282,43 @@ def write_bucketed(
     if path:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def read_xml(spark: SparkSession, path: str, row_tag: str = "row", schema=None) -> DataFrame:
+    """S3+: XML ingest (native source since Spark 4 — the donated
+    spark-xml). Instrument/config manifests in the FCS ecosystem are
+    frequently XML; rowTag selects the repeating element."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """XML sink (element-per-row; partitioned files like any sink)."""
+    (
+        df.write.mode(mode)
+        .format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .save(path)
+    )
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """S2+: Avro scan — row-oriented interchange format common in
+    Kafka/streaming pipelines. The `spark-avro` external module is NOT
+    bundled in this container (only avro-core jars ship; no package
+    index to fetch it — same env-gate rationale as TWS/protobuf), so
+    this raises a clear error here and works unchanged on any cluster
+    deployed with --packages org.apache.spark:spark-avro_2.13:4.1.2."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as exc:  # AnalysisException: FAILED_FIND_DATA_SOURCE
+        raise NotImplementedError(
+            "spark-avro module not deployed in this environment; "
+            "submit with --packages org.apache.spark:spark-avro_2.13:<ver>"
+        ) from exc

@@ -247,3 +247,56 @@ def q8h_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_eps"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q8l — HLL sketch build/merge (A7 scale path, Apache DataSketches via
+# Spark 4's hll_* functions). The property that matters at 100 TB is
+# MERGEABILITY: per-partition/per-group sketches union losslessly to
+# the global sketch, so distinct counting is one pass + an O(sketch)
+# combine — never a re-scan. The envelope emits the exact distincts
+# (oracle-recomputed) plus two booleans: each group's sketch estimate
+# within 5% of its exact count (default lgK=12 → ~0.8% rel. error),
+# and the estimate of the UNION of the per-group sketches within 5%
+# of the exact global distinct — the merge-consistency proof.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q8l_hll_union",
+    oracle="""
+    WITH per AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+      FROM events GROUP BY event_type
+    ), tot AS (
+      SELECT COUNT(DISTINCT user_id) AS n_total FROM events
+    )
+    SELECT per.event_type, per.n_users, tot.n_total,
+           TRUE AS sketch_ok, TRUE AS union_ok
+    FROM per CROSS JOIN tot
+    """,
+)
+def q8l_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+
+    def within(approx, exact):
+        return F.abs(approx.cast("double") - exact.cast("double")) <= F.lit(
+            0.05
+        ) * exact.cast("double")
+
+    per = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.hll_sketch_agg("user_id").alias("_sk"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("_est"),
+    )
+    glob = (
+        per.agg(F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est_u"))
+        .crossJoin(e.agg(F.countDistinct("user_id").alias("n_total")))
+    )  # 1 row × 1 row
+    return per.crossJoin(F.broadcast(glob)).select(
+        "event_type",
+        "n_users",
+        "n_total",
+        within(F.col("_est"), F.col("n_users")).alias("sketch_ok"),
+        within(F.col("_est_u"), F.col("n_total")).alias("union_ok"),
+    )
