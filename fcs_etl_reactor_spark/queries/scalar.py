@@ -452,3 +452,34 @@ def q5a_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.nullif(F.col("p_size").cast("double") - 25.0, F.lit(0.0)),
         ).alias("price_per_off25"),
     )
+
+
+# --------------------------------------------------------------------------
+# q7n — VARIANT semi-structured type (F6 scale path, Spark 4):
+# parse_json once into the binary-encoded VARIANT, then typed-path
+# extraction (variant_get) WITHOUT re-parsing per access — at 100 TB
+# the parse cost is paid once per row, not once per field reference,
+# and shredded variant columns carry statistics ordinary JSON strings
+# can't. schema_of_variant proves the inferred runtime type; the
+# oracle pins it as a literal.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q7n_variant_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           'OBJECT<k: BIGINT>' AS props_schema
+    FROM events GROUP BY event_type
+    """,
+)
+def q7n_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    v = e.select("event_type", F.parse_json("props").alias("v"))
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.variant_get("v", "$.k", "bigint")).alias("sum_k"),
+        F.min(F.schema_of_variant(F.col("v"))).alias("props_schema"),
+    )

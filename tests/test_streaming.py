@@ -227,3 +227,39 @@ def test_q9e_foreach_batch_multi_batch_delivery(spark):
     assert len(batch_ids) >= 2
     # exactly-once across batch boundaries
     assert out.count() == tagged.count() == out.select("event_id").distinct().count()
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    # T8/recovery: an availableNow run drains the backlog; a RESTART
+    # against the same checkpoint must process only files that arrived
+    # after the first run — exactly-once across restarts, the property
+    # a 100 TB ingest pipeline leans on after every failure.
+    from fcs_etl_reactor_spark.streaming.windows import to_foreach_batch_parquet
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    spark.range(0, 5).selectExpr("id", "id * 2 AS v").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema("id BIGINT, v BIGINT").parquet(src)
+        q = to_foreach_batch_parquet(stream, out, ck)
+        q.awaitTermination()
+
+    run_once()
+    first = spark.read.parquet(out)
+    assert first.count() == 5
+
+    # late-arriving second file, then restart from the SAME checkpoint
+    spark.range(5, 9).selectExpr("id", "id * 2 AS v").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    final = spark.read.parquet(out)
+    assert final.count() == 9  # 5 + 4, no reprocessing of file 1
+    got = sorted(r["id"] for r in final.select("id").collect())
+    assert got == list(range(9))
+    # and the second run really arrived as a separate micro-batch
+    assert final.select("_batch_id").distinct().count() >= 2
