@@ -184,3 +184,26 @@ class TestPipeline:
         assert (tmp_path / "out" / "stats").exists()
         pc = spark.read.parquet(str(tmp_path / "out" / "point_cloud"))
         assert pc.count() == 3
+
+
+class TestFcsDataSource:
+    def test_format_fcs_equals_mapinpandas_path(self, spark, fcs_dir):
+        # the Python Data Source connector and the binaryFile+
+        # mapInPandas path share parse_fcs_bytes — same rows exactly
+        from fcs_etl_reactor_spark.sources.fcs_datasource import register
+
+        register(spark)
+        via_ds = spark.read.format("fcs").load(fcs_dir)
+        assert via_ds.schema.simpleString() == (
+            "struct<sample_id:string,event_id:bigint,channel:string,value:double>"
+        )
+        a = {tuple(r) for r in via_ds.collect()}
+        b = {tuple(r) for r in read_fcs_long(spark, fcs_dir).collect()}
+        assert a == b and len(a) > 0
+
+    def test_format_fcs_one_partition_per_file(self, spark, fcs_dir):
+        from fcs_etl_reactor_spark.sources.fcs_datasource import register
+
+        register(spark)
+        df = spark.read.format("fcs").load(fcs_dir)
+        assert df.rdd.getNumPartitions() == 2  # two fixture files
