@@ -483,3 +483,44 @@ def q7n_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.variant_get("v", "$.k", "bigint")).alias("sum_k"),
         F.min(F.schema_of_variant(F.col("v"))).alias("props_schema"),
     )
+
+
+# --------------------------------------------------------------------------
+# q5d — SQL UDF (U-family, Spark 4 CREATE FUNCTION ... RETURN expr):
+# unlike a Python UDF, a SQL UDF is INLINED into the plan at analysis
+# time — the aggregate below runs entirely in whole-stage codegen
+# (asserted in tests/test_udfs.py), so abstraction costs nothing at
+# 100 TB. The oracle states the inlined expression directly.
+# --------------------------------------------------------------------------
+
+_Q5D_SUM = (
+    "CAST(SUM(CAST(FLOOR(({expr}) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)"
+    " / 1000000.0 AS revenue"
+)
+
+
+@query(
+    "q5d_sql_udf",
+    oracle=f"""
+    SELECT l_returnflag,
+           {_Q5D_SUM.format(expr="l_extendedprice * (1 - l_discount)")},
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q5d_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("q5d_lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION q5d_disc_price(p DOUBLE, d DOUBLE)"
+        " RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    return spark.sql(
+        f"""
+        SELECT l_returnflag,
+               {_Q5D_SUM.format(expr="q5d_disc_price(l_extendedprice, l_discount)")},
+               COUNT(*) AS n_lines
+        FROM q5d_lineitem
+        GROUP BY l_returnflag
+        """
+    )

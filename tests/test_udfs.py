@@ -56,3 +56,17 @@ class TestMapInArrow:
         # unit-length invariant
         for v in g.values():
             assert sum(x * x for x in v) == pytest.approx(1.0, rel=1e-9)
+
+
+def test_sql_udf_is_inlined_into_codegen(spark):
+    # U-family: a SQL UDF must leave NO Python evaluation node — the
+    # body inlines at analysis time and runs in whole-stage codegen
+    from fcs_etl_reactor_spark.queries import QUERIES
+    from tests.conftest import SF_SMALL
+
+    df = QUERIES["q5d_sql_udf"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the body is inlined: the discount arithmetic appears directly in
+    # the partial aggregate (AQE hides codegen stars pre-execution)
+    assert "partial_sum(FLOOR" in plan, plan
