@@ -82,7 +82,61 @@ class FCSDataSource(DataSource):
     def reader(self, schema) -> FCSDataSourceReader:
         return FCSDataSourceReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "FCSStreamReader":
+        return FCSStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotent session registration of the `fcs` format."""
     spark.dataSource.register(FCSDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming flavor: `spark.readStream.format("fcs").load(dir)` tails a
+# directory of .fcs files. Offsets are positions in the name-sorted
+# file list, so replay between two committed offsets re-reads exactly
+# the same files — the determinism Structured Streaming's recovery
+# contract requires (readBetweenOffsets). Instruments drop finished
+# acquisitions into a spool directory; this is that ingest pattern
+# with exactly-once file handling.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+
+def _parse_file_rows(path: str):
+    from fcs_etl_reactor_spark.sources.fcs import parse_fcs_bytes
+
+    with open(path, "rb") as fh:
+        _, channels, mat = parse_fcs_bytes(fh.read())
+    sample_id = os.path.basename(path)
+    for ev in range(mat.shape[0]):
+        for ci, ch in enumerate(channels):
+            yield (sample_id, ev, ch, float(mat[ev, ci]))
+
+
+class FCSStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("streaming format('fcs') requires .load(<dir>)")
+
+    def _files(self):
+        return sorted(glob.glob(os.path.join(self.path, "*.fcs")))
+
+    def initialOffset(self):
+        return {"n": 0}
+
+    def read(self, start):
+        files = self._files()
+        n0 = int(start["n"])
+        rows = [r for p in files[n0:] for r in _parse_file_rows(p)]
+        return iter(rows), {"n": len(files)}
+
+    def readBetweenOffsets(self, start, end):
+        files = self._files()
+        return iter(
+            r
+            for p in files[int(start["n"]) : int(end["n"])]
+            for r in _parse_file_rows(p)
+        )

@@ -207,3 +207,38 @@ class TestFcsDataSource:
         register(spark)
         df = spark.read.format("fcs").load(fcs_dir)
         assert df.rdd.getNumPartitions() == 2  # two fixture files
+
+
+class TestFcsStreamSource:
+    def test_streaming_fcs_tails_directory(self, spark, tmp_path):
+        import numpy as np
+
+        from fcs_etl_reactor_spark.sources.fcs_datasource import register
+
+        register(spark)
+        d = tmp_path / "spool"
+        d.mkdir()
+        mat1 = np.arange(6, dtype=float).reshape(3, 2)
+        (d / "a.fcs").write_bytes(make_fcs_bytes(["FSC-A", "SSC-A"], mat1))
+
+        stream = spark.readStream.format("fcs").load(str(d))
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("fcs_stream_sink")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            assert spark.table("fcs_stream_sink").count() == 6  # 3 ev × 2 ch
+
+            mat2 = np.arange(4, dtype=float).reshape(2, 2)
+            (d / "b.fcs").write_bytes(make_fcs_bytes(["FSC-A", "SSC-A"], mat2))
+            q.processAllAvailable()
+            got = spark.table("fcs_stream_sink")
+            assert got.count() == 10
+            assert {r["sample_id"] for r in got.select("sample_id").distinct().collect()} == {
+                "a.fcs", "b.fcs"
+            }
+        finally:
+            q.stop()
