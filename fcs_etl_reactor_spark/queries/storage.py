@@ -239,3 +239,62 @@ def q2c_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = "q2c_orders"
     load(spark, sf_dir, "orders").createOrReplaceTempView(view)
     return spark.sql(_Q2C_SQL.format(orders=view))
+
+
+# --------------------------------------------------------------------------
+# q2d — Z-order (Morton) clustering key: interleave the bits of two
+# scan dimensions so rows close in BOTH columns land close in ONE
+# sort order. At 100 TB you sort (or range-partition) the table by
+# this key at ingest; a conjunctive range predicate on the two
+# columns then touches a contiguous band of files, and parquet
+# row-group min/max stats skip the rest — multi-column data skipping
+# from a single layout. The kernel is pure integer bit arithmetic,
+# generated ONCE as SQL text and run verbatim on both engines.
+# --------------------------------------------------------------------------
+
+_Z_BITS = 16
+
+
+def _zorder_sql(a: str, b: str, bits: int = _Z_BITS) -> str:
+    """Bit-interleave expression text (identical Spark/DuckDB
+    semantics: &, |, <<, >> on BIGINT)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+_Z_EXPR = _zorder_sql(f"(l_partkey % {1 << _Z_BITS})", f"(l_suppkey % {1 << _Z_BITS})")
+
+
+@query(
+    "q2d_zorder_key",
+    oracle=f"""
+    WITH z AS (
+      SELECT CAST({_Z_EXPR} AS BIGINT) AS zkey FROM lineitem
+    )
+    SELECT CAST(zkey >> 12 AS BIGINT) AS zcell,
+           COUNT(*) AS n_rows,
+           CAST(MIN(zkey) AS BIGINT) AS zmin,
+           CAST(MAX(zkey) AS BIGINT) AS zmax
+    FROM z
+    GROUP BY zcell
+    """,
+)
+def q2d_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton keys for (l_partkey, l_suppkey), rolled up into coarse
+    z-cells (top 10 bits) with per-cell key ranges — the file-level
+    min/max index a z-sorted layout would carry. The whole kernel is
+    one codegen'd integer expression: no UDF, no shuffle beyond the
+    final cell rollup."""
+    l = load(spark, sf_dir, "lineitem")
+    z = l.select(F.expr(f"CAST({_Z_EXPR} AS BIGINT)").alias("zkey"))
+    return (
+        z.groupBy(F.shiftright("zkey", 12).cast("bigint").alias("zcell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("zkey").cast("bigint").alias("zmin"),
+            F.max("zkey").cast("bigint").alias("zmax"),
+        )
+    )
