@@ -298,3 +298,40 @@ def q2d_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("zkey").cast("bigint").alias("zmax"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q2e — per-key window over a bucketed layout: the windowed analytics
+# twin of q2a. Events bucketed on user_id satisfy the window's
+# clustering requirement straight off the scan — NO Exchange in the
+# plan (asserted in tests/test_plans.py); only the partition-local
+# sort on (ts, event_id) remains, which is unavoidable and spills
+# gracefully. At 100 TB this removes the full-table shuffle from
+# every per-user sequence computation (sessionization, deltas,
+# funnels) against the same layout.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q2e_bucketed_window",
+    oracle="""
+    SELECT user_id, event_id, value,
+           LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_value
+    FROM events
+    """,
+)
+def q2e_bucketed_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = bucketed_table(
+        spark,
+        sf_dir,
+        "events",
+        "user_id",
+        buckets=buckets_for(table_bytes(sf_dir, "events")),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id", "event_id", "value", F.lag("value").over(w).alias("prev_value")
+    )

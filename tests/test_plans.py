@@ -231,3 +231,11 @@ def test_trigram_lm_topk_is_take_ordered(spark):
     assert "BroadcastHashJoin" in s
     assert "Window" not in s
     assert "CartesianProduct" not in s
+
+
+def test_bucketed_window_has_no_exchange(spark):
+    # q2e: the bucketed-by-user_id layout satisfies the window's
+    # clustering requirement — no shuffle before the Window node
+    s = plan_of(spark, "q2e_bucketed_window")
+    assert "Window" in s
+    assert "Exchange" not in s, s
