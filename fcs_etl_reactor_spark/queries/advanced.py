@@ -177,3 +177,52 @@ def q7m_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.lead("valid_from").over(wv).isNull().alias("is_current"),
     )
+
+
+_N_SHARDS = 16
+
+
+@query(
+    "q6i_shard_assignment",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+             ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rk
+      FROM documents
+    )
+    SELECT CAST(rk % {_N_SHARDS} AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           CAST(MIN(rk) AS BIGINT) AS min_rank,
+           CAST(MAX(rk) AS BIGINT) AS max_rank
+    FROM ranked
+    GROUP BY shard
+    """,
+)
+def q6i_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10 applied: deterministic round-robin sharding for training
+    loaders. The global rank comes from the DISTRIBUTED two-pass
+    zipWithIndex (operators/ordering.global_rank — range partition +
+    per-partition offsets; the driver holds #partitions integers,
+    never rows), so `rank % N` yields N shards balanced to ±1 doc
+    REGARDLESS of partitioning — every loader re-derives the same
+    shard membership from (order key, N) alone. The oracle replays
+    the rank with a window (fine at sf; the operator exists because
+    that window would be a single reducer at 100 TB)."""
+    from fcs_etl_reactor_spark.operators.ordering import global_rank
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    ranked = global_rank(d, ["doc_id"], rank_col="rk")
+    return (
+        ranked.withColumn("rk", F.col("rk") - 1)
+        .groupBy((F.col("rk") % _N_SHARDS).cast("bigint").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.min("rk").cast("bigint").alias("min_rank"),
+            F.max("rk").cast("bigint").alias("max_rank"),
+        )
+    )

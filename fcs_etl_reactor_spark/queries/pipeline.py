@@ -393,3 +393,4 @@ def q6g_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("smp_rank") <= _STRAT_K)
         .select("source", "doc_id", "smp_rank")
     )
+
