@@ -761,3 +761,63 @@ def q8k_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prob"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q8m — BPE ENCODING with a frozen tokenizer (the production-side
+# counterpart of the train_bpe trainer): apply a ranked merge list to
+# every word of every document. The Spark side runs the REAL
+# operator — operators/bpe._merge_symbols, a pure-expression
+# aggregate() left-fold per merge, chained in rank order, no Python.
+# The oracle replays the SAME leftmost-nonoverlapping semantics in a
+# completely different formulation: each word rendered "(c)(c)..."
+# and each merge a REPLACE('(a)(b)' → '(ab)') — string REPLACE scans
+# left-to-right without overlap, exactly the fold's contract (the
+# bracket wrapping prevents boundary-sharing between matches). Two
+# independent formulations hashing identically is the strongest
+# equivalence evidence in the text family. Merges include a 2-level
+# chain ((t,a)→(ta,b)→(tab,le)) so rank order provably matters.
+# --------------------------------------------------------------------------
+
+_BPE_MERGES = [("t", "a"), ("ta", "b"), ("l", "e"), ("tab", "le"), ("a", "s"), ("h", "a")]
+
+
+def _bpe_oracle() -> str:
+    s = "'(' || ARRAY_TO_STRING(STRING_SPLIT(w, ''), ')(') || ')'"
+    for a, b in _BPE_MERGES:
+        s = f"REPLACE({s}, '({a})({b})', '({a}{b})')"
+    return f"""
+    WITH words AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+    ), enc AS (
+      SELECT doc_id, w, {s} AS s FROM words WHERE w <> ''
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(LEN(w)) AS BIGINT) AS n_chars,
+           CAST(CAST(SUM(LEN(s) - LEN(REPLACE(s, ')(', ''))) AS BIGINT) // 2
+                + COUNT(*) AS BIGINT) AS n_tokens
+    FROM enc GROUP BY doc_id
+    """
+
+
+@query("q8m_bpe_encode", oracle=_bpe_oracle())
+def q8m_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.bpe import _merge_symbols
+
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    seg = words.select(
+        "doc_id",
+        "w",
+        F.array_remove(F.split("w", "(?!^)"), "").alias("symbols"),
+    )
+    for a, b in _BPE_MERGES:
+        seg = seg.withColumn("symbols", _merge_symbols(a, b))
+    return seg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.length("w")).alias("n_chars"),
+        F.sum(F.size("symbols")).alias("n_tokens"),
+    )
