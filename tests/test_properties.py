@@ -160,3 +160,79 @@ def test_concurrent_query_execution_is_safe(spark):
         concurrent = dict(ex.map(run, names * 2))
     serial = {n: QUERIES[n](spark, "/root/testdata/sf0.001").count() for n in names}
     assert concurrent == serial
+
+
+def test_scd2_intervals_partition_the_timeline(spark):
+    """q7m invariants: per customer, runs are contiguous (each
+    valid_to equals the next valid_from), exactly one open interval
+    (is_current), adjacent runs never share a status (maximal runs),
+    and run sizes sum to the customer's order count."""
+    from fcs_etl_reactor_spark.queries import QUERIES
+
+    rows = QUERIES["q7m_scd2_history"](spark, "/root/testdata/sf0.001").collect()
+    by_cust = {}
+    for r in rows:
+        by_cust.setdefault(r["o_custkey"], []).append(r)
+    assert by_cust
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    counts = {r["o_custkey"]: r["n"] for r in o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    for cust, runs in by_cust.items():
+        runs.sort(key=lambda r: r["valid_from"])
+        assert sum(r["n_orders"] for r in runs) == counts[cust]
+        assert sum(1 for r in runs if r["is_current"]) == 1
+        assert runs[-1]["is_current"] and runs[-1]["valid_to"] is None
+        for prev, nxt in zip(runs, runs[1:]):
+            assert prev["valid_to"] == nxt["valid_from"]
+            assert prev["o_orderstatus"] != nxt["o_orderstatus"] or (
+                prev["valid_to"] == prev["valid_from"]
+            )  # equal-date ties can split runs of the same status
+
+
+def test_zorder_key_is_bijective_and_local(spark):
+    """Morton key invariants on a small exact grid: interleaving is a
+    bijection (distinct (a,b) → distinct z), and a unit step in either
+    dimension moves z by a bounded amount within a 2^k-aligned cell."""
+    from fcs_etl_reactor_spark.queries.storage import _zorder_sql
+
+    grid = spark.sql(
+        "SELECT a, b, CAST({} AS BIGINT) AS z FROM "
+        "(SELECT explode(sequence(0, 31)) AS a) "
+        "CROSS JOIN (SELECT explode(sequence(0, 31)) AS b)".format(
+            _zorder_sql("a", "b", bits=5)
+        )
+    ).collect()
+    zs = {(r["a"], r["b"]): r["z"] for r in grid}
+    assert len(set(zs.values())) == len(zs)  # bijection on the grid
+    # locality: within an aligned 2x2 cell, z values are the 4
+    # consecutive integers of that cell's base — the property file
+    # min/max ranges rely on
+    for a in range(0, 32, 2):
+        for b in range(0, 32, 2):
+            cell = sorted(
+                zs[(x, y)] for x in (a, a + 1) for y in (b, b + 1)
+            )
+            assert cell == list(range(cell[0], cell[0] + 4))
+
+
+def test_shard_assignment_is_balanced_and_stable(spark):
+    """q6i invariants: shard sizes differ by ≤1 and are identical
+    across partition counts (loader-reproducibility)."""
+    from fcs_etl_reactor_spark.queries import QUERIES
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        spark.__dict__.pop("_fcs_plan_cache", None)
+        a = {r["shard"]: (r["n_docs"], r["shard_tokens"]) for r in
+             QUERIES["q6i_shard_assignment"](spark, "/root/testdata/sf0.001").collect()}
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        spark.__dict__.pop("_fcs_plan_cache", None)
+        b = {r["shard"]: (r["n_docs"], r["shard_tokens"]) for r in
+             QUERIES["q6i_shard_assignment"](spark, "/root/testdata/sf0.001").collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.__dict__.pop("_fcs_plan_cache", None)
+    assert a == b
+    sizes = [n for n, _ in a.values()]
+    assert max(sizes) - min(sizes) <= 1
