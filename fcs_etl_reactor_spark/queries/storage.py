@@ -335,3 +335,41 @@ def q2e_bucketed_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "user_id", "event_id", "value", F.lag("value").over(w).alias("prev_value")
     )
+
+
+# --------------------------------------------------------------------------
+# q2f — hierarchy closure (BOM/org-chart explosion): recursive
+# descent over the implicit binary tree on part keys (children of k
+# are 2k and 2k+1 — a deterministic DAG over the real part table).
+# The recursion depth is O(log n), each step a bounded equi-join of
+# the frontier against the parts scan — exactly the shape of a
+# bill-of-materials or reporting-hierarchy explosion at scale, where
+# the frontier is always ≤ |table| and the step count is the
+# hierarchy depth, never the row count. Identical ANSI text runs on
+# both engines.
+# --------------------------------------------------------------------------
+
+_Q2F_SQL = """
+WITH RECURSIVE reach(pk, depth) AS (
+  SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT c.p_partkey, r.depth + 1
+  FROM reach r JOIN {part} c ON c.p_partkey IN (r.pk * 2, r.pk * 2 + 1)
+)
+SELECT depth,
+       COUNT(*) AS n_parts,
+       CAST(MIN(pk) AS BIGINT) AS min_key,
+       CAST(MAX(pk) AS BIGINT) AS max_key
+FROM reach
+GROUP BY depth
+"""
+
+
+@query("q2f_tree_closure", oracle=_Q2F_SQL.format(part="part"))
+def q2f_tree_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reachability from the root with per-level rollup; gaps in the
+    part table prune whole subtrees, so the result encodes real data,
+    not just arithmetic."""
+    view = "q2f_part"
+    load(spark, sf_dir, "part").createOrReplaceTempView(view)
+    return spark.sql(_Q2F_SQL.format(part=view))
