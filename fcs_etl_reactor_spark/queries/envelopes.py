@@ -300,3 +300,48 @@ def q8l_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         within(F.col("_est"), F.col("n_users")).alias("sketch_ok"),
         within(F.col("_est_u"), F.col("n_total")).alias("union_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# q8n — approx_top_k heavy hitters (Spark 4.1, DataSketches
+# frequent-items): the sketch-based top-k whose error is bounded by
+# the stream's residual mass. Envelope: exact term counts
+# (oracle-recomputed) for the top-10 terms by (count DESC, term), plus
+# a boolean asserting the sketch surfaced every one of them with its
+# exact count (maxItemsTracked=10000 far exceeds the distinct terms
+# here, so the sketch is provably exact at this scale; at 100 TB the
+# same plan degrades gracefully to ±n/maxItemsTracked error).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q8n_approx_top_k",
+    oracle="""
+    WITH t AS (
+      SELECT UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+    ), c AS (
+      SELECT term, COUNT(*) AS n FROM t WHERE term <> '' GROUP BY term
+    )
+    SELECT term, n, TRUE AS sketch_found_exact
+    FROM c ORDER BY n DESC, term LIMIT 10
+    """,
+)
+def q8n_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    exact = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(10)
+    )
+    sketch = toks.agg(
+        F.explode(F.expr("approx_top_k(term, 10000, 10000)")).alias("e")
+    ).select(F.col("e.item").alias("term"), F.col("e.count").alias("sk_n"))
+    return exact.join(F.broadcast(sketch), "term", "left").select(
+        "term",
+        "n",
+        (F.col("sk_n") == F.col("n")).alias("sketch_found_exact"),
+    )

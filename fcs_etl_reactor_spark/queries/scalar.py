@@ -524,3 +524,40 @@ def q5d_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q5e — exact DECIMAL aggregation (F8/A-family): money sums on the
+# long-backed decimal fast path. SUM over DECIMAL is associative and
+# exact (no IEEE reassociation drift), so the total is deterministic
+# on ANY partitioning without the scaled-integer trick — the
+# trade-off vs functions/exact.dsum is ~4× slower codegen (measured
+# there), which is why dsum carries the hot paths and decimal is the
+# semantic reference. Final cast to DOUBLE keeps the cross-engine
+# schema identical.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q5e_decimal_exact",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q5e_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
