@@ -146,3 +146,83 @@ def q7f_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         F.round(F.col("frame_mean"), 6).alias("level"),
     )
+
+
+# --------------------------------------------------------------------------
+# q7p — perceptual image hashing (dHash) for multimodal near-dup:
+# render BMPs whose pixel field is arithmetic in a GROUP seed
+# (n_nationkey % 5), push them through the REAL encode→decode
+# roundtrip, compute the 56-bit difference hash from the DECODED
+# pixels, and cluster by hash — identical-content images collapse to
+# one hash per group. The oracle replays pixel arithmetic + hash
+# bits in pure SQL, so a value-hash match certifies byte-exact
+# decoding AND the dHash kernel. At 100 TB this is the image
+# near-dup bucketing key: O(n) hashes, equality-join buckets, no
+# pairwise pixel comparison.
+# --------------------------------------------------------------------------
+
+_DH_W, _DH_H = 8, 8  # hash grid: 8 rows × 7 adjacent-column bits = 56
+
+
+def _px(g: str, x: int, y: int) -> str:
+    return f"(({g} * 91 + {x} * 53 + {y} * 29) % 256)"
+
+
+def _dhash_sql(g: str) -> str:
+    terms = []
+    for y in range(_DH_H):
+        for x in range(_DH_W - 1):
+            i = y * (_DH_W - 1) + x
+            terms.append(
+                f"(CASE WHEN {_px(g, x + 1, y)} > {_px(g, x, y)}"
+                f" THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+            )
+    return " + ".join(terms)
+
+
+def _render_and_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from fcs_etl_reactor_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    for pdf in batches:
+        keys, hashes = [], []
+        for k in pdf["n_nationkey"]:
+            k = int(k)
+            g = k % 5
+            xs = np.arange(_BMP_W)[None, :]
+            ys = np.arange(_BMP_H)[:, None]
+            img = ((g * 91 + xs * 53 + ys * 29) % 256).astype(np.uint8)
+            dec = decode_bmp(encode_bmp(img))  # REAL codec roundtrip
+            region = dec[: _DH_H, : _DH_W].astype(np.int64)
+            bits = (region[:, 1:] > region[:, :-1]).ravel()
+            hashes.append(int((bits << np.arange(bits.size)).sum()))
+            keys.append(k)
+        yield pd.DataFrame({"n_nationkey": keys, "dhash": hashes})
+
+
+@query(
+    "q7p_image_dhash_neardup",
+    oracle=f"""
+    WITH h AS (
+      SELECT n_nationkey,
+             CAST({_dhash_sql("(n_nationkey % 5)")} AS BIGINT) AS dhash
+      FROM nation
+    )
+    SELECT dhash,
+           COUNT(*) AS n_images,
+           CAST(MIN(n_nationkey) AS BIGINT) AS min_key,
+           CAST(MAX(n_nationkey) AS BIGINT) AS max_key
+    FROM h GROUP BY dhash
+    """,
+)
+def q7p_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    hashed = n.select("n_nationkey").mapInPandas(
+        _render_and_hash, "n_nationkey INT, dhash BIGINT"
+    )
+    return hashed.groupBy("dhash").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.min("n_nationkey").cast("bigint").alias("min_key"),
+        F.max("n_nationkey").cast("bigint").alias("max_key"),
+    )
