@@ -377,3 +377,68 @@ def sample_frames(df: DataFrame, k: int = 3) -> DataFrame:
     return df.select("path", "content").mapInPandas(
         _sample, "path STRING, frame_idx INT, frame_mean DOUBLE"
     )
+
+
+def audio_spectral_features(df, content_col: str = "content", n_bins: int = 4):
+    """Decode WAV blobs and emit spectral features per clip: RMS,
+    dominant-frequency bin index + its Hz, and energy in n_bins
+    equal log-spaced bands — the audio analogue of the image feature
+    extractor. NumPy rfft per clip inside mapInPandas (Arrow batches;
+    clips are independent → embarrassingly parallel). Parseval's
+    identity (time-domain energy == frequency-domain energy / N) is
+    asserted per clip in tests — a decoded-sample-level correctness
+    check no schema test can fake.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "path": [], "rate": [], "n_samples": [], "rms": [],
+                "dom_bin": [], "dom_hz": [], "band_energy": [],
+                "parseval_ok": [],
+            }
+            for path, blob in zip(pdf["path"], pdf[content_col]):
+                rate, x = decode_wav(bytes(blob))
+                mono = np.asarray(x, dtype=np.float64).mean(axis=1)
+                n = mono.size
+                spec = np.fft.rfft(mono)
+                power = np.abs(spec) ** 2
+                # Parseval: sum x² == (|X0|² + 2·Σ|Xk|² [+ |X_nyq|²·(1 if even n duplicated term removed)]) / n
+                inner = power.copy()
+                inner[1:] *= 2.0
+                if n % 2 == 0:
+                    inner[-1] /= 2.0
+                t_energy = float((mono ** 2).sum())
+                f_energy = float(inner.sum()) / n
+                dom = int(power[1:].argmax()) + 1 if power.size > 1 else 0
+                edges = np.unique(
+                    np.round(
+                        np.logspace(0, np.log10(max(power.size - 1, 1)), n_bins + 1)
+                    ).astype(int)
+                )
+                bands = [
+                    float(power[lo : hi + 1].sum())
+                    for lo, hi in zip(edges[:-1], edges[1:])
+                ]
+                out["path"].append(path)
+                out["rate"].append(int(rate))
+                out["n_samples"].append(int(n))
+                out["rms"].append(float(np.sqrt((mono ** 2).mean())))
+                out["dom_bin"].append(dom)
+                out["dom_hz"].append(float(dom * rate / n))
+                out["band_energy"].append(bands)
+                out["parseval_ok"].append(
+                    bool(abs(t_energy - f_energy) <= 1e-9 * max(t_energy, 1.0))
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        _feats,
+        "path STRING, rate INT, n_samples INT, rms DOUBLE, dom_bin INT, "
+        "dom_hz DOUBLE, band_energy ARRAY<DOUBLE>, parseval_ok BOOLEAN",
+    )

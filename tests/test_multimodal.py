@@ -227,3 +227,30 @@ class TestRawvFrameSampling:
         assert (up[::2, ::2] == img).all() and (up[1::2, 1::2] == img).all()
         down = resize_nn(img, 2, 2)
         assert (down == img[[0, 2]][:, [0, 2]]).all()
+
+
+class TestAudioSpectral:
+    def test_parseval_and_dominant_bin(self, spark):
+        import numpy as np
+
+        from fcs_etl_reactor_spark.operators.multimodal import (
+            audio_spectral_features,
+            encode_wav,
+        )
+
+        rate, n = 8000, 256
+        rows = []
+        for k, freq_bin in [("a", 4), ("b", 17), ("c", 31)]:
+            t = np.arange(n) / n
+            x = 0.5 * np.sin(2 * np.pi * freq_bin * t)[:, None]
+            rows.append((k, bytearray(encode_wav(rate, x))))
+        df = spark.createDataFrame(rows, "path STRING, content BINARY")
+        out = {r["path"]: r for r in audio_spectral_features(df).collect()}
+        assert all(r["parseval_ok"] for r in out.values())
+        # a pure sine's dominant rfft bin is its cycle count over the clip
+        assert out["a"]["dom_bin"] == 4
+        assert out["b"]["dom_bin"] == 17
+        assert out["c"]["dom_bin"] == 31
+        for r in out.values():
+            assert r["dom_hz"] == r["dom_bin"] * rate / n
+            assert abs(r["rms"] - 0.5 / np.sqrt(2)) < 1e-3  # 16-bit quant
