@@ -70,3 +70,42 @@ def q4b_polygon_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") % 40).cast("double").alias("y"),
     )
     return sample.withColumn("inside", polygon_gate("x", "y", _POLY))
+
+
+# --------------------------------------------------------------------------
+# q4e — ellipse gate (P5's second form): pure-expression membership,
+# whole-stage codegen, no UDF (unlike the polygon's ray-cast pandas
+# kernel — the ellipse needs no iteration). θ=0 keeps cos/sin exact
+# literals so both engines run identical IEEE arithmetic; rotation is
+# covered by operator unit tests. The gated rollup is the reference's
+# "population fraction per sample" shape.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q4e_ellipse_gate",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN
+               ((l_quantity - 25.0) / 15.0) * ((l_quantity - 25.0) / 15.0)
+             + ((l_discount * 100.0 - 5.0) / 4.0)
+               * ((l_discount * 100.0 - 5.0) / 4.0) <= 1.0
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_inside
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q4e_ellipse_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.gates import ellipse_gate
+
+    l = load(spark, sf_dir, "lineitem")  # noqa: E741
+    inside = ellipse_gate(
+        F.col("l_quantity"),
+        F.col("l_discount") * 100.0,
+        cx=25.0, cy=5.0, rx=15.0, ry=4.0,
+    )
+    return l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(inside, 1).otherwise(0)).cast("bigint").alias("n_inside"),
+    )
