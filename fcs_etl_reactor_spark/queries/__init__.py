@@ -74,6 +74,14 @@ def query(name: str, oracle: str | None = None):
 # and the partition-pruned scan (q2b) take the window's last two
 # slots from the r2-green domain re-confirms; the recursive CTE
 # (q2c) sits just outside at 51 and rotates in next round.
+#
+# ROUND-4 ROTATION TODO (mechanical): front everything registered
+# after this round's window closed — q2c/q2d/q2e/q2f (storage),
+# q9g/q7m/q6i (advanced), q5d/q5e/q7n (scalar tail), q4e (gates
+# tail), q8k/q8m (text tail), q8l/q8n (envelope tail), q7p (media
+# tail) — plus whatever CORRECTNESS_r03 marks failed; then re-confirm
+# the rest. All of the above are differ-green at sf0.001+sf0.01,
+# partition-count invariant, and (where timestamped) tz-probe green.
 from fcs_etl_reactor_spark.queries import pipeline  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import dedup_extra  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import skew  # noqa: E402,F401
