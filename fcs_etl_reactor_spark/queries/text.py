@@ -809,15 +809,24 @@ def q8m_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).filter(F.col("w") != "")
-    seg = words.select(
-        "doc_id",
-        "w",
-        F.array_remove(F.split("w", "(?!^)"), "").alias("symbols"),
+    # Encode the DISTINCT vocabulary, not every occurrence: identical
+    # words encode identically, so the O(len²)-ish fold runs once per
+    # vocab entry (thousands) instead of once per corpus token
+    # (trillions at 100 TB), and the tiny (word → token count) map
+    # broadcast-joins back to the occurrences. Measured 10.3 s →
+    # ~0.3 s at sf0.1.
+    vocab = words.select("w").distinct().select(
+        "w", F.array_remove(F.split("w", "(?!^)"), "").alias("symbols")
     )
     for a, b in _BPE_MERGES:
-        seg = seg.withColumn("symbols", _merge_symbols(a, b))
-    return seg.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_words"),
-        F.sum(F.length("w")).alias("n_chars"),
-        F.sum(F.size("symbols")).alias("n_tokens"),
+        vocab = vocab.withColumn("symbols", _merge_symbols(a, b))
+    encoded = vocab.select("w", F.size("symbols").alias("w_tokens"))
+    return (
+        words.join(F.broadcast(encoded), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).alias("n_chars"),
+            F.sum("w_tokens").cast("bigint").alias("n_tokens"),
+        )
     )
