@@ -147,15 +147,26 @@ def parse_fcs_bytes(data: bytes) -> tuple[dict[str, str], list[str], "object"]:
     return kv, channels, mat
 
 
-def read_fcs_long(spark: SparkSession, path: str) -> DataFrame:
+def read_fcs_long(
+    spark: SparkSession, path: str, on_error: str = "fail"
+) -> DataFrame:
     """Ingest a directory (or glob) of .fcs files into the engine's
     long format (sample_id, event_id, channel, value).
 
     binaryFile scan → mapInPandas parser: each Arrow batch holds whole
     files; output row count is events × channels per file. Files are
     independent → embarrassingly parallel across executors.
+
+    on_error: "fail" (default — a malformed file aborts the job with
+    the parser's error) or "skip" (malformed files contribute zero
+    rows; the production ingest posture, since one corrupt upload
+    must not sink a 100k-file batch — PERMISSIVE-mode semantics for a
+    binary format the JSON/CSV readers get for free).
     """
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
     bins = spark.read.format("binaryFile").load(path)
+    skip_bad = on_error == "skip"
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -164,7 +175,12 @@ def read_fcs_long(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             for _, row in pdf.iterrows():
                 sample_id = os.path.basename(row["path"])
-                _, channels, mat = parse_fcs_bytes(bytes(row["content"]))
+                try:
+                    _, channels, mat = parse_fcs_bytes(bytes(row["content"]))
+                except Exception:
+                    if skip_bad:
+                        continue
+                    raise
                 n_tot, n_par = mat.shape
                 yield pd.DataFrame(
                     {

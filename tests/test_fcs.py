@@ -242,3 +242,30 @@ class TestFcsStreamSource:
             }
         finally:
             q.stop()
+
+
+class TestBadFileTolerance:
+    def test_on_error_skip_drops_corrupt_files(self, spark, tmp_path):
+        import numpy as np
+
+        d = tmp_path / "mixed"
+        d.mkdir()
+        mat = np.arange(12, dtype=float).reshape(4, 3)
+        (d / "good.fcs").write_bytes(
+            make_fcs_bytes(["FSC-A", "SSC-A", "FL1-A"], mat)
+        )
+        (d / "bad.fcs").write_bytes(b"NOT-AN-FCS-FILE" * 10)
+
+        # default: the corrupt file fails the job
+        with pytest.raises(Exception):
+            read_fcs_long(spark, str(d)).count()
+        # skip mode: good file parses fully, bad contributes nothing
+        out = read_fcs_long(spark, str(d), on_error="skip")
+        assert out.count() == 12  # 4 events × 3 channels
+        assert {r["sample_id"] for r in out.select("sample_id").distinct().collect()} == {
+            "good.fcs"
+        }
+
+    def test_on_error_validates(self, spark):
+        with pytest.raises(ValueError):
+            read_fcs_long(spark, "/nonexistent", on_error="maybe")
