@@ -205,3 +205,40 @@ class TestXml:
                 read_avro(spark, str(tmp_path / "avro_out"))
         else:  # pragma: no cover - runs only where spark-avro is deployed
             assert read_avro(spark, str(tmp_path / "avro_out")).count() == 1
+
+
+class TestInterchangeRoundtrip:
+    def test_all_formats_preserve_values(self, spark, tmp_path):
+        # one DF through every sink/source pair this engine exposes —
+        # parquet, ORC, CSV, JSON, XML — must reproduce identical
+        # values (CSV/JSON/XML go through text, so compare on a
+        # schema-pinned reread)
+        from fcs_etl_reactor_spark.io import (
+            read_csv, read_json, read_orc, read_xml,
+            write_csv, write_json, write_orc, write_xml,
+        )
+
+        df = spark.range(20).selectExpr(
+            "id",
+            "concat('name_', id) AS name",
+            "CAST(id AS DOUBLE) / 8 AS score",   # exact binary fractions
+        )
+        want = {(r["id"], r["name"], r["score"]) for r in df.collect()}
+        ddl = "id BIGINT, name STRING, score DOUBLE"
+
+        p = str(tmp_path / "p"); df.write.parquet(p)
+        o = str(tmp_path / "o"); write_orc(df, o)
+        c = str(tmp_path / "c"); write_csv(df, c)
+        j = str(tmp_path / "j"); write_json(df, j)
+        x = str(tmp_path / "x"); write_xml(df, x)
+
+        reread = {
+            "parquet": spark.read.parquet(p),
+            "orc": read_orc(spark, o),
+            "csv": read_csv(spark, c, schema=ddl),
+            "json": read_json(spark, j, schema=ddl),
+            "xml": read_xml(spark, x, schema=ddl),
+        }
+        for fmt, back in reread.items():
+            got = {(r["id"], r["name"], r["score"]) for r in back.collect()}
+            assert got == want, fmt
