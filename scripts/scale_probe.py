@@ -60,6 +60,9 @@ PROBE_QUERIES = [  # all run on the replicated tables
     "q7m_scd2_history",      # gaps-and-islands SCD2 run collapse
     "q8k_trigram_lm",        # n-gram LM counting topology
     "q9g_stream_stream_join",  # stream-stream interval join state at 10x
+    "q8m_bpe_encode",        # vocab-dedup BPE encode (fold ~ |vocab|)
+    "q2e_bucketed_window",   # shuffle-free per-key window
+    "q4e_ellipse_gate",      # pure-codegen gate rollup
 ]
 
 
