@@ -160,3 +160,90 @@ def running_user_counters_tws(stream):
         outputMode="update",
         timeMode="none",
     )
+
+
+# ---------------------------------------------------------------------------
+# T6 with EVENT-TIME TIMEOUTS: custom sessionization where the state
+# machine — not a built-in window — decides when a session closes.
+# Each key accumulates (n, start, end); after every batch the timeout
+# is re-armed to end + gap. When the watermark passes that stamp,
+# Spark calls the function with state.hasTimedOut=True and NO input
+# rows; the session is emitted and its state removed. State per key
+# is three scalars — bounded by active keys inside the gap horizon,
+# the property that keeps 100 TB/day sessionization in memory.
+# ---------------------------------------------------------------------------
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id BIGINT, n_events BIGINT, session_start TIMESTAMP, "
+    "session_end TIMESTAMP"
+)
+SESSION_STATE_SCHEMA = "n BIGINT, start TIMESTAMP, end TIMESTAMP"
+
+
+def make_session_updater(gap_seconds: int):
+    import datetime as dt
+
+    gap = dt.timedelta(seconds=gap_seconds)
+
+    def _emit_frame(key, sessions):
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([key[0]] * len(sessions), dtype="int64"),
+                "n_events": pd.Series([n for n, _, _ in sessions], dtype="int64"),
+                "session_start": pd.Series(
+                    [a for _, a, _ in sessions], dtype="datetime64[us]"
+                ),
+                "session_end": pd.Series(
+                    [b for _, _, b in sessions], dtype="datetime64[us]"
+                ),
+            }
+        )
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, start, end = state.get
+            state.remove()
+            yield _emit_frame(key, [(n, start, end)])
+            return
+        ts_all = []
+        for pdf in pdfs:
+            ts_all.extend(t.to_pydatetime() for t in pdf["ts"])
+        ts_all.sort()
+        if state.exists:
+            n, start, end = state.get
+        else:
+            n, start, end = 0, None, None
+        closed = []
+        for t in ts_all:
+            if end is None:
+                n, start, end = 1, t, t
+            elif t - end <= gap:
+                n, end = n + 1, t
+            else:
+                closed.append((n, start, end))
+                n, start, end = 1, t, t
+        if n:
+            state.update((n, start, end))
+            state.setTimeoutTimestamp(int((end + gap).timestamp() * 1000))
+        yield _emit_frame(key, closed)
+
+    return _update
+
+
+def timeout_sessions(stream, gap_seconds: int = 1800, watermark: str = "1 second"):
+    """Sessions that CLOSE via event-time timeout — emitted only when
+    the watermark proves no more events can join them (append-style
+    finality from an update-mode stateful op)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_session_updater(gap_seconds),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -263,3 +263,82 @@ def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
     assert got == list(range(9))
     # and the second run really arrived as a separate micro-batch
     assert final.select("_batch_id").distinct().count() >= 2
+
+
+def test_event_time_timeout_sessions(spark, tmp_path):
+    # T6 with EVENT-TIME TIMEOUTS: sessions close either inline (a
+    # later event exceeds the gap) or via state timeout once the
+    # watermark proves them final. Deterministic two-file
+    # chronological replay; expectation computed independently below.
+    import datetime as dt
+
+    from fcs_etl_reactor_spark.io import load
+    from fcs_etl_reactor_spark.streaming.stateful import timeout_sessions
+    from fcs_etl_reactor_spark.streaming.windows import to_memory_sink
+    from pyspark.sql import functions as F
+
+    GAP = dt.timedelta(minutes=30)
+    sf = "/root/testdata/sf0.001"
+    ev = load(spark, sf, "events").select("user_id", "ts")
+    rows = [(r["user_id"], r["ts"]) for r in ev.collect()]
+    max_ts = max(t for _, t in rows)
+    cutoff = max_ts - dt.timedelta(hours=26)
+
+    src = tmp_path / "chrono"
+    src.mkdir()
+    early = ev.filter(F.col("ts") < F.lit(cutoff))
+    late = ev.filter(F.col("ts") >= F.lit(cutoff))
+    early.repartition(1).write.parquet(str(src / "f"))
+    import glob, os, shutil, time
+    part = glob.glob(str(src / "f" / "part-*.parquet"))[0]
+    shutil.move(part, str(src / "00_early.parquet"))
+    late.repartition(1).write.parquet(str(src / "g"))
+    part = glob.glob(str(src / "g" / "part-*.parquet"))[0]
+    shutil.move(part, str(src / "01_late.parquet"))
+    shutil.rmtree(src / "f"); shutil.rmtree(src / "g")
+    now = time.time()
+    os.utime(src / "00_early.parquet", (now - 60, now - 60))
+    os.utime(src / "01_late.parquet", (now - 30, now - 30))
+
+    stream = (
+        spark.readStream.schema("user_id BIGINT, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = to_memory_sink(
+        timeout_sessions(stream, gap_seconds=1800), "t6_timeout_sessions", "update"
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table("t6_timeout_sessions").collect()
+        if r["n_events"] is not None
+    }
+
+    # independent expectation: batch sessionization per user; every
+    # session except the user's last emits inline; the last (open)
+    # session emits via timeout in the terminal no-data micro-batch
+    # (noDataMicroBatches fires state timers at the final watermark =
+    # max(all ts) - 1 s), i.e. iff end + gap < that watermark
+    by_user = {}
+    for u, t in rows:
+        by_user.setdefault(u, []).append(t)
+    w_final = max_ts - dt.timedelta(seconds=1)
+    want = set()
+    for u, ts in by_user.items():
+        ts.sort()
+        sessions, n, start, end = [], 0, None, None
+        for t in ts:
+            if end is None:
+                n, start, end = 1, t, t
+            elif t - end <= GAP:
+                n, end = n + 1, t
+            else:
+                sessions.append((n, start, end))
+                n, start, end = 1, t, t
+        open_sess = (n, start, end)
+        for s in sessions:
+            want.add((u, s[1], s[2], s[0]))
+        if open_sess[2] + GAP < w_final:
+            want.add((u, open_sess[1], open_sess[2], open_sess[0]))
+    assert got == want and len(want) > 0
