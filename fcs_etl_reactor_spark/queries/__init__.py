@@ -57,31 +57,20 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-# Module imports populate the registry. ORDER MATTERS: the driver
-# hard-verifies the first 50 registered entries per round, so each
-# round rotates the modules whose queries most need fresh signal to
-# the front. Round 1 verified relational/joins/aggregates/windows/
-# setops (46/50 green); round 2 verified envelopes/scalar/domain/text/
-# vectors (44/50 green) but its window closed before the LLM-pipeline
-# family. Round 3 leads with everything never driver-tested —
-# pipeline (q6a–q6g, L9–L15), dedup_extra (q5b/q5c/q56–q59/q6h),
-# skew (q19/q34/q35), media (q74, plus the q75 hash fix), the
-# re-fixed regressions (events_windows q95–q99/q3a/q3b plus q41,
-# which lives in events_windows so the W2 regression fix lands inside
-# the window), the new streaming/gap-fill/upsert entries (q4d,
-# q9a–q9f), then joins (q18 bloom + the green join family) and the
-# new storage-layout entries: the bucketed exchange-free join (q2a)
-# and the partition-pruned scan (q2b) take the window's last two
-# slots from the r2-green domain re-confirms; the recursive CTE
-# (q2c) sits just outside at 51 and rotates in next round.
+# Module imports populate the registry; the driver hard-verifies the
+# FIRST 50 entries per round. Positions are pinned explicitly by
+# _WINDOW_PRIORITY below (import order proved fragile), so import
+# order here only affects the post-window remainder. History: round 1
+# verified relational/joins/aggregates/windows/setops (46/50 green);
+# round 2 envelopes/scalar/domain/text/vectors (44/50); round 3's
+# window (the list below) is 100% never-tested-or-failing entries.
 #
-# ROUND-4 ROTATION TODO (mechanical): front everything registered
-# after this round's window closed — q2c/q2d/q2e/q2f (storage),
-# q9g/q7m/q6i (advanced), q5d/q5e/q7n (scalar tail), q4e (gates
-# tail), q8k/q8m (text tail), q8l/q8n (envelope tail), q7p (media
-# tail) — plus whatever CORRECTNESS_r03 marks failed; then re-confirm
-# the rest. All of the above are differ-green at sf0.001+sf0.01,
-# partition-count invariant, and (where timestamped) tz-probe green.
+# ROUND-4 ROTATION TODO (mechanical): replace _WINDOW_PRIORITY with
+# (a) whatever CORRECTNESS_r03 marks failed, then (b) the still-never-
+# tested tail — q5d/q5e/q7n (scalar), q8k/q8m (text), q8l/q8n
+# (envelopes), q7g/q7k/q7l and friends if untested — then (c)
+# re-confirms of the oldest green entries. Everything in the registry
+# is differ-green at sf0.001+sf0.01 and partition-count invariant.
 from fcs_etl_reactor_spark.queries import pipeline  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import dedup_extra  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import skew  # noqa: E402,F401
@@ -101,3 +90,61 @@ from fcs_etl_reactor_spark.queries import envelopes  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import scalar  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import text  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import vectors  # noqa: E402,F401
+
+# ---------------------------------------------------------------------------
+# Explicit driver-window control. Import order proved too fragile
+# (appending a query to an early module silently shifts every later
+# position), so the first-50 window is now pinned by NAME: the list
+# below is exactly this round's verification window — every entry
+# either never driver-tested or failing in CORRECTNESS_r02 — and the
+# remainder keeps registration order. Next round: edit this list.
+# ---------------------------------------------------------------------------
+
+_WINDOW_PRIORITY = [
+    # LLM-pipeline family (never tested)
+    "q6a_train_test_split", "q6b_shuffle_order", "q6e_clean_corpus",
+    "q6d_decontamination", "q6c_context_packing", "q6f_domain_mixture",
+    "q6g_stratified_sample",
+    # dedup/sampling tail (never tested)
+    "q56_minhash_lsh", "q57_simhash_candidates", "q58_sampling",
+    "q5b_dedup_clusters", "q5c_span_dedup", "q6h_lsh_decontamination",
+    "q59_cosine_topk_fast",
+    # skew (never tested)
+    "q34_salted_agg", "q35_salted_join", "q19_skew_stats",
+    # media/multimodal (q75 hash-failed in r2; q74 never tested)
+    "q74_media_decode", "q7f_frame_sample", "q7p_image_dhash_neardup",
+    # events/windows (q95-q98/q3a failed in r2; rest never tested)
+    "q95_tumbling_window", "q96_sliding_window", "q97_sessionization",
+    "q98_streaming_tumbling", "q99_streaming_sessions", "q3a_funnel",
+    "q3b_retention_cohorts", "q4d_gapfill", "q41_event_gaps",
+    "q3c_rate_anomaly",
+    # gates (never tested)
+    "q4b_polygon_gate", "q4e_ellipse_gate",
+    # streaming tail (never tested)
+    "q9a_watermark_late", "q9b_streaming_dedup", "q9d_stateful_counters",
+    "q9c_stream_static_join", "q9e_foreach_batch_sink",
+    "q9f_streaming_upsert", "q9g_stream_stream_join",
+    # joins never-tested tail
+    "q18_bloom_semi_join", "q1a_local_supplier_volume",
+    "q1b_forecast_revenue",
+    # storage-layout + advanced (new this round)
+    "q2a_bucketed_join", "q2b_partition_pruned_scan",
+    "q2c_recursive_month_spine", "q2d_zorder_key", "q2e_bucketed_window",
+    "q2f_tree_closure", "q7m_scd2_history", "q6i_shard_assignment",
+]
+assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
+
+
+def _apply_window_priority() -> None:
+    missing = [n for n in _WINDOW_PRIORITY if n not in QUERIES]
+    assert not missing, f"window names not registered: {missing}"
+    for reg in (QUERIES, ORACLE):
+        ordered = {n: reg[n] for n in _WINDOW_PRIORITY if n in reg}
+        for n, v in reg.items():
+            if n not in ordered:
+                ordered[n] = v
+        reg.clear()
+        reg.update(ordered)
+
+
+_apply_window_priority()
