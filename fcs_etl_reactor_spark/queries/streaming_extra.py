@@ -292,7 +292,12 @@ def q9e_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     src = _split_stream_dir(spark, sf_dir)
-    dest = os.path.join(_FOREACH_ROOT, src.rsplit("/", 1)[-1])
+    # pid-scoped like q9f's state dir: the unconditional clean-slate
+    # rmtree below would otherwise delete a concurrent process's
+    # in-flight append sink
+    dest = os.path.join(
+        _FOREACH_ROOT, f"{src.rsplit('/', 1)[-1]}_pid{os.getpid()}"
+    )
     sink_dir = os.path.join(dest, "sink")
     checkpoint = os.path.join(dest, "ckpt")
     # the sink is append-mode parquet: always start from a clean slate
@@ -340,7 +345,14 @@ def q9f_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fcs_etl_reactor_spark.streaming.windows import read_events_stream
 
     src = _split_stream_dir(spark, sf_dir)
-    dest = os.path.join(_UPSERT_ROOT, src.rsplit("/", 1)[-1])
+    # pid-scoped scratch: the versioned state dir is rmtree'd at build
+    # time, so two PROCESSES running q9f concurrently (pytest + a
+    # differ, say) would clobber each other's mid-stream state —
+    # observed once as a parity flake. Per-process dirs make the run
+    # hermetic; within one process the plan cache already serializes.
+    dest = os.path.join(
+        _UPSERT_ROOT, f"{src.rsplit('/', 1)[-1]}_pid{os.getpid()}"
+    )
     shutil.rmtree(dest, ignore_errors=True)
     os.makedirs(dest, exist_ok=True)
 
