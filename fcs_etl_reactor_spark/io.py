@@ -315,10 +315,22 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     index to fetch it — same env-gate rationale as TWS/protobuf), so
     this raises a clear error here and works unchanged on any cluster
     deployed with --packages org.apache.spark:spark-avro_2.13:4.1.2."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.format("avro").load(path)
-    except Exception as exc:  # AnalysisException: FAILED_FIND_DATA_SOURCE
-        raise NotImplementedError(
-            "spark-avro module not deployed in this environment; "
-            "submit with --packages org.apache.spark:spark-avro_2.13:<ver>"
-        ) from exc
+    except AnalysisException as exc:
+        # Translate ONLY the missing-module failure; a missing path,
+        # corrupt file, or schema error on a cluster where spark-avro
+        # IS deployed must surface unchanged.
+        cls = ""
+        try:
+            cls = exc.getCondition() or ""
+        except Exception:
+            pass
+        if "FAILED_FIND_DATA_SOURCE" in cls or "Failed to find" in str(exc):
+            raise NotImplementedError(
+                "spark-avro module not deployed in this environment; "
+                "submit with --packages org.apache.spark:spark-avro_2.13:<ver>"
+            ) from exc
+        raise

@@ -98,7 +98,20 @@ def cosine_topk_vectorized(
     """
     import numpy as np
 
-    qrows = queries.select(id_col, vec_col).collect()
+    # Enforce the smallness contract instead of trusting it: the query
+    # side rides to every task in the UDF closure, so an unbounded
+    # query DataFrame would OOM the driver *silently* at scale. limit()
+    # makes the probe cheap (scan stops at the cap); callers with more
+    # queries than this belong on lsh_topk/ivf_topk, whose query side
+    # stays distributed.
+    _MAX_QUERIES = 100_000
+    qrows = queries.select(id_col, vec_col).limit(_MAX_QUERIES + 1).collect()
+    if len(qrows) > _MAX_QUERIES:
+        raise ValueError(
+            f"cosine_topk_vectorized query side exceeds {_MAX_QUERIES} rows; "
+            "it is driver-collected by design (broadcast build side). Use "
+            "lsh_topk/ivf_topk for large query sets."
+        )
     qids = [r[0] for r in qrows]
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)  # m × d
     qn = np.sqrt(

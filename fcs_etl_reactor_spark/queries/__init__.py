@@ -65,12 +65,13 @@ def query(name: str, oracle: str | None = None):
 # round 2 envelopes/scalar/domain/text/vectors (44/50); round 3's
 # window (the list below) is 100% never-tested-or-failing entries.
 #
-# ROUND-4 ROTATION TODO (mechanical): replace _WINDOW_PRIORITY with
-# (a) whatever CORRECTNESS_r03 marks failed, then (b) the still-never-
-# tested tail — q5d/q5e/q7n (scalar), q8k/q8m (text), q8l/q8n
-# (envelopes), q7g/q7k/q7l and friends if untested — then (c)
-# re-confirms of the oldest green entries. Everything in the registry
-# is differ-green at sf0.001+sf0.01 and partition-count invariant.
+# ROUND-5 ROTATION TODO (mechanical): after CORRECTNESS_r04 lands,
+# replace _WINDOW_PRIORITY with (a) any r04 failures, then (b) the
+# 20 remaining round-1 greens not re-confirmed in r04 (q14 q15 q21
+# q22 q28 q31 q32 q37 q38 q39 q43 q45 q47 q48 q4a q50 q51 q52 q53
+# q54), then (c) oldest round-2/round-3 greens. Everything in the
+# registry is differ-green at sf0.001+sf0.01 and partition-count
+# invariant.
 from fcs_etl_reactor_spark.queries import pipeline  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import dedup_extra  # noqa: E402,F401
 from fcs_etl_reactor_spark.queries import skew  # noqa: E402,F401
@@ -101,36 +102,38 @@ from fcs_etl_reactor_spark.queries import vectors  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _WINDOW_PRIORITY = [
-    # LLM-pipeline family (never tested)
-    "q6a_train_test_split", "q6b_shuffle_order", "q6e_clean_corpus",
-    "q6d_decontamination", "q6c_context_packing", "q6f_domain_mixture",
-    "q6g_stratified_sample",
-    # dedup/sampling tail (never tested)
-    "q56_minhash_lsh", "q57_simhash_candidates", "q58_sampling",
-    "q5b_dedup_clusters", "q5c_span_dedup", "q6h_lsh_decontamination",
-    "q59_cosine_topk_fast",
-    # skew (never tested)
-    "q34_salted_agg", "q35_salted_join", "q19_skew_stats",
-    # media/multimodal (q75 hash-failed in r2; q74 never tested)
-    "q74_media_decode", "q7f_frame_sample", "q7p_image_dhash_neardup",
-    # events/windows (q95-q98/q3a failed in r2; rest never tested)
-    "q95_tumbling_window", "q96_sliding_window", "q97_sessionization",
-    "q98_streaming_tumbling", "q99_streaming_sessions", "q3a_funnel",
-    "q3b_retention_cohorts", "q4d_gapfill", "q41_event_gaps",
-    "q3c_rate_anomaly",
-    # gates (never tested)
-    "q4b_polygon_gate", "q4e_ellipse_gate",
-    # streaming tail (never tested)
-    "q9a_watermark_late", "q9b_streaming_dedup", "q9d_stateful_counters",
-    "q9c_stream_static_join", "q9e_foreach_batch_sink",
-    "q9f_streaming_upsert", "q9g_stream_stream_join",
-    # joins never-tested tail
-    "q18_bloom_semi_join", "q1a_local_supplier_volume",
-    "q1b_forecast_revenue",
-    # storage-layout + advanced (new this round)
-    "q2a_bucketed_join", "q2b_partition_pruned_scan",
-    "q2c_recursive_month_spine", "q2d_zorder_key", "q2e_bucketed_window",
-    "q2f_tree_closure", "q7m_scd2_history", "q6i_shard_assignment",
+    # 1. The ONLY standing failure: q75 hash-failed in CORRECTNESS_r02
+    #    (DuckDB SUM(int) returned HUGEINT -> "65745.0" vs Spark's
+    #    BIGINT "65745" in the value hash). The oracle-side
+    #    CAST(... AS BIGINT) fix landed in dac242c but was never
+    #    driver-retested — it goes FIRST this round.
+    "q75_multimodal_features",
+    # 2. The 24 registry entries never inside any driver window
+    #    (union of CORRECTNESS_r01-r03): warehouse utilities,
+    #    tokenizer-training family, sketches, VARIANT, SQL UDF,
+    #    the end-to-end FCS chain.
+    "q7a_table_fingerprint", "q7b_upsert_merge", "q7c_column_profile",
+    "q7d_fk_check", "q7e_equidepth_histogram", "q7g_table_diff",
+    "q7h_arcsinh_transform", "q7i_quantile_normalization",
+    "q7j_fcs_pipeline", "q7k_incremental_rollup", "q7l_event_transitions",
+    "q7n_variant_extract",
+    "q4c_trimmed_mean", "q5d_sql_udf", "q5e_decimal_exact",
+    "q8d_random_projection", "q8g_vocab_oov", "q8h_countmin",
+    "q8i_chunking", "q8j_bpe_pair_counts", "q8k_trigram_lm",
+    "q8l_hll_union", "q8m_bpe_encode", "q8n_approx_top_k",
+    # 3. Oldest-green re-confirms: these 25 were last tested in
+    #    CORRECTNESS_r01 (green) and never since; the remaining 20
+    #    round-1 greens rotate in next round.
+    "q1_pricing_summary", "q2_filter_predicates", "q3_conditional_recode",
+    "q4_top_orders", "q5_derived_columns", "q6_correlated_subquery",
+    "q9_shipping_priority", "q10_star_join_revenue",
+    "q11_outer_join_counts", "q12_semi_join", "q13_anti_join",
+    "q16_asof_join", "q17_order_pairs",
+    "q20_basic_stats", "q23_percentiles", "q24_rollup",
+    "q25_conditional_agg", "q27_log_histogram", "q29_argmax",
+    "q33_grouping_sets",
+    "q40_ranking", "q42_running_total", "q44_topk_per_group",
+    "q46_zscore", "q55_exact_dedup",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 

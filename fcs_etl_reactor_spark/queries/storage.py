@@ -77,7 +77,10 @@ def bucketed_table(
     try:
         if spark.catalog.tableExists(tbl):
             return spark.table(tbl)
-        path = os.path.join(_LAYOUT_ROOT, "bucketed", tbl)
+        # pid-scoped build dir: the catalog entry is per-process anyway
+        # (in-memory catalog), so a shared path bought nothing and let a
+        # concurrent process observe a mode('overwrite') mid-write.
+        path = os.path.join(_LAYOUT_ROOT, "bucketed", f"{tbl}_{os.getpid()}")
         write_bucketed(
             # one file per bucket: lets the reader trust sortBy order
             # (multi-file buckets force a re-sort before the merge)
@@ -101,10 +104,23 @@ def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(_LAYOUT_ROOT, "partitioned", f"events_{fp}")
     try:
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            # Build in a pid-scoped temp dir and atomically rename into
+            # the fingerprint path: a concurrent process can only ever
+            # observe the destination complete-or-absent, never
+            # mid-write (the returned DataFrame is lazy, so a partial
+            # read would escape this try/except).
+            tmp = f"{path}.build.{os.getpid()}"
             e = load(spark, sf_dir, "events").withColumn(
                 "event_date", F.to_date("ts")
             )
-            e.write.partitionBy("event_date").mode("overwrite").parquet(path)
+            e.write.partitionBy("event_date").mode("overwrite").parquet(tmp)
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                # someone else won the race — their copy is complete
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)
         return spark.read.parquet(path)
     except Exception:
         return load(spark, sf_dir, "events").withColumn(
@@ -210,10 +226,12 @@ WITH RECURSIVE bounds(lo, hi) AS (
     CAST(MAX(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1) AS BIGINT)
   FROM {orders}
 ),
-months(ym, hi) AS (
-  SELECT lo, hi FROM bounds
+months(ym, hi, depth) AS (
+  SELECT lo, hi, CAST(0 AS BIGINT) FROM bounds
   UNION ALL
-  SELECT ym + 1, hi FROM months WHERE ym < hi
+  -- depth guard: a corrupt order date (year 9999) must error out of
+  -- the recursion budget, not spin the scheduler for ~96k rounds
+  SELECT ym + 1, hi, depth + 1 FROM months WHERE ym < hi AND depth < 1200
 )
 SELECT
   m.ym,
@@ -355,6 +373,9 @@ WITH RECURSIVE reach(pk, depth) AS (
   UNION ALL
   SELECT c.p_partkey, r.depth + 1
   FROM reach r JOIN {part} c ON c.p_partkey IN (r.pk * 2, r.pk * 2 + 1)
+  -- depth guard: the key-doubling tree is ~log2(|part|) deep; 62 is
+  -- the int64 ceiling, so hitting it means corrupt keys, not data
+  WHERE r.depth < 62
 )
 SELECT depth,
        COUNT(*) AS n_parts,

@@ -56,14 +56,34 @@ def validate_message(msg: dict) -> list[str]:
         errors.append("channels must be a non-empty list of strings")
     spill = msg.get("spillover_inverse")
     if spill is not None:
-        n = len(channels) if isinstance(channels, list) else 0
-        ok = (
-            isinstance(spill, list)
-            and len(spill) == n
-            and all(isinstance(r, list) and len(r) == n for r in spill)
-        )
-        if not ok:
-            errors.append("spillover_inverse must be a |channels|×|channels| matrix")
+        if not isinstance(channels, list) or not channels:
+            # shape is defined relative to channels; checking against
+            # n=0 would emit a misleading "0×0 matrix" error on top of
+            # the channels error already collected above
+            errors.append(
+                "spillover_inverse requires a valid channels list to "
+                "check its shape against"
+            )
+        else:
+            n = len(channels)
+            ok = (
+                isinstance(spill, list)
+                and len(spill) == n
+                and all(
+                    isinstance(r, list)
+                    and len(r) == n
+                    and all(
+                        isinstance(x, (int, float)) and not isinstance(x, bool)
+                        for x in r
+                    )
+                    for r in spill
+                )
+            )
+            if not ok:
+                errors.append(
+                    "spillover_inverse must be a |channels|×|channels| "
+                    "matrix of numbers"
+                )
     calib = msg.get("calibration")
     if calib is not None:
         if not isinstance(calib, dict):
@@ -73,8 +93,15 @@ def validate_message(msg: dict) -> list[str]:
             for ch, ab in calib.items():
                 if ch not in known:
                     errors.append(f"calibration for unknown channel: {ch}")
-                if not (isinstance(ab, (list, tuple)) and len(ab) == 2):
-                    errors.append(f"calibration[{ch}] must be [a, b]")
+                if not (
+                    isinstance(ab, (list, tuple))
+                    and len(ab) == 2
+                    and all(
+                        isinstance(x, (int, float)) and not isinstance(x, bool)
+                        for x in ab
+                    )
+                ):
+                    errors.append(f"calibration[{ch}] must be [a, b] numbers")
     if "output_dir" in msg and not isinstance(msg["output_dir"], str):
         errors.append("output_dir must be a string path")
     return errors

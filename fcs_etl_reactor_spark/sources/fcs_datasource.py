@@ -93,12 +93,16 @@ def register(spark) -> None:
 
 # ---------------------------------------------------------------------------
 # Streaming flavor: `spark.readStream.format("fcs").load(dir)` tails a
-# directory of .fcs files. Offsets are positions in the name-sorted
-# file list, so replay between two committed offsets re-reads exactly
-# the same files — the determinism Structured Streaming's recovery
-# contract requires (readBetweenOffsets). Instruments drop finished
-# acquisitions into a spool directory; this is that ingest pattern
-# with exactly-once file handling.
+# directory of .fcs files. Offsets carry the SET of processed file
+# names (like Spark's FileStreamSource seen-files log), NOT positions
+# in a sorted listing: a file whose name sorts before already-committed
+# files can arrive late and still be picked up, and replay between two
+# committed offsets re-reads exactly the files whose names are in
+# end−start — the determinism Structured Streaming's recovery contract
+# requires (readBetweenOffsets), independent of arrival order.
+# Offset size grows with file count; a production spool would compact
+# with a name watermark + recent-files tail, but a per-batch name list
+# is exact and bounded by the spool directory's size here.
 # ---------------------------------------------------------------------------
 
 from pyspark.sql.datasource import SimpleDataSourceStreamReader
@@ -124,19 +128,29 @@ class FCSStreamReader(SimpleDataSourceStreamReader):
     def _files(self):
         return sorted(glob.glob(os.path.join(self.path, "*.fcs")))
 
+    def _seen(self, offset) -> set[str]:
+        if "files" in offset:
+            return set(offset["files"])
+        # Back-compat: pre-fix checkpoints stored {"n": count} over a
+        # sorted listing; translate by taking the first n current names
+        # (best effort — the old scheme was order-dependent by design).
+        n = int(offset.get("n", 0))
+        return {os.path.basename(p) for p in self._files()[:n]}
+
     def initialOffset(self):
-        return {"n": 0}
+        return {"files": []}
 
     def read(self, start):
+        seen = self._seen(start)
         files = self._files()
-        n0 = int(start["n"])
-        rows = [r for p in files[n0:] for r in _parse_file_rows(p)]
-        return iter(rows), {"n": len(files)}
+        fresh = [p for p in files if os.path.basename(p) not in seen]
+        rows = [r for p in fresh for r in _parse_file_rows(p)]
+        end = {"files": sorted(seen | {os.path.basename(p) for p in fresh})}
+        return iter(rows), end
 
     def readBetweenOffsets(self, start, end):
-        files = self._files()
-        return iter(
-            r
-            for p in files[int(start["n"]) : int(end["n"])]
-            for r in _parse_file_rows(p)
-        )
+        # Replay exactly the names committed in end−start, whatever the
+        # current directory listing order looks like.
+        todo = self._seen(end) - self._seen(start)
+        files = [p for p in self._files() if os.path.basename(p) in todo]
+        return iter(r for p in files for r in _parse_file_rows(p))

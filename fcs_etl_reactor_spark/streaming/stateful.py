@@ -8,6 +8,7 @@ shuffles each micro-batch by key once.
 
 from __future__ import annotations
 
+import datetime
 from collections.abc import Iterator
 
 import pandas as pd
@@ -226,7 +227,12 @@ def make_session_updater(gap_seconds: int):
                 n, start, end = 1, t, t
         if n:
             state.update((n, start, end))
-            state.setTimeoutTimestamp(int((end + gap).timestamp() * 1000))
+            # The tz-naive session timestamps are wall-clock values in
+            # the pinned session timezone (UTC). A bare .timestamp()
+            # would interpret them in the OS-local zone — correct only
+            # on UTC hosts — so make the epoch conversion explicit.
+            deadline = (end + gap).replace(tzinfo=datetime.timezone.utc)
+            state.setTimeoutTimestamp(int(deadline.timestamp() * 1000))
         yield _emit_frame(key, closed)
 
     return _update
