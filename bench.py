@@ -40,8 +40,12 @@ HEADLINE = [
     "q97_sessionization",
 ]
 
-WARMUPS = 1
-RUNS = 3
+# BASELINE.md measurement protocol: 2 warm-ups, report median of 5.
+# Round-3 lesson: with 1 warmup/median-of-3 a loaded driver box
+# inflated every query 1.07-1.54x uniformly (BENCH_r03 2.98s vs the
+# same commit's 2.31s local); more samples shrink the noise envelope.
+WARMUPS = 2
+RUNS = 5
 
 
 def time_query(spark, name: str, sf_dir: str) -> float:

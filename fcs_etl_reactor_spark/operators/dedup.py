@@ -307,6 +307,108 @@ def dedup_clusters(
     )
 
 
+def _large_star(pairs: DataFrame) -> DataFrame:
+    """One large-star round: every node connects its strictly-larger
+    neighbors to the minimum of its closed neighborhood. Input/output
+    are canonical (a < b) distinct pairs."""
+    und = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    mins = und.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    return (
+        und.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        # m ≤ u < v, so (m, v) is already canonically ordered
+        .select(F.col("m").alias("a"), F.col("v").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(pairs: DataFrame) -> DataFrame:
+    """One small-star round: every node connects its smaller neighbors
+    (and itself) to the minimum of those neighbors."""
+    # canonical pairs (a < b) are already oriented larger←smaller:
+    # u = b (center), Γ⁻(u) = the a's
+    mins = pairs.groupBy("b").agg(F.min("a").alias("m"))
+    linked = pairs.join(mins, "b")
+    return (
+        # smaller neighbors → m, plus the center itself → m
+        linked.select(F.col("m").alias("a"), F.col("a").alias("b"))
+        .union(linked.select(F.col("m").alias("a"), F.col("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def dedup_clusters_star(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond") — same output contract as ``dedup_clusters``:
+    (node, cluster_id, is_canonical) for every node appearing in some
+    pair, cluster_id = component minimum.
+
+    This is the web-scale path: min-label propagation needs
+    diameter-many rounds (a 1M-long chain of near-dup pages = 1M
+    shuffles), while star contraction converges in O(log n) rounds
+    regardless of diameter — each round is two groupBy-min shuffles
+    plus a distinct, all map-side combinable. ``localCheckpoint``
+    truncates lineage between rounds so the plan doesn't grow with the
+    iteration count (the standard iterative-algorithm hygiene Spark
+    needs; on a cluster use reliable checkpointing to survive executor
+    loss).
+
+    Convergence test: the canonical edge set is compared by
+    (count, xxhash64-xor) signature — one tiny aggregate per round
+    instead of a full anti-join (xor is order-independent and can't
+    overflow under ANSI, and the edge set is distinct so nothing
+    cancels); a 64-bit collision between consecutive DIFFERENT edge
+    sets is ~2^-64, and ``max_iter`` bounds the loop regardless.
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e))
+        try:
+            e = e.localCheckpoint(eager=True)
+        except Exception:
+            pass  # checkpointing is an optimization, not a correctness need
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+        ).first()
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged: e is a star forest — every edge is (component_min, node)
+    roots = e.select(F.col("a").alias("node")).distinct()
+    return (
+        e.select(F.col("b").alias("node"), F.col("a").alias("cluster_id"))
+        .union(roots.select("node", F.col("node").alias("cluster_id")))
+        .distinct()
+        .select(
+            "node",
+            "cluster_id",
+            (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
+        )
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """SimHash fingerprint: sign of the per-bit sum of token hashes.
 

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from fcs_etl_reactor_spark.io import load
 from fcs_etl_reactor_spark.operators.dedup import (
     dedup_clusters,
+    dedup_clusters_star,
     minhash_lsh_cross_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -163,6 +164,43 @@ def q5b_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=_NEARDUP_J)
     verified = cands.join(exact, ["doc_a", "doc_b"])
     return dedup_clusters(verified)
+
+
+@query(
+    "q5f_cc_star",
+    # identical ANSI closure as q5b: connected components are
+    # algorithm-independent, so the same recursive-CTE oracle checks
+    # the star-contraction implementation
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      {_JACCARD_SQL.format(t=_NEARDUP_J)}
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM base
+      UNION
+      SELECT doc_b, doc_a FROM base
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS node,
+           LEAST(a, MIN(b)) AS cluster_id,
+           a <= MIN(b) AS is_canonical
+    FROM reach GROUP BY a
+    """,
+)
+def q5f_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same near-dup clustering as q5b, but closed by the
+    web-scale algorithm: alternating large-star/small-star contraction
+    (O(log n) rounds independent of component diameter) instead of
+    min-label propagation (diameter-many rounds). Both produce the
+    exact same (node, cluster_id, is_canonical) assignment, checked by
+    the identical recursive-CTE oracle."""
+    d = load(spark, sf_dir, "documents")
+    cands = minhash_lsh_pairs(d, "doc_id", "text", n=3, num_perm=64, bands=16)
+    exact = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=_NEARDUP_J)
+    verified = cands.join(exact, ["doc_a", "doc_b"])
+    return dedup_clusters_star(verified)
 
 
 @query(

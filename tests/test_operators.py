@@ -207,6 +207,47 @@ class TestDedup:
                for r in dedup_clusters(pairs, max_iter=40).collect()}
         assert got == expected
 
+    def test_cc_star_matches_label_propagation(self, spark):
+        import random
+
+        from fcs_etl_reactor_spark.operators.dedup import (
+            dedup_clusters,
+            dedup_clusters_star,
+        )
+
+        rng = random.Random(98765)
+        nodes = list(range(1, 60))
+        edges = [tuple(rng.sample(nodes, 2)) for _ in range(45)]
+        pairs = spark.createDataFrame(edges, "doc_a BIGINT, doc_b BIGINT")
+        lp = {(r["node"], r["cluster_id"], r["is_canonical"])
+              for r in dedup_clusters(pairs, max_iter=40).collect()}
+        star = {(r["node"], r["cluster_id"], r["is_canonical"])
+                for r in dedup_clusters_star(pairs).collect()}
+        assert star == lp
+
+    def test_cc_star_long_chain_few_rounds(self, spark):
+        # THE case star contraction exists for: a diameter-63 chain.
+        # Label propagation needs ~63 rounds; star converges in O(log n).
+        from fcs_etl_reactor_spark.operators.dedup import dedup_clusters_star
+
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 64)], "doc_a BIGINT, doc_b BIGINT"
+        )
+        out = dedup_clusters_star(chain, max_iter=12).collect()
+        assert len(out) == 64
+        assert all(r["cluster_id"] == 1 for r in out)
+        assert sum(r["is_canonical"] for r in out) == 1
+
+    def test_cc_star_unordered_and_dup_pairs(self, spark):
+        from fcs_etl_reactor_spark.operators.dedup import dedup_clusters_star
+
+        pairs = spark.createDataFrame(
+            [(5, 2), (2, 5), (5, 5), (9, 7)], "doc_a BIGINT, doc_b BIGINT"
+        )
+        out = {r["node"]: (r["cluster_id"], r["is_canonical"])
+               for r in dedup_clusters_star(pairs).collect()}
+        assert out == {2: (2, True), 5: (2, False), 7: (7, True), 9: (7, False)}
+
     def test_simhash_hamming(self, spark):
         fp = {r["doc_id"]: r["simhash"] for r in simhash(self._docs(spark), "doc_id", "text").collect()}
         assert fp[1] == fp[3]
