@@ -243,6 +243,41 @@ class TestFcsStreamSource:
         finally:
             q.stop()
 
+    def test_streaming_fcs_late_early_sorting_name(self, spark, tmp_path):
+        """A file whose name sorts BEFORE already-committed files must
+        still be picked up (offsets track names, not list positions)."""
+        import numpy as np
+
+        from fcs_etl_reactor_spark.sources.fcs_datasource import register
+
+        register(spark)
+        d = tmp_path / "spool2"
+        d.mkdir()
+        mat = np.arange(4, dtype=float).reshape(2, 2)
+        # 'z' commits first; 'a' arrives later but sorts earlier
+        (d / "z.fcs").write_bytes(make_fcs_bytes(["FSC-A", "SSC-A"], mat))
+
+        stream = spark.readStream.format("fcs").load(str(d))
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("fcs_stream_late")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            assert spark.table("fcs_stream_late").count() == 4
+            (d / "a.fcs").write_bytes(make_fcs_bytes(["FSC-A", "SSC-A"], mat))
+            q.processAllAvailable()
+            got = spark.table("fcs_stream_late")
+            assert got.count() == 8
+            assert {
+                r["sample_id"]
+                for r in got.select("sample_id").distinct().collect()
+            } == {"a.fcs", "z.fcs"}
+        finally:
+            q.stop()
+
 
 class TestBadFileTolerance:
     def test_on_error_skip_drops_corrupt_files(self, spark, tmp_path):

@@ -328,6 +328,21 @@ class TestSimilarity:
         b = cosine_topk_fast(v, v, k=3).select("query_id", "match_id", "rn")
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
+    def test_vectorized_rejects_unbounded_query_side(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from fcs_etl_reactor_spark.operators.similarity import (
+            cosine_topk_vectorized,
+        )
+
+        big = spark.range(100_001).select(
+            F.col("id").cast("int").alias("vec_id"),
+            F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+        )
+        with pytest.raises(ValueError, match="driver-collected"):
+            cosine_topk_vectorized(big, self._vecs(spark))
+
     def test_lsh_self_match(self, spark):
         v = self._vecs(spark)
         out = lsh_topk(v, v, k=1, n_planes=2, dim=3)
