@@ -105,7 +105,17 @@ def _relayout(spark: SparkSession, src: str, df: DataFrame) -> DataFrame:
             f"{os.path.basename(src)}_{int(st.st_mtime)}_{st.st_size}",
         )
         if not os.path.exists(os.path.join(dest, "_SUCCESS")):
-            df.repartition(_LAYOUT_CHUNKS).write.mode("overwrite").parquet(dest)
+            # build in a pid-scoped dir + atomic rename: a concurrent
+            # process sees the destination complete-or-absent, never
+            # mid-overwrite (same pattern as queries/storage.py)
+            tmp = f"{dest}.build.{os.getpid()}"
+            df.repartition(_LAYOUT_CHUNKS).write.mode("overwrite").parquet(tmp)
+            try:
+                os.rename(tmp, dest)
+            except OSError:
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)
         return spark.read.parquet(dest)
     except Exception:
         return df
