@@ -236,3 +236,39 @@ def test_shard_assignment_is_balanced_and_stable(spark):
     assert a == b
     sizes = [n for n, _ in a.values()]
     assert max(sizes) - min(sizes) <= 1
+
+
+@SETTINGS
+@given(edges=st.lists(
+    st.tuples(st.integers(1, 25), st.integers(1, 25)),
+    min_size=0, max_size=25,
+))
+def test_cc_star_matches_union_find(spark, edges):
+    """Star-contraction CC must agree with a driver-side union-find on
+    arbitrary graphs, including self-loops, duplicates, and both edge
+    orientations (the canonicalization path)."""
+    from fcs_etl_reactor_spark.operators.dedup import dedup_clusters_star
+
+    real = [(a, b) for a, b in edges if a != b]
+    if not real:
+        return
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in real:
+        parent[find(a)] = find(b)
+    touched = {n for e in real for n in e}
+    expected = {
+        n: min(m for m in touched if find(m) == find(n)) for n in touched
+    }
+
+    pairs = spark.createDataFrame(real, "doc_a BIGINT, doc_b BIGINT")
+    got = {r["node"]: r["cluster_id"]
+           for r in dedup_clusters_star(pairs).collect()}
+    assert got == expected
