@@ -202,6 +202,137 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     return rate, x[: n * channels].reshape(n, channels)
 
 
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode an (H, W) uint8 grayscale or (H, W, 3) uint8 RGB array
+    as a real PNG (signature + IHDR + one zlib IDAT + IEND, 8-bit,
+    non-interlaced). ``filter_type`` picks the per-scanline filter
+    (0=None, 1=Sub, 2=Up, 3=Average, 4=Paeth) so every decoder filter
+    path is testable; all five produce byte-different but
+    pixel-identical files."""
+    import zlib
+
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    if not gray and (img.ndim != 3 or img.shape[2] != 3):
+        raise ValueError("expected (H,W) gray or (H,W,3) RGB uint8")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"filter_type {filter_type} not in 0..4")
+    h, w = img.shape[0], img.shape[1]
+    bpp = 1 if gray else 3  # bytes per pixel (8-bit samples)
+    rows = img.reshape(h, w * bpp).astype(np.int64)
+    zeros = np.zeros((1, w * bpp), dtype=np.int64)
+    prior = np.vstack([zeros, rows[:-1]])  # row above (0 for first)
+    left = np.hstack([np.zeros((h, bpp), dtype=np.int64), rows[:, :-bpp]])
+    upleft = np.hstack([np.zeros((h, bpp), dtype=np.int64), prior[:, :-bpp]])
+    if filter_type == 0:
+        filt = rows
+    elif filter_type == 1:
+        filt = rows - left
+    elif filter_type == 2:
+        filt = rows - prior
+    elif filter_type == 3:
+        filt = rows - (left + prior) // 2
+    else:  # Paeth
+        p = left + prior - upleft
+        pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - upleft)
+        pred = np.where((pa <= pb) & (pa <= pc), left,
+                        np.where(pb <= pc, prior, upleft))
+        filt = rows - pred
+    raw = b"".join(
+        bytes([filter_type]) + (filt[y] & 0xFF).astype(np.uint8).tobytes()
+        for y in range(h)
+    )
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if gray else 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced grayscale (color type 0) or RGB
+    (color type 2) PNG into an (H, W) or (H, W, 3) uint8 array.
+    Implements the full scanline-filter reconstruction (None/Sub/Up/
+    Average/Paeth), walks chunks properly (IDAT may be split), and
+    verifies per-chunk CRCs."""
+    import zlib
+
+    if len(data) < 8 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG file")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in (0, 2) or comp != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={color}, "
+            f"interlace={interlace}); only 8-bit gray/RGB non-interlaced"
+        )
+    bpp = 1 if color == 0 else 3
+    stride = w * bpp
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64)
+        prior = out[y - 1].astype(np.int64) if y else np.zeros(stride, np.int64)
+        if ft == 0:
+            rec = line
+        elif ft == 2:
+            rec = line + prior
+        elif ft in (1, 3, 4):
+            # left-dependent filters are sequential per scanline
+            rec = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prior[x]
+                c = prior[x - bpp] if x >= bpp else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                # mask NOW: the next byte's prediction must see the
+                # reconstructed (mod-256) value, not the raw sum
+                rec[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ft}")
+        out[y] = rec & 0xFF
+    return out.copy() if color == 0 else out.reshape(h, w, 3).copy()
+
+
 def _histogram_feature(data: bytes, feature_dim: int) -> np.ndarray:
     arr = np.frombuffer(data, dtype=np.uint8)
     hist, _ = np.histogram(arr, bins=feature_dim, range=(0, 256))
@@ -209,13 +340,13 @@ def _histogram_feature(data: bytes, feature_dim: int) -> np.ndarray:
 
 
 def _decode_feature(data: bytes, modality: str, feature_dim: int) -> np.ndarray:
-    """Real-decode features: BMP → [1, W, H, channels, mean/255,
+    """Real-decode features: BMP/PNG → [1, W, H, channels, mean/255,
     std/255, row-energy, 0…]; WAV → [2, rate/1e5, log10(n), channels,
     RMS, zero-crossing rate, peak, 0…]. Raises on undecodable input
     (caller decides whether to fall back)."""
     out = np.zeros(feature_dim, dtype=np.float32)
-    if modality == "image/bmp":
-        img = decode_bmp(data)
+    if modality in ("image/bmp", "image/png"):
+        img = decode_bmp(data) if modality == "image/bmp" else decode_png(data)
         h, w = img.shape[0], img.shape[1]
         chans = 1 if img.ndim == 2 else img.shape[2]
         flat = img.astype(np.float64)

@@ -226,3 +226,84 @@ def q7p_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_nationkey").cast("bigint").alias("min_key"),
         F.max("n_nationkey").cast("bigint").alias("max_key"),
     )
+
+
+# --------------------------------------------------------------------------
+# q7q — REAL PNG decode (L6): nation keys render into spec-conformant
+# PNGs (zlib IDAT, CRC-verified chunks) — grayscale for even keys,
+# RGB for odd — with the scanline filter chosen per key (k % 5), so
+# the driver run exercises ALL FIVE filter reconstruction paths
+# (None/Sub/Up/Average/Paeth). The strict extractor decodes pixels
+# back; the oracle recomputes the dimensions and the decoded mean
+# level from the same arithmetic, so a hash match certifies real
+# inflate + unfilter, not plumbing. Pure-stdlib codec
+# (operators/multimodal.encode_png/decode_png) — no PIL in this
+# container; swap in a real image library on a deployed cluster.
+# --------------------------------------------------------------------------
+
+_PNG_W, _PNG_H = 16, 8
+
+
+def _render_pngs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from fcs_etl_reactor_spark.operators.multimodal import encode_png
+
+    for pdf in batches:
+        paths, blobs = [], []
+        for k in pdf["n_nationkey"]:
+            k = int(k)
+            ft = k % 5
+            if k % 2 == 0:
+                img = np.full(
+                    (_PNG_H, _PNG_W), (k * 7 + 5) % 256, dtype=np.uint8
+                )
+            else:
+                img = np.empty((_PNG_H, _PNG_H, 3), dtype=np.uint8)
+                img[:, :, 0] = (k * 3) % 256
+                img[:, :, 1] = (k * 5) % 256
+                img[:, :, 2] = (k * 7) % 256
+            paths.append(str(k))
+            blobs.append(encode_png(img, filter_type=ft))
+        yield pd.DataFrame({"path": paths, "content": blobs})
+
+
+@query(
+    "q7q_png_decode",
+    oracle=f"""
+    SELECT
+      n_nationkey,
+      'image/png' AS modality,
+      CAST(CASE WHEN n_nationkey % 2 = 0 THEN {_PNG_W} ELSE {_PNG_H} END
+        AS INTEGER) AS width,
+      CAST({_PNG_H} AS INTEGER) AS height,
+      CAST(CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE 3 END AS INTEGER)
+        AS channels,
+      ROUND(CAST(CAST(
+        CASE WHEN n_nationkey % 2 = 0
+             THEN ((n_nationkey * 7 + 5) % 256) / 255.0
+             ELSE (((n_nationkey * 3) % 256) + ((n_nationkey * 5) % 256)
+                   + ((n_nationkey * 7) % 256)) / 3.0 / 255.0
+        END AS FLOAT) AS DOUBLE), 6) AS level
+    FROM nation
+    """,
+)
+def q7q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.multimodal import (
+        extract_features,
+        sniff_media,
+    )
+
+    n = load(spark, sf_dir, "nation")
+    blobs = n.select("n_nationkey").mapInPandas(
+        _render_pngs, "path STRING, content BINARY"
+    )
+    feats = extract_features(sniff_media(blobs), feature_dim=8, mode="strict")
+    return feats.select(
+        F.col("path").cast("int").alias("n_nationkey"),
+        "modality",
+        F.element_at("feature", 2).cast("int").alias("width"),
+        F.element_at("feature", 3).cast("int").alias("height"),
+        F.element_at("feature", 4).cast("int").alias("channels"),
+        F.round(F.element_at("feature", 5).cast("double"), 6).alias("level"),
+    )

@@ -91,6 +91,54 @@ def test_wav_roundtrip_property():
         np.testing.assert_allclose(back, x, atol=0)
 
 
+def test_png_roundtrip_all_filters():
+    from fcs_etl_reactor_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(13)
+    for shape in [(1, 1), (5, 3), (7, 13, 3), (16, 16), (2, 9, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        encodings = [encode_png(img, filter_type=f) for f in range(5)]
+        for f, blob in enumerate(encodings):
+            assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+            out = decode_png(blob)
+            np.testing.assert_array_equal(out, img, err_msg=f"filter {f}")
+        # different filters = different bytes, same pixels
+        assert len({e for e in encodings}) > 1 or img.size == 1
+
+
+def test_png_rejects_garbage_and_bad_crc():
+    import pytest
+
+    from fcs_etl_reactor_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"NOPE" * 10)
+    blob = bytearray(encode_png(np.zeros((4, 4), dtype=np.uint8)))
+    blob[-5] ^= 0xFF  # corrupt the IEND CRC
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(blob))
+
+
+def test_png_feature_extraction_matches_bmp():
+    # identical pixels through either container → identical features
+    from fcs_etl_reactor_spark.operators.multimodal import (
+        _decode_feature,
+        encode_bmp,
+        encode_png,
+    )
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    via_png = _decode_feature(encode_png(img, filter_type=4), "image/png", 8)
+    via_bmp = _decode_feature(encode_bmp(img), "image/bmp", 8)
+    np.testing.assert_array_equal(via_png, via_bmp)
+
+
 def test_decode_bmp_rgb_roundtrip():
     img = decode_bmp(make_bmp(13, 7))
     assert img.shape == (7, 13, 3)
@@ -166,12 +214,18 @@ def test_extract_features_auto_decodes_real_formats(spark, media_dir):
     assert rows["c.wav"][0] == 2.0
     assert rows["c.wav"][1] == pytest.approx(0.08)
     assert rows["c.wav"][4] == pytest.approx(0.707, abs=0.01)
-    # png has no pure-NumPy decoder -> histogram fallback sums to 1
+    # the fake a.png fails the real PNG decoder -> histogram fallback
+    # (mass sums to 1); a VALID png would real-decode (see the
+    # png_feature_extraction test)
     assert sum(rows["a.png"]) == pytest.approx(1.0)
 
 
 def test_extract_features_strict_raises_for_unsupported(spark, media_dir):
-    with pytest.raises(Exception, match="NotImplementedError|no pure-NumPy"):
+    # jpeg has no decoder (NotImplementedError); the fake a.png now
+    # reaches the REAL PNG decoder, which rejects its garbage chunks
+    with pytest.raises(
+        Exception, match="NotImplementedError|no pure-NumPy|truncated PNG|not a PNG"
+    ):
         extract_features(read_media(spark, media_dir), mode="strict").collect()
 
 
