@@ -394,3 +394,82 @@ def q2f_tree_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = "q2f_part"
     load(spark, sf_dir, "part").createOrReplaceTempView(view)
     return spark.sql(_Q2F_SQL.format(part=view))
+
+
+# --------------------------------------------------------------------------
+# q2g — schema-evolution read (mergeSchema): a table written in two
+# epochs whose schemas differ (epoch 2 added o_orderpriority), read
+# back as ONE DataFrame via Spark's parquet schema merging — the
+# lakehouse ingest reality where producers add columns over time and
+# the reader must union old and new files without a rewrite. Rows
+# from the pre-evolution epoch surface the added column as NULL; the
+# oracle replays the epoch split (o_orderdate < 1995-07-01) straight
+# from orders, so the hash certifies both the merged read and the
+# NULL semantics. At 100 TB: mergeSchema costs a footer read per
+# file at planning — acceptable for epoch-count files; for
+# millions of files you'd pin the merged schema in a catalog
+# (schema-on-read with the same union semantics as here).
+# --------------------------------------------------------------------------
+
+_EVO_CUTOFF = "1995-07-01"
+
+
+def _evolved_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-epoch parquet copy of orders (epoch 1 without
+    o_orderpriority, epoch 2 with it), fingerprint-cached and built
+    with the same atomic-rename discipline as the other derived
+    layouts. Falls back to an in-plan union twin on any failure."""
+    o = load(spark, sf_dir, "orders")
+    early = o.filter(F.col("o_orderdate") < F.lit(_EVO_CUTOFF)).select(
+        "o_orderkey", "o_totalprice"
+    )
+    late = o.filter(F.col("o_orderdate") >= F.lit(_EVO_CUTOFF)).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    fp = source_fingerprint(sf_dir, "orders")
+    path = os.path.join(_LAYOUT_ROOT, "evolved", f"orders_{fp}")
+    try:
+        if not os.path.exists(os.path.join(path, "epoch2", "_SUCCESS")):
+            tmp = f"{path}.build.{os.getpid()}"
+            early.write.mode("overwrite").parquet(os.path.join(tmp, "epoch1"))
+            late.write.mode("overwrite").parquet(os.path.join(tmp, "epoch2"))
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)
+        return (
+            spark.read.option("mergeSchema", "true")
+            .parquet(os.path.join(path, "epoch1"), os.path.join(path, "epoch2"))
+        )
+    except Exception:
+        # layout unavailable: same rows via unionByName(allowMissingColumns)
+        return late.unionByName(early, allowMissingColumns=True)
+
+
+@query(
+    "q2g_schema_evolution",
+    oracle=f"""
+    SELECT
+      CASE WHEN o_orderdate < DATE '{_EVO_CUTOFF}' THEN NULL
+           ELSE o_orderpriority END AS priority,
+      COUNT(*) AS n_orders,
+      {o_dsum("o_totalprice", "total_price", "100.0")}
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q2g_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate across the evolved epochs: pre-evolution rows carry
+    NULL for the added column and must group into their own bucket
+    with exact totals — proving merged-schema reads lose no rows and
+    invent no values."""
+    merged = _evolved_orders(spark, sf_dir)
+    return (
+        merged.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_price", scale=100.0),
+        )
+    )

@@ -242,3 +242,26 @@ class TestInterchangeRoundtrip:
         for fmt, back in reread.items():
             got = {(r["id"], r["name"], r["score"]) for r in back.collect()}
             assert got == want, fmt
+
+
+class TestSchemaEvolution:
+    def test_merged_read_unions_epochs_with_nulls(self, spark):
+        from pyspark.sql import functions as F
+
+        from fcs_etl_reactor_spark.io import load
+        from fcs_etl_reactor_spark.queries.storage import (
+            _EVO_CUTOFF,
+            _evolved_orders,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        merged = _evolved_orders(spark, sf)
+        assert "o_orderpriority" in merged.columns
+        o = load(spark, sf, "orders")
+        n_total = o.count()
+        n_early = o.filter(F.col("o_orderdate") < F.lit(_EVO_CUTOFF)).count()
+        assert merged.count() == n_total
+        # every pre-evolution row surfaces the added column as NULL
+        assert (
+            merged.filter(F.col("o_orderpriority").isNull()).count() == n_early
+        )
