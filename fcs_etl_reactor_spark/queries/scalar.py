@@ -561,3 +561,61 @@ def q5e_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_qty"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+# --------------------------------------------------------------------------
+# q5g — Python UDTF in a lateral join (U5, SURVEY §2.12): the n-gram
+# expander UDTF fans each document into (gram, start_pos, n) rows for
+# n ∈ [1,3]; the query aggregates per (doc, n). The oracle replays
+# the same expansion with pure SQL list arithmetic, so the UDTF's
+# row-generation logic (tokenization, window bounds, join shape) is
+# value-hash-verified — upgrading U5 from test-only to driver-checked.
+# Scale note: UDTFs are the row-at-a-time escape hatch; the JVM-side
+# explode/transform pipeline (queries/text.py) is the hot path — this
+# query exists to verify the U5 surface, not to recommend it at 100 TB.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q5g_udtf_ngrams",
+    # DuckDB 1.0 cannot bind a lateral-correlated slice length, so
+    # each n is its own branch (same pattern as the Jaccard oracle)
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, CAST(1 AS INTEGER) AS n, w[i] AS gram
+      FROM (SELECT doc_id, w,
+                   UNNEST(RANGE(1, GREATEST(LEN(w), 0) + 1)) AS i FROM toks)
+      UNION ALL
+      SELECT doc_id, 2, w[i] || ' ' || w[i+1]
+      FROM (SELECT doc_id, w,
+                   UNNEST(RANGE(1, GREATEST(LEN(w) - 1, 0) + 1)) AS i FROM toks)
+      UNION ALL
+      SELECT doc_id, 3, w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      FROM (SELECT doc_id, w,
+                   UNNEST(RANGE(1, GREATEST(LEN(w) - 2, 0) + 1)) AS i FROM toks)
+    )
+    SELECT doc_id, n,
+           COUNT(*) AS n_grams,
+           COUNT(DISTINCT gram) AS n_distinct
+    FROM grams
+    GROUP BY doc_id, n
+    """,
+)
+def q5g_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.functions.udtfs import NGramExpander
+
+    spark.udtf.register("fcs_ngram_expand", NGramExpander)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("q5g_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, g.n,
+               COUNT(*) AS n_grams,
+               COUNT(DISTINCT g.gram) AS n_distinct
+        FROM q5g_docs d, LATERAL fcs_ngram_expand(d.text, 1, 3) g
+        GROUP BY d.doc_id, g.n
+        """
+    )
