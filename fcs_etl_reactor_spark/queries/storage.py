@@ -439,9 +439,10 @@ def _evolved_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 import shutil
 
                 shutil.rmtree(tmp, ignore_errors=True)
-        return (
-            spark.read.option("mergeSchema", "true")
-            .parquet(os.path.join(path, "epoch1"), os.path.join(path, "epoch2"))
+        from fcs_etl_reactor_spark.io import read_parquet_evolving
+
+        return read_parquet_evolving(
+            spark, os.path.join(path, "epoch1"), os.path.join(path, "epoch2")
         )
     except Exception:
         # layout unavailable: same rows via unionByName(allowMissingColumns)
