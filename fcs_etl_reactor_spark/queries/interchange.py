@@ -12,7 +12,9 @@ expected result in pure SQL over the source tables:
   by exact integer aggregation;
 - q5k: CSV sink roundtrip (S5) — explicit-schema read-back, exact
   aggregation;
-- q5l: JSON sink roundtrip (S5) — same discipline.
+- q5l: JSON sink roundtrip (S5) — same discipline;
+- q5m: FCS Python Data Source connector (X11) — spool read via
+  format("fcs"), exact per-channel means vs the events replay.
 
 Roundtrip scratch dirs are pid-scoped (no cross-process races) and
 built once per session via the plan cache.
@@ -202,3 +204,55 @@ def q5l_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch(sf_dir, "orders", "json")
     write_json(o, path)
     return _roundtrip_agg(read_json(spark, path, schema=_RT_SCHEMA))
+
+
+# --------------------------------------------------------------------------
+# q5m — the FCS Python Data Source connector (X11), driver-checked:
+# the same per-event_type float64 FCS spool q7j builds is read back
+# through `spark.read.format("fcs")` (one input partition per file,
+# executor-side parse, Arrow-batch emission) and summarized per
+# (sample, channel). Float64 FCS roundtrips losslessly, so the
+# scaled-integer per-channel means equal the same statistics computed
+# straight off the events table — which is exactly what the oracle
+# does. This certifies the CONNECTOR path (partition planning +
+# DataSourceReader.read) the way q76 certifies the parser itself.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q5m_fcs_datasource",
+    oracle="""
+    SELECT event_type AS sample_id, 'VAL' AS channel, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000 / COUNT(*) AS mean_value
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT event_type, 'USER', COUNT(*),
+           CAST(SUM(CAST(FLOOR(CAST(user_id AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1000000 / COUNT(*)
+    FROM events GROUP BY event_type
+    """,
+)
+def q5m_fcs_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.queries.domain import _fcs_pipeline_dir
+    from fcs_etl_reactor_spark.sources.fcs_datasource import register
+
+    register(spark)
+    spool = _fcs_pipeline_dir(spark, sf_dir)
+    long = spark.read.format("fcs").load(spool)
+    return (
+        long.groupBy(
+            F.regexp_replace("sample_id", "\\.fcs$", "").alias("sample_id"),
+            "channel",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(
+                    F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+                ).cast("double")
+                / 1_000_000
+                / F.count(F.lit(1))
+            ).alias("mean_value"),
+        )
+    )
