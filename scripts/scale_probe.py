@@ -63,6 +63,10 @@ PROBE_QUERIES = [  # all run on the replicated tables
     "q8m_bpe_encode",        # vocab-dedup BPE encode (fold ~ |vocab|)
     "q2e_bucketed_window",   # shuffle-free per-key window
     "q4e_ellipse_gate",      # pure-codegen gate rollup
+    "q5f_cc_star",           # large-star/small-star CC at 10x pair graph
+    "q2g_schema_evolution",  # mergeSchema epochs (incl. layout write)
+    "q5h_arrow_normalize",   # zero-copy Arrow kernel (pure map)
+    "q5k_csv_roundtrip",     # sink->read roundtrip at 10x orders
 ]
 
 
