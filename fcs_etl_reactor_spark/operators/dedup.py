@@ -296,6 +296,13 @@ def dedup_clusters(
                 ).alias("label"),
             )
         )
+        try:
+            # truncate lineage per round (same hygiene as the star
+            # path): without it, round k's plan nests k joins deep and
+            # analysis time grows superlinearly with the diameter
+            labels = labels.localCheckpoint(eager=True)
+        except Exception:
+            pass
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
             break
