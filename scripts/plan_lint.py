@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Plan lint: explain EVERY registered query and flag plan smells.
+
+Rules:
+- CartesianProduct / BroadcastNestedLoopJoin on unbounded sides is a
+  100 TB killer — allowed only for the registry's documented
+  quadratic-by-design exact arms and deliberate small-grid crosses.
+- BatchEvalPython (row-at-a-time Python UDF) is the slow path —
+  allowed only in q5i_python_udf, which exists to verify that surface.
+- Exchange count per query is reported (informational): every
+  exchange is a shuffle; queries above the report threshold deserve a
+  look, though iterative/recursive plans legitimately carry more.
+
+Usage: python scripts/plan_lint.py [sf_dir] (default sf0.01)
+Exit 1 if a hard rule fails.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from fcs_etl_reactor_spark.queries import QUERIES
+from fcs_etl_reactor_spark.session import get_spark, tune_for_input
+
+# Quadratic-by-design / deliberate cross joins (each documented at its
+# definition): exact ANN baselines and verification arms, the small
+# cross-join grid, broadcast-1-row combinations.
+ALLOW_CARTESIAN = {
+    "q14_cross_join_grid",      # deliberate small-dims grid
+    "q15_theta_join_bands",     # banded theta join (broadcast side)
+    "q17_order_pairs",          # self-join overlap windows
+    "q88_cosine_neardup",       # exact quadratic near-dup (oracle arm)
+    "q91_cosine_topk",          # exact top-k baseline (scale: q89/q92)
+    "q59_cosine_topk_fast",     # exact float fast path (same contract)
+    "q6h_lsh_decontamination",  # envelope computes the exact verifier
+    "q92_lsh_topk",             # recall envelope: exact arm inside
+    "q89_ivf_topk",             # recall envelope: exact arm inside
+    "q8b_quantized_topk",       # agreement envelope vs exact arm
+    "q57_simhash_candidates",   # exact-Jaccard verification arm
+    "q56_minhash_lsh",          # exact-Jaccard verification arm
+    "q5b_dedup_clusters",       # pair graph from the verified arms
+    "q5f_cc_star",              # same pair graph input
+    "q8d_random_projection",    # broadcast sign-matrix cross (16x64)
+    "q93_label_centroids",      # tiny centroid cross-compare
+    "q36_approx_percentiles",   # 1-row exact-bounds broadcast cross
+    "q30_approx_distinct",      # 1-row envelope cross
+    "q8_freq_items",            # 1-row envelope cross
+    "q8n_approx_top_k",         # envelope cross vs exact counts
+    "q8l_hll_union",            # 1-row envelope cross
+    "q8h_countmin",             # sketch-vs-exact envelope cross
+    "q68_fuzzy_string",         # bounded fuzzy-pair comparison
+    "q3b_retention_cohorts",    # cohort x week small grid
+    "q81_tfidf",                # 1-row corpus-size broadcast cross
+    "q83_quality_score",        # 1-row corpus stats broadcast cross
+    "q8a_corpus_profile",       # 1-row profile cross
+    "q8c_lm_familiarity",       # small LM broadcast cross
+    "q6f_domain_mixture",       # 1-row stats broadcast cross
+    "q58_sampling",             # 1-row envelope cross
+    "q8g_vocab_oov",            # 1-row OOV-rate cross
+    "q6d_decontamination",      # contaminated-set broadcast semi
+    "q8k_trigram_lm",           # 1-row vocab-size cross
+    "q8m_bpe_encode",           # merges-list broadcast cross
+    "q75_multimodal_features",  # 1-row corpus cross
+    "q7e_equidepth_histogram",  # 1-row bounds cross
+    "q4c_trimmed_mean",         # 1-row trim-bounds cross
+    "q7d_fk_check",             # per-edge 1-row (n_child x n_orphans) cross
+    "q19_skew_stats",           # 1-row corpus-stats broadcast cross
+    "q18_bloom_semi_join",      # 1-row bloom-bitset broadcast attach
+}
+# Python-eval nodes allowed: q5i IS the scalar-UDF surface; q5g IS the
+# UDTF surface (UDTF eval is row-generating Python by definition).
+ALLOW_PY_UDF = {"q5i_python_udf", "q5g_udtf_ngrams"}
+EXCHANGE_REPORT_THRESHOLD = 8
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = tune_for_input(get_spark(app_name="plan-lint"), sf_dir)
+    spark.sparkContext.setLogLevel("ERROR")
+    failures = []
+    busiest: list[tuple[int, str]] = []
+    for name, fn in QUERIES.items():
+        try:
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                fn(spark, sf_dir).explain("formatted")
+            plan = buf.getvalue()
+        except Exception as exc:  # streaming plans can't explain pre-start
+            print(f"[skip] {name}: {type(exc).__name__}")
+            continue
+        if (
+            "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+        ) and name not in ALLOW_CARTESIAN:
+            failures.append((name, "unexpected cartesian/nested-loop join"))
+        if "BatchEvalPython" in plan and name not in ALLOW_PY_UDF:
+            failures.append((name, "row-at-a-time Python UDF in plan"))
+        n_ex = plan.count("Exchange")
+        busiest.append((n_ex, name))
+    busiest.sort(reverse=True)
+    print("\nMost exchange-heavy plans (shuffles are the scale currency):")
+    for n_ex, name in busiest[:10]:
+        mark = "  <-- review" if n_ex > EXCHANGE_REPORT_THRESHOLD else ""
+        print(f"  {n_ex:3d}  {name}{mark}")
+    if failures:
+        print("\nFAILURES:")
+        for name, why in failures:
+            print(f"  {name}: {why}")
+        return 1
+    print(f"\nplan lint OK over {len(busiest)} explainable plans")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
