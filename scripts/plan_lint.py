@@ -68,7 +68,6 @@ ALLOW_CARTESIAN = {
     "q75_multimodal_features",  # 1-row corpus cross
     "q7e_equidepth_histogram",  # 1-row bounds cross
     "q4c_trimmed_mean",         # 1-row trim-bounds cross
-    "q7d_fk_check",             # per-edge 1-row (n_child x n_orphans) cross
     "q19_skew_stats",           # 1-row corpus-stats broadcast cross
     "q18_bloom_semi_join",      # 1-row bloom-bitset broadcast attach
 }
