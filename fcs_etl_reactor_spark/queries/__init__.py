@@ -70,7 +70,8 @@ def query(name: str, oracle: str | None = None):
 # never-driver-tested entries added in round 4 (q5f_cc_star,
 # q7q_png_decode, q2g_schema_evolution, q5g_udtf_ngrams,
 # q5h_arrow_normalize, q5i_python_udf, q5j_xml_roundtrip,
-# q5k_csv_roundtrip, q5l_json_roundtrip, q5m_fcs_datasource), then
+# q5k_csv_roundtrip, q5l_json_roundtrip, q5m_fcs_datasource,
+# q4f_interpolate), then
 # (c) the 20 remaining round-1 greens not re-confirmed in r04 (q14
 # q15 q21 q22 q28 q31 q32 q37 q38 q39 q43 q45 q47 q48 q4a q50 q51
 # q52 q53 q54), then (d) oldest round-2 greens. Everything in the

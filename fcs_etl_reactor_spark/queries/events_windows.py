@@ -569,3 +569,117 @@ def q3c_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 9).alias("z"),
         F.coalesce(F.abs(z) > 3, F.lit(False)).alias("is_anomaly"),
     )
+
+
+# --------------------------------------------------------------------------
+# q4f — gap-fill with LINEAR INTERPOLATION (q4d's sibling; the other
+# hypertable fill mode): missing hourly buckets get the straight-line
+# value between the surrounding observations instead of carrying the
+# last one forward. Two ordered windows per key (last-non-null before,
+# first-non-null after) — still no self-join, grid still
+# metadata-sized. The interpolation expression is written identically
+# on both engines (bigint micros ratio → double), so the only float
+# ops are one divide, one multiply, one add — IEEE-identical,
+# ROUND(…, 9) absorbs nothing but representation.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q4f_interpolate",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS bucket,
+             COUNT(*) AS n_obs,
+             (CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)
+              / 1000000.0) / COUNT(value) AS avg_value
+      FROM events GROUP BY 1, 2
+    ), ext AS (
+      SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx FROM b GROUP BY 1
+    ), grid AS (
+      SELECT event_type, UNNEST(GENERATE_SERIES(mn, mx, INTERVAL 1 HOUR)) AS bucket
+      FROM ext
+    ), j AS (
+      SELECT g.event_type, g.bucket, b.n_obs, b.avg_value,
+             LAST_VALUE(b.avg_value IGNORE NULLS) OVER wp AS prev_v,
+             LAST_VALUE(CASE WHEN b.avg_value IS NOT NULL THEN g.bucket END
+                        IGNORE NULLS) OVER wp AS prev_t,
+             FIRST_VALUE(b.avg_value IGNORE NULLS) OVER wn AS next_v,
+             FIRST_VALUE(CASE WHEN b.avg_value IS NOT NULL THEN g.bucket END
+                         IGNORE NULLS) OVER wn AS next_t
+      FROM grid g LEFT JOIN b ON g.event_type = b.event_type AND g.bucket = b.bucket
+      WINDOW
+        wp AS (PARTITION BY g.event_type ORDER BY g.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wn AS (PARTITION BY g.event_type ORDER BY g.bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, bucket,
+           COALESCE(n_obs, 0) AS n_obs,
+           ROUND(CASE
+             WHEN avg_value IS NOT NULL THEN avg_value
+             WHEN prev_v IS NULL THEN next_v
+             WHEN next_v IS NULL THEN prev_v
+             ELSE prev_v + (next_v - prev_v)
+                  * (CAST(EPOCH_US(bucket) - EPOCH_US(prev_t) AS DOUBLE)
+                     / CAST(EPOCH_US(next_t) - EPOCH_US(prev_t) AS DOUBLE))
+           END, 9) AS value_interp
+    FROM j
+    """,
+)
+def q4f_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.functions.exact import davg
+
+    e = load(spark, sf_dir, "events")
+    b = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_obs"), davg("value", "avg_value"))
+    grid = (
+        b.groupBy("event_type")
+        .agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket"),
+        )
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_bucket = F.when(F.col("avg_value").isNotNull(), F.col("bucket"))
+    j = grid.join(b, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        "n_obs",
+        "avg_value",
+        F.last("avg_value", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(obs_bucket, ignorenulls=True).over(wp).alias("prev_t"),
+        F.first("avg_value", ignorenulls=True).over(wn).alias("next_v"),
+        F.first(obs_bucket, ignorenulls=True).over(wn).alias("next_t"),
+    )
+    ratio = (
+        F.unix_micros("bucket") - F.unix_micros("prev_t")
+    ).cast("double") / (
+        F.unix_micros("next_t") - F.unix_micros("prev_t")
+    ).cast("double")
+    interp = (
+        F.when(F.col("avg_value").isNotNull(), F.col("avg_value"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(
+            F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * ratio
+        )
+    )
+    return j.select(
+        "event_type",
+        "bucket",
+        F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+        F.round(interp, 9).alias("value_interp"),
+    )

@@ -32,7 +32,7 @@ TS_QUERIES = [
     "q9d_stateful_counters", "q9e_foreach_batch_sink",
     "q9f_streaming_upsert", "q16_asof_join", "q42_running_total",
     "q2b_partition_pruned_scan", "q2c_recursive_month_spine",
-    "q9g_stream_stream_join", "q7m_scd2_history",
+    "q9g_stream_stream_join", "q7m_scd2_history", "q4f_interpolate",
 ]
 
 
