@@ -484,6 +484,36 @@ def resize_nn(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return img[rows][:, cols]
 
 
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear resize (pure NumPy, uint8 in/out): align-corners=False
+    (half-pixel centers, the OpenCV/PIL convention), gather the four
+    neighbors with precomputed index/weight vectors and blend in
+    float64 — same vectorized-gather shape as ``resize_nn``, two index
+    maps and an outer-product blend instead of one."""
+    img = np.asarray(img)
+    h, w = img.shape[:2]
+    # source coordinate of each output pixel center
+    ys = np.clip((np.arange(out_h) + 0.5) * h / out_h - 0.5, 0, h - 1)
+    xs = np.clip((np.arange(out_w) + 0.5) * w / out_w - 0.5, 0, w - 1)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (ys - y0)[:, None]
+    wx = (xs - x0)[None, :]
+    if img.ndim == 3:
+        wy = wy[..., None]
+        wx = wx[..., None]
+    a = img[y0][:, x0].astype(np.float64)
+    b = img[y0][:, x1].astype(np.float64)
+    c = img[y1][:, x0].astype(np.float64)
+    d = img[y1][:, x1].astype(np.float64)
+    top = a + (b - a) * wx
+    bot = c + (d - c) * wx
+    out = top + (bot - top) * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
 def sample_frames(df: DataFrame, k: int = 3) -> DataFrame:
     """Frame-sample operator over (path, content) RAWV rows: emits
     (path, frame_idx, frame_mean) for k uniformly-spaced frames per

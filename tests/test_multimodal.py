@@ -308,3 +308,34 @@ class TestAudioSpectral:
         for r in out.values():
             assert r["dom_hz"] == r["dom_bin"] * rate / n
             assert abs(r["rms"] - 0.5 / np.sqrt(2)) < 1e-3  # 16-bit quant
+
+
+class TestBilinearResize:
+    def test_identity_and_constant(self):
+        from fcs_etl_reactor_spark.operators.multimodal import resize_bilinear
+
+        img = np.arange(48, dtype=np.uint8).reshape(6, 8)
+        np.testing.assert_array_equal(resize_bilinear(img, 6, 8), img)
+        const = np.full((5, 7, 3), 99, dtype=np.uint8)
+        np.testing.assert_array_equal(
+            resize_bilinear(const, 10, 3), np.full((10, 3, 3), 99, np.uint8)
+        )
+
+    def test_2x_upsample_midpoints(self):
+        from fcs_etl_reactor_spark.operators.multimodal import resize_bilinear
+
+        # 1-D gradient row: doubling width puts known blends at centers
+        img = np.array([[0, 100]], dtype=np.uint8)
+        out = resize_bilinear(img, 1, 4)
+        # centers at src x = -0.25, 0.25, 0.75, 1.25 (clipped) ->
+        # values 0, 25, 75, 100
+        np.testing.assert_array_equal(out, [[0, 25, 75, 100]])
+
+    def test_downsample_range_and_shape(self):
+        from fcs_etl_reactor_spark.operators.multimodal import resize_bilinear
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, size=(16, 12, 3), dtype=np.uint8)
+        out = resize_bilinear(img, 4, 5)
+        assert out.shape == (4, 5, 3) and out.dtype == np.uint8
+        assert out.min() >= img.min() and out.max() <= img.max()
