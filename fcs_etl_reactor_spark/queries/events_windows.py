@@ -683,3 +683,111 @@ def q4f_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
         F.round(interp, 9).alias("value_interp"),
     )
+
+
+# --------------------------------------------------------------------------
+# q4g — truncated EWMA per user (feature engineering: exponentially
+# weighted moving average of the value series, window K=8). The exact
+# recursive EWMA y_i = a*x_i + (1-a)*y_{i-1} needs either per-row
+# recursion (applyInPandas) or a (1-a)^{-i} rescaling trick that
+# overflows doubles beyond a few hundred rows; the production feature
+# is the K-truncated form — weights below (1-a)^K are negligible —
+# which is a PURE EXPRESSION over K lags: zero Python, one shuffle on
+# user_id, and bit-identical across engines because the weight
+# literals are emitted by the same Python float repr into both plans
+# and the K-term dot product is written in the same association order.
+# --------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+_EWMA_K = 8
+_EWMA_W = [(1.0 - _EWMA_ALPHA) ** k for k in range(_EWMA_K)]
+
+
+def _ewma_oracle() -> str:
+    lags = ",\n             ".join(
+        f"LAG(value, {k}) OVER w AS x{k}" for k in range(1, _EWMA_K)
+    )
+    num = " + ".join(
+        f"{w!r} * COALESCE(x{k}, 0.0)" for k, w in enumerate(_EWMA_W)
+    )
+    den = " + ".join(
+        f"{w!r} * CASE WHEN x{k} IS NULL THEN 0.0 ELSE 1.0 END"
+        for k, w in enumerate(_EWMA_W)
+    )
+    return f"""
+    WITH lagged AS (
+      SELECT event_id, user_id, value AS x0,
+             {lags}
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, ROUND(({num}) / ({den}), 9) AS ewma
+    FROM lagged
+    """
+
+
+@query("q4g_ewma", oracle=_ewma_oracle())
+def q4g_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = e.select(
+        "event_id",
+        "user_id",
+        F.col("value").alias("x0"),
+        *[F.lag("value", k).over(w).alias(f"x{k}") for k in range(1, _EWMA_K)],
+    )
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    # identical left-to-right association as the oracle text
+    for k, wt in enumerate(_EWMA_W):
+        num = num + F.lit(wt) * F.coalesce(F.col(f"x{k}"), F.lit(0.0))
+        den = den + F.lit(wt) * F.when(F.col(f"x{k}").isNull(), 0.0).otherwise(1.0)
+    return lagged.select(
+        "event_id", "user_id", F.round(num / den, 9).alias("ewma")
+    )
+
+
+# --------------------------------------------------------------------------
+# q3d — debounce: collapse bursts of the same event_type per user,
+# keeping an event only if the previous same-user event was a
+# different type OR more than 5 minutes older (gap-based debounce —
+# the sensor/clickstream de-noising primitive; distinct from q97
+# sessionization, which groups rather than drops). One lag pass, one
+# shuffle on user_id; the filter is a pure integer comparison on
+# unix_micros so the output carries no timestamp column.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q3d_debounce",
+    oracle="""
+    WITH seq AS (
+      SELECT event_id, user_id, event_type, ts,
+             LAG(event_type) OVER w AS prev_type,
+             LAG(ts) OVER w AS prev_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, event_type
+    FROM seq
+    WHERE prev_type IS NULL
+       OR prev_type <> event_type
+       OR EPOCH_US(ts) - EPOCH_US(prev_ts) > 300000000
+    """,
+)
+def q3d_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    return seq.filter(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+        | (F.unix_micros("ts") - F.unix_micros("prev_ts") > 300_000_000)
+    ).select("event_id", "user_id", "event_type")

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fcs_etl_reactor_spark.functions.exact import o_fsum
 from fcs_etl_reactor_spark.io import load
 from fcs_etl_reactor_spark.queries import query
 
@@ -394,3 +395,78 @@ def q6g_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "smp_rank")
     )
 
+
+
+# --------------------------------------------------------------------------
+# q6j — domain-shift diagnostic: per-source KL divergence of the token
+# distribution against the whole-corpus distribution. The mixing
+# counterpart to q6f: before re-weighting domains you measure how far
+# each domain's unigram distribution sits from the corpus mixture
+# (data-selection / importance-resampling pipelines score domains
+# exactly this way).
+#
+# Scale shape: one explode → (source, term) count (partial-agg
+# collapses repeats map-side), corpus term totals derived from the
+# SAME aggregate by a whole-partition window on term (corpus exploded
+# once — the q81 pattern), totals as a 1-row broadcast. The KL sum
+# uses scaled-long accumulation (functions/exact.py) so the per-source
+# sum is order-independent; terms absent from a source contribute 0
+# (the 0·log0 limit), so the inner join over observed (source, term)
+# pairs is exact, not an approximation.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q6j_domain_kl",
+    oracle=f"""
+    WITH st AS (
+      SELECT source, term, COUNT(*) AS c_st FROM (
+        SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+      ) WHERE term <> '' GROUP BY source, term
+    ),
+    wide AS (
+      SELECT source, term, c_st,
+             SUM(c_st) OVER (PARTITION BY source) AS c_s,
+             SUM(c_st) OVER (PARTITION BY term) AS c_t,
+             SUM(c_st) OVER () AS c
+      FROM st
+    ),
+    contrib AS (
+      SELECT source, c_s,
+             (CAST(c_st AS DOUBLE) / c_s)
+             * LN((CAST(c_st AS DOUBLE) / c_s) / (CAST(c_t AS DOUBLE) / c))
+               AS kterm
+      FROM wide
+    )
+    SELECT source,
+           {o_fsum("kterm", "kl_nats", "1000000000.0")},
+           CAST(MIN(c_s) AS BIGINT) AS n_tokens
+    FROM contrib GROUP BY source
+    """,
+)
+def q6j_domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.functions.exact import fsum
+
+    d = load(spark, sf_dir, "documents")
+    st = (
+        d.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+    )
+    c_s = F.sum("c_st").over(Window.partitionBy("source"))
+    c_t = F.sum("c_st").over(Window.partitionBy("term"))
+    c = F.sum("c_st").over(Window.partitionBy())
+    p = F.col("c_st").cast("double") / F.col("c_s")
+    q = F.col("c_t").cast("double") / F.col("c")
+    contrib = st.select(
+        "source",
+        F.col("c_st"),
+        c_s.alias("c_s"),
+        c_t.alias("c_t"),
+        c.alias("c"),
+    ).select("source", "c_s", (p * F.log(p / q)).alias("kterm"))
+    return contrib.groupBy("source").agg(
+        fsum(F.col("kterm"), "kl_nats", scale=1e9),
+        F.min("c_s").cast("bigint").alias("n_tokens"),
+    )

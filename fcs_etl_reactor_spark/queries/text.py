@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from fcs_etl_reactor_spark.functions.exact import o_dsum
+from fcs_etl_reactor_spark.functions.exact import o_dsum, o_fsum
 from fcs_etl_reactor_spark.io import load
 from fcs_etl_reactor_spark.queries import query
 
@@ -828,5 +828,156 @@ def q8m_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_words"),
             F.sum(F.length("w")).alias("n_chars"),
             F.sum("w_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q8o — BM25 retrieval scoring (north-star: search over the training
+# corpus; the ranking function behind Lucene/Elasticsearch retrieval
+# and the retrieval half of dedup-by-retrieval pipelines).
+#
+# Scale shape: one explode→(doc,term) agg for tf, df via a
+# whole-partition window on term (the q81 pattern: the corpus is
+# exploded exactly once), corpus stats (N, avgdl) as a 1-row
+# broadcast. The query-term filter is pushed below the explode-side
+# aggregation, so shuffle volume is |matching postings|, not the
+# corpus token count. Per-doc score = exact scaled-long sum of
+# per-term partials (functions/exact.py) — order-independent, so the
+# hash survives any partitioning.
+# --------------------------------------------------------------------------
+
+_BM25_QUERY = ["spark", "join", "vector", "stream"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"('{t}')" for t in _BM25_QUERY)
+    return f"""
+    WITH q(term) AS (VALUES {terms}),
+    toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks WHERE term <> '' GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+    ),
+    tf AS (
+      SELECT t.doc_id, t.term, COUNT(*) AS tf
+      FROM toks t JOIN q USING (term) GROUP BY t.doc_id, t.term
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             LN(1.0 + (n_docs - COUNT(*) OVER (PARTITION BY tf.term) + 0.5)
+                      / (COUNT(*) OVER (PARTITION BY tf.term) + 0.5))
+             * (tf.tf * ({_BM25_K1} + 1.0))
+             / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / avgdl))
+             AS s
+      FROM tf JOIN dl USING (doc_id) CROSS JOIN stats
+    )
+    SELECT doc_id, {o_fsum("s", "bm25", "1000000000.0")}, COUNT(*) AS n_terms
+    FROM scored GROUP BY doc_id
+    """
+
+
+@query("q8o_bm25", oracle=_bm25_oracle())
+def q8o_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.functions.exact import fsum
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(_BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - df_ + F.lit(0.5)) / (df_ + F.lit(0.5))
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (idf * (F.col("tf") * (_BM25_K1 + 1.0)) / denom).alias("s"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        fsum(F.col("s"), "bm25", scale=1e9), F.count(F.lit(1)).alias("n_terms")
+    )
+
+
+# --------------------------------------------------------------------------
+# q8p — inverted-index build (north-star: index export for retrieval;
+# the posting-list materialization step after the q80 pair
+# representation). Postings are doc_ids sorted ascending and
+# serialized to a string — the driver canonicalizer rejects top-level
+# arrays, and an index shard on disk is byte-oriented anyway.
+#
+# Scale note: at 100 TB the (term, doc_id) PAIR table (q80) is the
+# working representation — collect_set materializes one term's whole
+# posting list in executor memory, so this export is gated to
+# df ≤ _POSTING_CAP terms (head terms ship as pair shards instead;
+# the cap is a real filter in-plan, not a silent truncation). The
+# fixture vocabulary is 31 synthetic terms appearing in nearly every
+# doc (max df 3.9k at sf0.1), so the cap is sized to keep every
+# fixture term under it while still exercising the gate.
+# --------------------------------------------------------------------------
+
+_POSTING_CAP = 5000
+
+
+@query(
+    "q8p_inverted_index",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT term, doc_id FROM (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+      ) WHERE term <> ''
+    ),
+    sized AS (
+      SELECT term, COUNT(*) AS df FROM pairs GROUP BY term
+      HAVING COUNT(*) <= {_POSTING_CAP}
+    )
+    SELECT p.term, s.df,
+           STRING_AGG(CAST(p.doc_id AS VARCHAR), ',' ORDER BY p.doc_id)
+             AS postings
+    FROM pairs p JOIN sized s USING (term)
+    GROUP BY p.term, s.df
+    """,
+)
+def q8p_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pairs = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .select("term", "doc_id")
+        .distinct()
+    )
+    lists = pairs.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_sort(F.collect_list("doc_id")).alias("ids"),
+    )
+    return (
+        lists.filter(F.col("df") <= _POSTING_CAP)
+        .select(
+            "term",
+            "df",
+            F.array_join(F.transform("ids", lambda x: x.cast("string")), ",").alias(
+                "postings"
+            ),
         )
     )

@@ -70,6 +70,8 @@ ALLOW_CARTESIAN = {
     "q4c_trimmed_mean",         # 1-row trim-bounds cross
     "q19_skew_stats",           # 1-row corpus-stats broadcast cross
     "q18_bloom_semi_join",      # 1-row bloom-bitset broadcast attach
+    "q8o_bm25",                 # 1-row corpus-stats (N, avgdl) broadcast cross
+    "q5n_pagerank",             # 1-row node-count broadcast cross per iteration
 }
 # Python-eval nodes allowed: q5i IS the scalar-UDF surface; q5g IS the
 # UDTF surface (UDTF eval is row-generating Python by definition).

@@ -219,7 +219,10 @@ def test_q9e_foreach_batch_multi_batch_delivery(spark):
 
     out = QUERIES["q9e_foreach_batch_sink"](spark, SF_SMALL)
     src = _split_stream_dir(spark, SF_SMALL)
-    sink_dir = os.path.join(_FOREACH_ROOT, src.rsplit("/", 1)[-1], "sink")
+    # the sink dir is pid-scoped (concurrent-process safety, round 4)
+    sink_dir = os.path.join(
+        _FOREACH_ROOT, f"{src.rsplit('/', 1)[-1]}_pid{os.getpid()}", "sink"
+    )
     tagged = spark.read.parquet(sink_dir)
     batch_ids = sorted(r["_batch_id"] for r in tagged.select("_batch_id").distinct().collect())
     # maxFilesPerTrigger=1 over the two-file split source → the sink
