@@ -226,3 +226,133 @@ def q6i_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("rk").cast("bigint").alias("max_rank"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q9h — stream-stream LEFT OUTER interval join: q9g's attribution with
+# the unmatched clicks kept (NULL purchase) — the state-EVICTION side
+# of outer-join semantics: Spark emits a left row's null-match only
+# once the watermark proves no future right row can land in its
+# interval.
+#
+# Determinism device: append-mode outer joins withhold rows whose
+# eligibility (c_ts + 1 h) is above the FINAL watermark, which on a
+# finite replay depends on max event time — so the spool for this
+# query carries one far-future FLUSH pair (click+purchase, event_id
+# -1/-2, max_ts + 3 h). The flush purchase advances the right-side
+# watermark past every real click's eligibility (its own interval is
+# empty, 3 h past the last real event, so it matches nothing), making
+# EVERY real unmatched click deterministically emitted; the flush
+# click itself stays above the final watermark, is withheld by the
+# engine, and is filtered out of the sink read regardless. The result
+# is then EXACTLY the batch left interval join over the real events —
+# stated directly as the oracle.
+# --------------------------------------------------------------------------
+
+_FLUSH_DIRS: dict[str, str] = {}
+
+
+def _events_stream_dir_flushed(spark: SparkSession, sf_dir: str) -> str:
+    """events spool + trailing watermark-flush pair (ids -1/-2)."""
+    import os
+
+    from fcs_etl_reactor_spark.io import source_fingerprint
+
+    key = sf_dir.rstrip("/")
+    if key not in _FLUSH_DIRS:
+        dest = os.path.join(
+            "/tmp/spark_graft_stream_src_flush",
+            key.strip("/").replace("/", "_")
+            + "_"
+            + source_fingerprint(sf_dir, "events"),
+        )
+        if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+            e = load(spark, sf_dir, "events")
+            mx = e.agg(F.max("ts").alias("mx"))
+            flush = (
+                mx.select(
+                    F.explode(
+                        F.array(
+                            F.struct(
+                                F.lit(-1).cast("bigint").alias("event_id"),
+                                (F.col("mx") + F.expr("INTERVAL 3 HOURS")).alias("ts"),
+                                F.lit(-1).cast("bigint").alias("user_id"),
+                                F.lit("click").alias("event_type"),
+                                F.lit(0.0).alias("value"),
+                                F.lit("{}").alias("props"),
+                            ),
+                            F.struct(
+                                F.lit(-2).cast("bigint").alias("event_id"),
+                                (F.col("mx") + F.expr("INTERVAL 3 HOURS")).alias("ts"),
+                                F.lit(-1).cast("bigint").alias("user_id"),
+                                F.lit("purchase").alias("event_type"),
+                                F.lit(0.0).alias("value"),
+                                F.lit("{}").alias("props"),
+                            ),
+                        )
+                    ).alias("r")
+                ).select("r.*")
+            )
+            e.select(
+                "event_id", "ts", "user_id", "event_type", "value", "props"
+            ).unionByName(flush).repartition(1).write.mode("overwrite").parquet(dest)
+        _FLUSH_DIRS[key] = dest
+    return _FLUSH_DIRS[key]
+
+
+@query(
+    "q9h_stream_stream_left_outer",
+    oracle="""
+    SELECT
+      c.event_id AS c_event_id,
+      p.event_id AS p_event_id,
+      c.user_id
+    FROM events c
+    LEFT JOIN events p
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click'
+    """,
+)
+def q9h_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.streaming.windows import (
+        read_events_stream,
+        to_memory_sink,
+    )
+
+    src = _events_stream_dir_flushed(spark, sf_dir)
+    sink = "q9h_sink_" + src.rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")
+
+    clicks = (
+        read_events_stream(spark, src)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, src)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select("c_event_id", "p_event_id", "user_id")
+    q = to_memory_sink(joined, sink, output_mode="append")
+    q.awaitTermination()
+    # drop the flush click (withheld by the engine anyway — belt and braces)
+    return spark.table(sink).filter(F.col("c_event_id") >= 0)

@@ -523,3 +523,58 @@ def q4c_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         tm(F.col("l_extendedprice")).alias("trimmed_mean"),
         tc(F.col("l_extendedprice")).alias("n_kept"),
     )
+
+
+# --------------------------------------------------------------------------
+# q8q — per-group OLS (A-family extension): closed-form simple linear
+# regression of event value on hour-of-day, one fit per event_type.
+# The normal-equation sums (n, Σx, Σx², Σy, Σxy) are ONE pass of
+# map-side-combinable aggregates — the pattern that generalizes to
+# per-key model fitting at 100 TB (featurize → 5 sums → closed form),
+# where per-group iterative solvers would need a shuffle per step.
+# Σy and Σxy go through the scaled-long exact sum (functions/exact.py)
+# so the slope is bit-identical at any partition count; x-sums are
+# integers and exact for free.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q8q_group_ols",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(EXTRACT(HOUR FROM ts)) AS sx,
+             SUM(EXTRACT(HOUR FROM ts) * EXTRACT(HOUR FROM ts)) AS sxx,
+             {o_dsum("value", "sy")},
+             {o_dsum("EXTRACT(HOUR FROM ts) * value", "sxy", "100000.0")}
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 9)
+             AS intercept
+    FROM s
+    """,
+)
+def q8q_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    x = F.hour("ts")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        dsum("value", "sy"),
+        dsum(x.cast("double") * F.col("value"), "sxy", scale=1e5),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(slope, 9).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 9).alias(
+            "intercept"
+        ),
+    )

@@ -470,3 +470,72 @@ def q6j_domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         fsum(F.col("kterm"), "kl_nats", scale=1e9),
         F.min("c_s").cast("bigint").alias("n_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# q6k — weighted reservoir sampling (A-Res, Efraimidis–Spirakis):
+# exactly k docs per source, selection probability proportional to a
+# weight (n_chars here — in production a quality score). Per-row key
+# u^(1/w) with u a deterministic md5-uniform; the k largest keys per
+# stratum win. This is the weighted counterpart of q6g's unweighted
+# lowest-k-hash sampling, and like it runs as one window rank per
+# stratum (WindowGroupLimit pushes the k-filter below the sort at
+# scale).
+#
+# Determinism: ordering by a raw double key risks last-ulp rank flips
+# between engines (LN differs in the last ulp across libm builds), so
+# the rank orders by the key ROUNDED to 12 dp with doc_id as the
+# tie-break — identical rounding both sides, ties impossible to
+# mis-order.
+# --------------------------------------------------------------------------
+
+_WRS_SALT = "wrs-v1"
+_WRS_K = 10
+
+
+@query(
+    "q6k_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars,
+             ROUND(
+               LN((CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '{_WRS_SALT}'), 1, 8))
+                        AS BIGINT) + 0.5) / 4294967296.0)
+               / n_chars, 12) AS k
+      FROM documents
+      WHERE n_chars > 0
+    ),
+    ranked AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY k DESC, doc_id)
+               AS smp_rank
+      FROM keyed
+    )
+    SELECT source, doc_id, n_chars, CAST(smp_rank AS INTEGER) AS smp_rank
+    FROM ranked WHERE smp_rank <= {_WRS_K}
+    """,
+)
+def q6k_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_WRS_SALT))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    # ln(u)/w is monotone in u^(1/w) for w>0: rank by it directly
+    keyed = d.filter(F.col("n_chars") > 0).select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.round(F.log(u) / F.col("n_chars"), 12).alias("k"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("k").desc(), "doc_id")
+    return (
+        keyed.select("source", "doc_id", "n_chars", F.row_number().over(w).alias("smp_rank"))
+        .filter(F.col("smp_rank") <= _WRS_K)
+    )
