@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fcs_etl_reactor_spark.functions.exact import o_dsum
 from fcs_etl_reactor_spark.io import load
 from fcs_etl_reactor_spark.operators.compensation import compensate
 from fcs_etl_reactor_spark.queries import query
@@ -598,4 +599,92 @@ def q7j_fcs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_gated"),
         scaled("cal_val").alias("mean_cal_val"),
         scaled("usr").alias("mean_user"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q7s — spillover-matrix ESTIMATION from single-stain controls (C8).
+# q70 APPLIES a known compensation matrix; the reference pipeline's
+# color-model build step goes the other way: for each single-stain
+# control sample, the spillover coefficient into every secondary
+# channel is the through-origin regression slope
+# s_j = Σ(obs_j·v) / Σ(v²) over that control's events.
+#
+# Fixture mapping (the q77 convention — fixtures re-interpreted as
+# cytometry): each event_type is one control sample, `value` is the
+# primary-channel signal, and two secondary channels are synthesized
+# per event with a deterministic md5 "noise" term so the estimator has
+# real residuals to average out. The oracle replays the identical
+# synthesis + the identical scaled-long sums, so parity checks the
+# ESTIMATOR's arithmetic, not a hardcoded truth.
+#
+# Scale shape: pure per-row expressions + one groupBy(sample) of four
+# exact sums — map-side combinable, one shuffle, any number of events.
+# --------------------------------------------------------------------------
+
+
+def _spill_noise_sql(tag: str) -> str:
+    return (
+        f"(CAST(('0x' || SUBSTR(MD5(CAST(event_id AS VARCHAR) || '{tag}'), 1, 8)) "
+        "AS BIGINT) / 4294967296.0 - 0.5)"
+    )
+
+
+@query(
+    "q7s_spillover_estimate",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_type AS sample_id, value AS v,
+             0.12 * value + 2.0 * {_spill_noise_sql('chA')} AS obs_a,
+             0.05 * value + 2.0 * {_spill_noise_sql('chB')} AS obs_b
+      FROM events WHERE value > 0
+    ),
+    s AS (
+      SELECT sample_id,
+             COUNT(*) AS n_events,
+             {o_dsum("obs_a * v", "sxa", "10000.0")},
+             {o_dsum("obs_b * v", "sxb", "10000.0")},
+             {o_dsum("v * v", "sxx", "10000.0")}
+      FROM obs GROUP BY sample_id
+    )
+    SELECT sample_id, CAST(n_events AS BIGINT) AS n_events,
+           ROUND(sxa / sxx, 9) AS spill_a,
+           ROUND(sxb / sxx, 9) AS spill_b
+    FROM s
+    """,
+)
+def q7s_spillover_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.functions.exact import dsum
+
+    def noise(tag: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("event_id").cast("string"), F.lit(tag))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("bigint")
+            / F.lit(4294967296.0)
+            - F.lit(0.5)
+        )
+
+    e = load(spark, sf_dir, "events").filter(F.col("value") > 0)
+    obs = e.select(
+        F.col("event_type").alias("sample_id"),
+        F.col("value").alias("v"),
+        (0.12 * F.col("value") + 2.0 * noise("chA")).alias("obs_a"),
+        (0.05 * F.col("value") + 2.0 * noise("chB")).alias("obs_b"),
+    )
+    s = obs.groupBy("sample_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("obs_a") * F.col("v"), "sxa", scale=1e4),
+        dsum(F.col("obs_b") * F.col("v"), "sxb", scale=1e4),
+        dsum(F.col("v") * F.col("v"), "sxx", scale=1e4),
+    )
+    return s.select(
+        "sample_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round(F.col("sxa") / F.col("sxx"), 9).alias("spill_a"),
+        F.round(F.col("sxb") / F.col("sxx"), 9).alias("spill_b"),
     )

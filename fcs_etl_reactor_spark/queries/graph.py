@@ -142,3 +142,62 @@ def q5n_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select("node", F.col("r").alias("rank_scaled"))
+
+
+# --------------------------------------------------------------------------
+# q5o — triangle counting on the co-purchase graph (edges = part pairs
+# appearing in ≥ 2 shared orders, canonically a < b). The classic
+# distributed-graph benchmark after PageRank; the implementation is
+# the ORIENTED wedge join: every edge is stored once (a < b), wedges
+# (a<b<c) join on the shared low vertex, and a third join closes the
+# wedge — each triangle counted exactly once, no post-dedup. At web
+# scale the orientation is by degree rather than id (caps wedge fanout
+# at high-degree hubs); id-orientation keeps the oracle verbatim and
+# the fixture co-purchase graph has no hubs (order size ≤ 7).
+# --------------------------------------------------------------------------
+
+_TRI_MIN_SHARED = 2
+
+
+@query(
+    "q5o_triangles",
+    oracle=f"""
+    WITH edges AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_TRI_MIN_SHARED}
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_triangles,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges
+    FROM edges e1
+    JOIN edges e2 ON e2.a = e1.b
+    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def q5o_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _TRI_MIN_SHARED)
+        .select("a", "b")
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tris = e1.join(e2, F.col("e2.a") == F.col("e1.b")).join(
+        e3,
+        (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+    )
+    n_tri = tris.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    n_edge = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return n_tri.crossJoin(F.broadcast(n_edge))

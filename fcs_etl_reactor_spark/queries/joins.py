@@ -466,3 +466,46 @@ def q1b_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue", scale=1e4),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q1c — market-basket co-occurrence: top-25 part pairs bought together
+# in the same order. The self-join is keyed on l_orderkey, so the
+# fanout is Σ|order|² with |order| ≤ 7 lineitems in TPC-H-shaped data
+# — per-key bounded, NOT corpus-quadratic; the join shuffles both
+# sides on orderkey and the pair count collapses map-side. The p1<p2
+# canonical ordering halves the pairs and removes self-pairs in-join
+# (a predicate, not a post-filter). Deterministic top-k: ties broken
+# by the pair itself.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q1c_copurchase",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_orders
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    )
+    SELECT p1, p2, n_orders FROM pairs
+    ORDER BY n_orders DESC, p1, p2 LIMIT 25
+    """,
+)
+def q1c_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = l.alias("a")
+    b = l.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return pairs.orderBy(F.col("n_orders").desc(), "p1", "p2").limit(25)

@@ -72,6 +72,7 @@ ALLOW_CARTESIAN = {
     "q18_bloom_semi_join",      # 1-row bloom-bitset broadcast attach
     "q8o_bm25",                 # 1-row corpus-stats (N, avgdl) broadcast cross
     "q5n_pagerank",             # 1-row node-count broadcast cross per iteration
+    "q5o_triangles",            # 1-row x 1-row (n_triangles, n_edges) combine
 }
 # Python-eval nodes allowed: q5i IS the scalar-UDF surface; q5g IS the
 # UDTF surface (UDTF eval is row-generating Python by definition).
