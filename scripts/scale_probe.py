@@ -67,6 +67,13 @@ PROBE_QUERIES = [  # all run on the replicated tables
     "q2g_schema_evolution",  # mergeSchema epochs (incl. layout write)
     "q5h_arrow_normalize",   # zero-copy Arrow kernel (pure map)
     "q5k_csv_roundtrip",     # sink->read roundtrip at 10x orders
+    "q5n_pagerank",          # iterative join+agg chain at 10x edges
+    "q8o_bm25",              # retrieval scoring (explode-once shape)
+    "q6j_domain_kl",         # windowed-distribution divergence
+    "q6k_weighted_sample",   # weighted reservoir rank per stratum
+    "q3d_debounce",          # lag-pass burst collapse
+    "q1c_copurchase",        # per-order-bounded pair self-join
+    "q5o_triangles",         # oriented wedge join
 ]
 
 

@@ -33,6 +33,8 @@ TS_QUERIES = [
     "q9f_streaming_upsert", "q16_asof_join", "q42_running_total",
     "q2b_partition_pruned_scan", "q2c_recursive_month_spine",
     "q9g_stream_stream_join", "q7m_scd2_history", "q4f_interpolate",
+    "q4g_ewma", "q3d_debounce", "q9h_stream_stream_left_outer",
+    "q8q_group_ols",
 ]
 
 
