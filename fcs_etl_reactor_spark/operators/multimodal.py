@@ -603,3 +603,42 @@ def audio_spectral_features(df, content_col: str = "content", n_bins: int = 4):
         "path STRING, rate INT, n_samples INT, rms DOUBLE, dom_bin INT, "
         "dom_hz DOUBLE, band_energy ARRAY<DOUBLE>, parseval_ok BOOLEAN",
     )
+
+
+def scene_cuts(df: DataFrame, threshold: float = 100.0) -> DataFrame:
+    """Scene-cut detection over (path, content) RAWV rows: decode
+    frames SEQUENTIALLY (two frames resident at a time, not the whole
+    container) and emit (path, frame_idx, frame_diff, is_cut) for each
+    adjacent pair, where frame_diff is the mean absolute pixel
+    difference and is_cut marks diffs above the threshold — the
+    shot-boundary primitive video-corpus pipelines key frame-sampling
+    and per-shot dedup on. mapInPandas: containers are independent, so
+    the pass is embarrassingly parallel and O(total frames)."""
+
+    def _cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            paths, idxs, diffs, cuts = [], [], [], []
+            for path, data in zip(pdf["path"], pdf["content"]):
+                data = bytes(data)
+                n = rawv_frame_count(data)
+                prev = decode_rawv_frame(data, 0).astype(np.int64)
+                for idx in range(1, n):
+                    cur = decode_rawv_frame(data, idx).astype(np.int64)
+                    d = float(np.abs(cur - prev).mean())
+                    paths.append(path)
+                    idxs.append(idx)
+                    diffs.append(d)
+                    cuts.append(d > threshold)
+                    prev = cur
+            yield pd.DataFrame(
+                {
+                    "path": paths,
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame_diff": diffs,
+                    "is_cut": pd.array(cuts, dtype="boolean"),
+                }
+            )
+
+    return df.select("path", "content").mapInPandas(
+        _cuts, "path STRING, frame_idx INT, frame_diff DOUBLE, is_cut BOOLEAN"
+    )

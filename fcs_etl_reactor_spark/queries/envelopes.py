@@ -345,3 +345,97 @@ def q8n_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("sk_n") == F.col("n")).alias("sketch_found_exact"),
     )
+
+
+# --------------------------------------------------------------------------
+# q8s — HLL set-intersection estimate via inclusion–exclusion:
+# |A∩B| ≈ est(A) + est(B) − est(A∪B), the standard audience-overlap /
+# cross-corpus-cardinality trick (HLL sketches union losslessly but
+# have no native intersect). Envelope: exact intersections
+# (oracle-recomputed via COUNT(DISTINCT) on the join) plus a boolean
+# that the sketch estimate lands within the inclusion–exclusion error
+# envelope — 10% of the UNION size, the honest bound: IE error scales
+# with |A∪B|, not |A∩B|, which is exactly why tiny intersections of
+# big sets need minhash/theta sketches instead (q56's territory).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q8s_hll_intersect",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.event_type AS t1, b.event_type AS t2
+      FROM (SELECT DISTINCT event_type FROM events) a
+      JOIN (SELECT DISTINCT event_type FROM events) b
+        ON a.event_type < b.event_type
+    ),
+    inter AS (
+      SELECT p.t1, p.t2,
+             (SELECT COUNT(DISTINCT e1.user_id) FROM events e1
+              WHERE e1.event_type = p.t1
+                AND e1.user_id IN (SELECT e2.user_id FROM events e2
+                                   WHERE e2.event_type = p.t2)) AS n_common,
+             (SELECT COUNT(DISTINCT e3.user_id) FROM events e3
+              WHERE e3.event_type IN (p.t1, p.t2)) AS n_union
+      FROM pairs p
+    )
+    SELECT t1, t2, CAST(n_common AS BIGINT) AS n_common,
+           CAST(n_union AS BIGINT) AS n_union, TRUE AS estimate_ok
+    FROM inter
+    """,
+)
+def q8s_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("event_type", "user_id")
+    per = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    a = per.select(
+        F.col("event_type").alias("t1"),
+        F.col("sk").alias("sk1"),
+        F.col("n_exact").alias("n1"),
+    )
+    b = per.select(
+        F.col("event_type").alias("t2"),
+        F.col("sk").alias("sk2"),
+        F.col("n_exact").alias("n2"),
+    )
+    # K event types ⇒ K(K−1)/2 pair rows — a dimension-sized theta
+    # join on broadcastable sketch rows, never a fact-table cross.
+    pairs = a.join(F.broadcast(b), F.col("t1") < F.col("t2"))
+    est1 = F.hll_sketch_estimate("sk1")
+    est2 = F.hll_sketch_estimate("sk2")
+    est_u = F.hll_sketch_estimate(F.hll_union("sk1", "sk2"))
+    est_i = est1 + est2 - est_u
+    # exact intersection/union for the envelope, computed once per pair
+    ex = (
+        e.alias("x")
+        .join(e.alias("y"), F.col("x.user_id") == F.col("y.user_id"))
+        .filter(F.col("x.event_type") < F.col("y.event_type"))
+        .groupBy(
+            F.col("x.event_type").alias("t1"), F.col("y.event_type").alias("t2")
+        )
+        .agg(F.countDistinct("x.user_id").alias("n_common"))
+    )
+    joined = pairs.join(ex, ["t1", "t2"], "left").select(
+        "t1",
+        "t2",
+        F.coalesce(F.col("n_common"), F.lit(0)).cast("bigint").alias("n_common"),
+        (F.col("n1") + F.col("n2")).cast("double").alias("_n12"),
+        est_i.alias("_est_i"),
+        est_u.alias("_est_u"),
+    )
+    n_union = (
+        F.col("_n12")
+        - F.col("n_common")
+    )  # exact |A∪B| = |A|+|B|−|A∩B|
+    return joined.select(
+        "t1",
+        "t2",
+        "n_common",
+        n_union.cast("bigint").alias("n_union"),
+        (
+            F.abs(F.col("_est_i") - F.col("n_common"))
+            <= F.lit(0.10) * n_union
+        ).alias("estimate_ok"),
+    )

@@ -307,3 +307,51 @@ def q7q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("feature", 4).cast("int").alias("channels"),
         F.round(F.element_at("feature", 5).cast("double"), 6).alias("level"),
     )
+
+
+# --------------------------------------------------------------------------
+# q7r — scene-cut detection (L6/L20 family): adjacent-frame mean
+# absolute pixel difference over the RAWV containers, cut where the
+# diff exceeds 100 levels. The q7f fixture's frames are flat fields at
+# (k·17 + f·11) mod 256, so consecutive means differ by exactly 11 —
+# except at the mod-256 wrap, where the jump is 245: the oracle
+# replays that arithmetic in SQL, so a hash match certifies the
+# decoded-pixel differencing (real codec work), not just plumbing.
+# Scale: one sequential decode pass per container (two frames
+# resident), containers independent → linear and parallel.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q7r_scene_cuts",
+    oracle="""
+    WITH v AS (
+      SELECT n_nationkey, 6 + (n_nationkey % 5) AS n_frames FROM nation
+    ),
+    pairs AS (
+      SELECT n_nationkey, CAST(f AS INTEGER) AS frame_idx,
+             CAST(ABS(((n_nationkey * 17 + f * 11) % 256)
+                      - ((n_nationkey * 17 + (f - 1) * 11) % 256)) AS DOUBLE)
+               AS frame_diff
+      FROM v CROSS JOIN RANGE(1, 10) t(f)
+      WHERE f < n_frames
+    )
+    SELECT n_nationkey, frame_idx, ROUND(frame_diff, 6) AS frame_diff,
+           frame_diff > 100.0 AS is_cut
+    FROM pairs
+    """,
+)
+def q7r_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.multimodal import scene_cuts
+
+    n = load(spark, sf_dir, "nation")
+    vids = n.select("n_nationkey").mapInPandas(
+        _render_videos, "path STRING, content BINARY"
+    )
+    out = scene_cuts(vids, threshold=100.0)
+    return out.select(
+        F.col("path").cast("int").alias("n_nationkey"),
+        "frame_idx",
+        F.round(F.col("frame_diff"), 6).alias("frame_diff"),
+        "is_cut",
+    )

@@ -539,3 +539,53 @@ def q6k_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.select("source", "doc_id", "n_chars", F.row_number().over(w).alias("smp_rank"))
         .filter(F.col("smp_rank") <= _WRS_K)
     )
+
+
+# --------------------------------------------------------------------------
+# q6l — k-fold cross-validation assignment: fold = md5(id‖salt) mod k,
+# the CV counterpart of q6a's fixed 80/10/10 split. Reproducible from
+# (id, salt, k) alone — re-runnable on any engine/resharding, folds
+# are disjoint and exhaustive BY CONSTRUCTION (a property the oracle
+# re-checks: per-fold counts sum to the corpus and each doc appears
+# once). Emits per-fold sizes + byte volume so a training loop can
+# verify fold balance without a second scan.
+# --------------------------------------------------------------------------
+
+_KFOLD_SALT = "cv-v1"
+_KFOLD_K = 5
+
+
+@query(
+    "q6l_kfold",
+    oracle=f"""
+    SELECT
+      CAST(CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '{_KFOLD_SALT}'), 1, 8))
+                AS BIGINT) % {_KFOLD_K} AS INTEGER) AS fold,
+      COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      COUNT(DISTINCT doc_id) AS n_distinct
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q6l_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_KFOLD_SALT))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint")
+        % _KFOLD_K
+    ).cast("int")
+    return (
+        d.select(fold.alias("fold"), "doc_id", "n_chars")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.countDistinct("doc_id").alias("n_distinct"),
+        )
+    )

@@ -981,3 +981,77 @@ def q8p_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q8r — Zipf-law fit over the term-frequency spectrum: OLS slope of
+# ln(freq) on ln(rank) (rank by frequency, deterministic term
+# tie-break). The standard corpus-health diagnostic — natural text
+# sits near slope −1; synthetic/templated corpora flatten. Shape: one
+# explode→term agg (the q80 pattern), a single whole-table window for
+# the rank (|vocab| rows, not |corpus| — fine even at 100 TB since
+# vocabularies are bounded), then one closed-form OLS over scaled-long
+# exact sums (the q8q pattern).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q8r_zipf_fit",
+    oracle=f"""
+    WITH tf AS (
+      SELECT term, COUNT(*) AS tf FROM (
+        SELECT UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+      ) WHERE term <> '' GROUP BY term
+    ),
+    ranked AS (
+      SELECT LN(CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, term) AS DOUBLE)) AS x,
+             LN(CAST(tf AS DOUBLE)) AS y
+      FROM tf
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             {o_fsum("x", "sx", "1000000000.0")},
+             {o_fsum("y", "sy", "1000000000.0")},
+             {o_fsum("x * x", "sxx", "1000000000.0")},
+             {o_fsum("x * y", "sxy", "1000000000.0")}
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS zipf_slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 9)
+             AS zipf_intercept
+    FROM s
+    """,
+)
+def q8r_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.functions.exact import fsum
+
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.orderBy(F.col("tf").desc(), "term")
+    ranked = tf.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("tf").cast("double")).alias("y"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        fsum(F.col("x"), "sx", scale=1e9),
+        fsum(F.col("y"), "sy", scale=1e9),
+        fsum(F.col("x") * F.col("x"), "sxx", scale=1e9),
+        fsum(F.col("x") * F.col("y"), "sxy", scale=1e9),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.round(slope, 9).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 9).alias(
+            "zipf_intercept"
+        ),
+    )
