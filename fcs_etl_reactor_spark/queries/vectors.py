@@ -437,3 +437,123 @@ def q8d_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q8t — distributed power iteration: top eigenvector of the 64×64
+# second-moment (Gram/n) matrix of the embedding corpus — PCA's first
+# component (uncentered), computed entirely as relational ops. The
+# Gram build is the classic outer-product shuffle (explode → self-join
+# on vec_id → groupBy (i,j), map-side combinable; D² = 4096 cells
+# regardless of corpus size), and each of the 3 unrolled iterations is
+# a D²-row join against the 64-row vector + a groupBy — dimension-
+# bound, not corpus-bound, after the one corpus pass.
+#
+# Determinism: every float reduction (Gram cells, matvec, norm) runs
+# through the scaled-long exact sum, so both engines iterate on
+# IDENTICAL doubles; division and sqrt are correctly-rounded IEEE.
+# Init v0 = 1/8 (unit, all-positive) — the fixture Gram is entrywise
+# positive, so Perron-Frobenius makes the sign stable too.
+# --------------------------------------------------------------------------
+
+_PI_DIM = 64
+_PI_ITERS = 3
+
+
+def _power_iteration_oracle(iters: int = _PI_ITERS) -> str:
+    def fs(expr: str) -> str:  # o_fsum body WITHOUT the alias, composable
+        return (
+            f"CAST(SUM(CAST(FLOOR(({expr}) * 1000000000.0) AS HUGEINT)) AS DOUBLE)"
+            " / 1000000000.0"
+        )
+
+    ctes = [
+        """x AS (
+      SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+             GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS i
+      FROM embeddings
+    )""",
+        """n AS (SELECT COUNT(*) AS nn FROM embeddings)""",
+        f"""g AS (
+      SELECT a.i AS i, b.i AS j,
+             {fs('a.v * b.v')} / MAX(nn) AS g
+      FROM x a JOIN x b USING (vec_id) CROSS JOIN n
+      GROUP BY a.i, b.i
+    )""",
+        f"""v0 AS (
+      SELECT CAST(d AS BIGINT) AS j, 1.0 / 8.0 AS vj
+      FROM RANGE(0, {_PI_DIM}) t(d)
+    )""",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""w{k} AS (
+      SELECT g.i AS i, {fs('g.g * v.vj')} AS wi
+      FROM g JOIN v{k - 1} v ON g.j = v.j
+      GROUP BY g.i
+    )"""
+        )
+        ctes.append(
+            f"""n{k} AS (
+      SELECT SQRT({fs('wi * wi')}) AS nrm FROM w{k}
+    )"""
+        )
+        ctes.append(
+            f"""v{k} AS (
+      SELECT i AS j, wi / nrm AS vj FROM w{k} CROSS JOIN n{k}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(j AS INTEGER) AS dim,
+           ROUND(vj, 9) AS component,
+           ROUND((SELECT nrm FROM n{iters}), 9) AS eigenvalue
+    FROM v{iters}"""
+    )
+
+
+@query("q8t_power_iteration", oracle=_power_iteration_oracle())
+def q8t_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id", F.posexplode("embedding").alias("i", "v")
+    ).select("vec_id", "i", F.col("v").cast("double").alias("v"))
+    n = e.agg(F.count(F.lit(1)).alias("nn"))
+    a, b = x.alias("a"), x.alias("b")
+    g = (
+        a.join(b, "vec_id")
+        .crossJoin(F.broadcast(n))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(
+            (
+                fsum(F.col("a.v") * F.col("b.v"), "s", scale=1e9).cast("double")
+                / F.max("nn")
+            ).alias("g")
+        )
+    )
+    v = spark.range(_PI_DIM).select(
+        F.col("id").alias("j"), F.lit(1.0 / 8.0).alias("vj")
+    )
+    nrm_last = None
+    for _ in range(_PI_ITERS):
+        w = (
+            g.join(v, "j")
+            .groupBy("i")
+            .agg(fsum(F.col("g") * F.col("vj"), "wi", scale=1e9))
+        )
+        nrm = w.agg(
+            F.sqrt(fsum(F.col("wi") * F.col("wi"), "s", scale=1e9).cast("double")).alias(
+                "nrm"
+            )
+        )
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            F.col("i").alias("j"), (F.col("wi") / F.col("nrm")).alias("vj")
+        )
+        nrm_last = nrm
+    return v.crossJoin(F.broadcast(nrm_last)).select(
+        F.col("j").cast("int").alias("dim"),
+        F.round("vj", 9).alias("component"),
+        F.round("nrm", 9).alias("eigenvalue"),
+    )
