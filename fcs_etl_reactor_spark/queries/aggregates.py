@@ -578,3 +578,50 @@ def q8q_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q4h — quantile discretizer (ntile bucketing): assign each lineitem
+# price to its within-group quartile and report per-bucket ranges —
+# the feature-binning primitive (equal-FREQUENCY bins; q27/q7e are the
+# equal-WIDTH/equi-depth boundary forms). NTILE is rank arithmetic on
+# one sorted shuffle per group key; bucket edges come from the same
+# pass (min/max per bucket), no second scan.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q4h_ntile_bucketing",
+    oracle="""
+    WITH t AS (
+      SELECT l_returnflag,
+             NTILE(4) OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+               AS bucket,
+             l_extendedprice
+      FROM lineitem
+    )
+    SELECT l_returnflag, CAST(bucket AS INTEGER) AS bucket,
+           COUNT(*) AS n,
+           MIN(l_extendedprice) AS lo,
+           MAX(l_extendedprice) AS hi
+    FROM t GROUP BY l_returnflag, bucket
+    """,
+)
+def q4h_ntile_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    l = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    t = l.select(
+        "l_returnflag",
+        F.ntile(4).over(w).alias("bucket"),
+        "l_extendedprice",
+    )
+    return t.groupBy("l_returnflag", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )

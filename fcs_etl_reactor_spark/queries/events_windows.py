@@ -791,3 +791,80 @@ def q3d_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("prev_type") != F.col("event_type"))
         | (F.unix_micros("ts") - F.unix_micros("prev_ts") > 300_000_000)
     ).select("event_id", "user_id", "event_type")
+
+
+# --------------------------------------------------------------------------
+# q3e — longest same-type streak per user (gaps-and-islands): the
+# run-length analytics primitive (max consecutive purchases, error
+# streaks for alerting). lag → change flag → running-sum island id →
+# per-island size → per-user max; ALL FOUR window/agg passes share the
+# one shuffle on user_id (Catalyst collapses same-key windows), so the
+# op costs a single exchange regardless of corpus size.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q3e_longest_streak",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN LAG(event_type) OVER w = event_type THEN 0 ELSE 1 END
+               AS brk
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    isl AS (
+      SELECT user_id, event_type,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS island
+      FROM seq
+    ),
+    runs AS (
+      SELECT user_id, event_type, island, COUNT(*) AS run_len
+      FROM isl GROUP BY user_id, event_type, island
+    ),
+    best AS (
+      SELECT user_id, run_len, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY run_len DESC, island, event_type)
+               AS rn
+      FROM runs
+    )
+    SELECT user_id, run_len AS longest_streak, event_type AS streak_type
+    FROM best WHERE rn = 1
+    """,
+)
+def q3e_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(F.lag("event_type").over(w) == F.col("event_type"), 0)
+        .otherwise(1)
+        .alias("brk"),
+    )
+    isl = seq.select(
+        "user_id", "event_type", F.sum("brk").over(w).alias("island")
+    )
+    runs = isl.groupBy("user_id", "event_type", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.col("run_len").desc(), "island", "event_type"
+    )
+    return (
+        runs.select(
+            "user_id",
+            "run_len",
+            "event_type",
+            F.row_number().over(wb).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("run_len").alias("longest_streak"),
+            F.col("event_type").alias("streak_type"),
+        )
+    )
