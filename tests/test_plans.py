@@ -239,3 +239,57 @@ def test_bucketed_window_has_no_exchange(spark):
     s = plan_of(spark, "q2e_bucketed_window")
     assert "Window" in s
     assert "Exchange" not in s, s
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join evidence: a sort-merge join with one hot key must
+    be re-planned at runtime with the skewed partition SPLIT
+    (OptimizeSkewedJoin) — the mechanism that keeps one 100 GB key
+    from pinning a single reducer at 100 TB. Thresholds are shrunk so
+    local fixture sizes trigger it; broadcast is disabled to force the
+    shuffle join AQE rewrites."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB"
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "50KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+        left = spark.range(0, 300_000).select(
+            F.when(F.col("id") < 280_000, 0).otherwise(F.col("id") % 64).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 64).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        # no aggregation downstream: a grouped consumer would require
+        # hash distribution on k, and AQE (correctly) skips the skew
+        # split rather than add a recovery shuffle — the split applies
+        # when the join output flows to a sink/map stage
+        joined = left.join(right, "k").select("v", "w")
+        # collect, not noop-write: a write runs its OWN QueryExecution,
+        # so the skew-annotated final plan would not be visible here
+        assert len(joined.collect()) == 300_000
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
