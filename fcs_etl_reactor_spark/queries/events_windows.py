@@ -868,3 +868,46 @@ def q3e_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("streak_type"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q4i — rolling median per user over the trailing 5-row frame: the
+# robust-smoothing counterpart of q48's moving average (medians shrug
+# off the spikes q3c hunts). Spark has no percentile window function,
+# but a SMALL FIXED frame makes the exact median a pure expression:
+# collect_list over the frame → array_sort → middle element(s). The
+# frame is K=5 values, so the per-row array work is O(K log K) with
+# zero extra shuffle — same single user_id exchange as every lag
+# query. (An unbounded-frame median is a different op: that's q23's
+# sorted-aggregate territory.) Even-count frames (the first rows of
+# each user) average the two middles, matching DuckDB's MEDIAN.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q4i_rolling_median",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(MEDIAN(value) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+                 9) AS med5
+    FROM events
+    """,
+)
+def q4i_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    vals = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(vals)
+    mid_hi = F.element_at(vals, (n / 2 + 1).cast("int"))
+    mid_lo = F.element_at(vals, ((n + 1) / 2).cast("int"))
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round((mid_lo + mid_hi) / 2.0, 9).alias("med5"),
+    )
