@@ -31,9 +31,13 @@ from pyspark.sql import functions as F
 from fcs_etl_reactor_spark.io import load
 from fcs_etl_reactor_spark.queries import query
 
-_PR_SCALE = 1_000_000_000_000  # 1e12 fixed-point
+from fcs_etl_reactor_spark.operators.graphs import (
+    DAMP_DEN as _DAMP_DEN,
+    DAMP_NUM as _DAMP_NUM,
+    PR_SCALE as _PR_SCALE,
+)
+
 _PR_ITERS = 3  # fixed unroll — an iteration cap by construction
-_DAMP_NUM, _DAMP_DEN = 85, 100  # d = 0.85 in exact integer arithmetic
 
 
 def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
@@ -83,11 +87,15 @@ def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
 
 @query("q5n_pagerank", oracle=_pagerank_oracle())
 def q5n_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-iteration PageRank on the customer→supplier purchase graph.
+    """3-iteration PageRank on the customer→supplier purchase graph
+    (operators/graphs.pagerank; oracle generated above replays the
+    identical fixed-point arithmetic).
 
     Edges: distinct (customer, supplier) pairs observed in orders ⋈
     lineitem, namespaced 'c<id>' / 's<id>' into one node id space.
     """
+    from fcs_etl_reactor_spark.operators.graphs import pagerank
+
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     edges = (
@@ -98,50 +106,7 @@ def q5n_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    nodes = edges.select(F.col("src").alias("node")).union(
-        edges.select(F.col("dst").alias("node"))
-    ).distinct()
-    # outdeg rides WITH the edge rows (one join before the loop, a
-    # whole-partition window would also do) so each iteration is a
-    # single edges ⋈ ranks shuffle + one groupBy — not three joins.
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    edges_w = edges.join(deg, "src")
-    n = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
-    base = F.floor(
-        F.lit(float(_PR_SCALE * (_DAMP_DEN - _DAMP_NUM) // _DAMP_DEN))
-        / F.col("n_nodes")
-    ).cast("bigint")
-
-    ranks = nodes.crossJoin(F.broadcast(n)).select(
-        "node",
-        F.floor(F.lit(float(_PR_SCALE)) / F.col("n_nodes")).cast("bigint").alias("r"),
-    )
-    for _ in range(_PR_ITERS):
-        contribs = (
-            edges_w.join(ranks, edges_w.src == ranks.node)
-            .select(
-                F.col("dst").alias("node"),
-                F.floor(F.col("r") / F.col("outdeg")).cast("bigint").alias("c"),
-            )
-            .groupBy("node")
-            .agg(F.sum("c").alias("m"))
-        )
-        ranks = (
-            nodes.crossJoin(F.broadcast(n))
-            .join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    base
-                    + F.floor(
-                        F.coalesce(F.col("m"), F.lit(0))
-                        * _DAMP_NUM
-                        / F.lit(float(_DAMP_DEN))
-                    ).cast("bigint")
-                ).alias("r"),
-            )
-        )
-    return ranks.select("node", F.col("r").alias("rank_scaled"))
+    return pagerank(edges, iters=_PR_ITERS)
 
 
 # --------------------------------------------------------------------------
@@ -197,6 +162,8 @@ _TRI_MIN_SHARED = 2
     """,
 )
 def q5o_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.graphs import triangle_count
+
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
     und = (
@@ -210,36 +177,4 @@ def q5o_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= _TRI_MIN_SHARED)
         .select("a", "b")
     )
-    deg = (
-        und.select(F.col("a").alias("v"))
-        .unionAll(und.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    da, db = deg.alias("da"), deg.alias("db")
-    u = und.alias("u")
-    a_first = (F.col("da.d") < F.col("db.d")) | (
-        (F.col("da.d") == F.col("db.d")) & (F.col("u.a") < F.col("u.b"))
-    )
-    oriented = (
-        u.join(da, F.col("da.v") == F.col("u.a"))
-        .join(db, F.col("db.v") == F.col("u.b"))
-        .select(
-            F.when(a_first, F.col("u.a")).otherwise(F.col("u.b")).alias("src"),
-            F.when(a_first, F.col("u.b")).otherwise(F.col("u.a")).alias("dst"),
-            F.when(a_first, F.col("db.d")).otherwise(F.col("da.d")).alias("ddeg"),
-        )
-    )
-    e1 = oriented.alias("e1")
-    e2 = oriented.alias("e2")
-    e3 = oriented.alias("e3")
-    wedge_lt = (F.col("e1.ddeg") < F.col("e2.ddeg")) | (
-        (F.col("e1.ddeg") == F.col("e2.ddeg")) & (F.col("e1.dst") < F.col("e2.dst"))
-    )
-    tris = e1.join(e2, (F.col("e2.src") == F.col("e1.src")) & wedge_lt).join(
-        e3,
-        (F.col("e3.src") == F.col("e1.dst")) & (F.col("e3.dst") == F.col("e2.dst")),
-    )
-    n_tri = tris.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
-    n_edge = oriented.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
-    return n_tri.crossJoin(F.broadcast(n_edge))
+    return triangle_count(und)
