@@ -339,3 +339,40 @@ class TestBilinearResize:
         out = resize_bilinear(img, 4, 5)
         assert out.shape == (4, 5, 3) and out.dtype == np.uint8
         assert out.min() >= img.min() and out.max() <= img.max()
+
+
+class TestSceneCuts:
+    def test_diffs_match_numpy_reference(self, spark):
+        import numpy as np
+
+        from fcs_etl_reactor_spark.operators.multimodal import (
+            encode_rawv,
+            scene_cuts,
+        )
+
+        rng = np.random.default_rng(3)
+        frames = [rng.integers(0, 256, (6, 8), dtype=np.uint8) for _ in range(5)]
+        blob = encode_rawv(frames)
+        df = spark.createDataFrame([("v0", bytearray(blob))], "path STRING, content BINARY")
+        rows = {r["frame_idx"]: r["frame_diff"] for r in scene_cuts(df).collect()}
+        for i in range(1, 5):
+            want = float(
+                np.abs(frames[i].astype(int) - frames[i - 1].astype(int)).mean()
+            )
+            assert rows[i] == want, i
+
+    def test_identical_frames_never_cut(self, spark):
+        import numpy as np
+
+        from fcs_etl_reactor_spark.operators.multimodal import (
+            encode_rawv,
+            scene_cuts,
+        )
+
+        frames = [np.full((4, 4), 7, dtype=np.uint8)] * 4
+        df = spark.createDataFrame(
+            [("v0", bytearray(encode_rawv(frames)))], "path STRING, content BINARY"
+        )
+        rows = scene_cuts(df).collect()
+        assert len(rows) == 3
+        assert all(r["frame_diff"] == 0.0 and not r["is_cut"] for r in rows)
