@@ -1055,3 +1055,80 @@ def q8r_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zipf_intercept"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q8u — per-document PERPLEXITY under an add-one-smoothed word-bigram
+# LM trained on the corpus itself: the CCNet-style quality filter
+# (docs whose text the corpus LM finds surprising score high and get
+# dropped). Distinct from q8c, which measures the fraction of KNOWN
+# character trigrams — this is the actual log-probability score.
+#
+# Shape: ONE posexplode → lag gives the bigram stream; the model's
+# c(prev,w) and c(prev) come from windows OVER THE SAME bigram rows
+# (the q81 explode-once pattern — no model join, no second corpus
+# pass); vocabulary size is a 1-row broadcast. Per-doc Σ ln p runs
+# through the scaled-long exact sum; the final EXP is a correctly-
+# rounded-class libm call rounded to 6 dp (the q71 precedent).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q8u_perplexity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, i, w FROM (
+        SELECT doc_id,
+               GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS i,
+               UNNEST(STRING_SPLIT(text, ' ')) AS w
+        FROM documents
+      ) WHERE w <> ''
+    ),
+    bg AS (
+      SELECT doc_id, w,
+             LAG(w) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      FROM toks
+    ),
+    v AS (SELECT COUNT(DISTINCT w) AS vocab FROM toks),
+    scored AS (
+      SELECT doc_id,
+             LN((COUNT(*) OVER (PARTITION BY prev, w) + 1.0)
+                / (COUNT(*) OVER (PARTITION BY prev) + vocab)) AS logp
+      FROM bg CROSS JOIN v
+      WHERE prev IS NOT NULL
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(EXP(-(CAST(SUM(CAST(FLOOR(logp * 1000000000.0) AS HUGEINT))
+                            AS DOUBLE) / 1000000000.0) / COUNT(*)), 6)
+             AS ppl
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q8u_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.functions.exact import fsum
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "w")
+    ).filter(F.col("w") != "")
+    wdoc = Window.partitionBy("doc_id").orderBy("i")
+    bg = toks.select(
+        "doc_id", "w", F.lag("w").over(wdoc).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    v = toks.agg(F.countDistinct("w").alias("vocab"))
+    c2 = F.count(F.lit(1)).over(Window.partitionBy("prev", "w"))
+    c1 = F.count(F.lit(1)).over(Window.partitionBy("prev"))
+    scored = bg.crossJoin(F.broadcast(v)).select(
+        "doc_id",
+        F.log((c2 + F.lit(1.0)) / (c1 + F.col("vocab"))).alias("logp"),
+    )
+    s = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        fsum(F.col("logp"), "s", scale=1e9),
+    )
+    return s.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.exp(-F.col("s") / F.col("n_bigrams")), 6).alias("ppl"),
+    )

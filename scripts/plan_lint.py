@@ -75,6 +75,7 @@ ALLOW_CARTESIAN = {
     "q5o_triangles",            # 1-row x 1-row (n_triangles, n_edges) combine
     "q8s_hll_intersect",        # K-row broadcast theta pair join of sketch rows
     "q8t_power_iteration",      # 1-row corpus-size and norm broadcast crosses
+    "q8u_perplexity",           # 1-row vocab-size broadcast cross
 }
 # Python-eval nodes allowed: q5i IS the scalar-UDF surface; q5g IS the
 # UDTF surface (UDTF eval is row-generating Python by definition).
