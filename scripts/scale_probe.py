@@ -74,6 +74,9 @@ PROBE_QUERIES = [  # all run on the replicated tables
     "q3d_debounce",          # lag-pass burst collapse
     "q1c_copurchase",        # per-order-bounded pair self-join
     "q5o_triangles",         # oriented wedge join
+    "q8t_power_iteration",   # Gram outer-product + dimension-bound iters
+    "q8u_perplexity",        # explode-once bigram LM scoring
+    "q4i_rolling_median",    # fixed-frame array median
 ]
 
 
