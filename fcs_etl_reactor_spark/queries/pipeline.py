@@ -589,3 +589,75 @@ def q6l_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_id").alias("n_distinct"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q6m — curriculum packing: q6c's context packing with a QUALITY-FIRST
+# global order (easy/clean docs first — curriculum learning's data
+# order). Composes q83's quality signal (stopword-free length ratio
+# proxy: here, tokens-per-char density ordered descending) with the
+# distributed prefix sum over THAT order. Demonstrates that
+# ordering.global_cumsum is order-key-generic — the same two-pass
+# range-partition shape, no single-reducer window, with a float
+# order key reduced to a deterministic integer (scaled-long density)
+# so range boundaries are engine-exact.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q6m_curriculum_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(FLOOR(CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE)
+                        / GREATEST(n_chars, 1) * 1000000.0) AS BIGINT)
+               AS density_key
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               ORDER BY density_key DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS tokens_before
+      FROM t
+    )
+    SELECT CAST(FLOOR(tokens_before / {_CTX_TOKENS}) AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+           MIN(doc_id) AS first_doc
+    FROM c GROUP BY 1
+    """,
+)
+def q6m_curriculum_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.ordering import global_cumsum
+
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("bigint")
+    t = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.floor(
+            n_tokens.cast("double")
+            / F.greatest(F.col("n_chars"), F.lit(1))
+            * 1_000_000.0
+        )
+        .cast("bigint")
+        .alias("density_key"),
+    )
+    c = global_cumsum(
+        t,
+        [F.col("density_key").desc(), F.col("doc_id")],
+        "n_tokens",
+        out_col="tokens_before",
+        exclusive=True,
+    )
+    return (
+        c.groupBy(F.floor(F.col("tokens_before") / _CTX_TOKENS).alias("pack_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
