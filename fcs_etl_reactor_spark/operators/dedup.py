@@ -471,3 +471,69 @@ def simhash_candidates(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """AllPairs/PPJoin-style PREFIX-FILTERED exact Jaccard join.
+
+    Same result set as :func:`ngram_jaccard_pairs` (no false
+    negatives — the prefix-filter theorem: under any global token
+    order, J(A,B) ≥ t forces the first |A|−⌈t·|A|⌉+1 tokens of A and
+    the first |B|−⌈t·|B|⌉+1 of B to intersect), but candidates come
+    from joining only the PREFIXES, ordered rarest-token-first so the
+    join keys are the most selective shingles. The full-set verify is
+    an array_intersect over the two docs' sorted shingle arrays —
+    per-candidate work, never a corpus-wide token join. At 100 TB the
+    inverted-index join on full sets (q86's shape) pairs every
+    document sharing ANY stop-shingle; the prefix variant's candidate
+    volume shrinks with the threshold, which is why AllPairs/PPJoin
+    is the published scale path for exact set-similarity joins.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    freq = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    wdoc = Window.partitionBy(id_col).orderBy("freq", "shingle")
+    sized = (
+        sh.select(id_col, "shingle", freq.alias("freq"))
+        .select(
+            id_col,
+            "shingle",
+            F.row_number().over(wdoc).alias("r"),
+            F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("s"),
+        )
+    )
+    p = F.col("s") - F.ceil(F.lit(threshold) * F.col("s")) + 1
+    prefix = sized.filter(F.col("r") <= p).select(id_col, "shingle")
+    a = prefix.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = prefix.select(F.col(id_col).alias("doc_b"), "shingle")
+    cands = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    arrs = sh.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("shingle")).alias("arr"),
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+    aa = arrs.select(
+        F.col(id_col).alias("doc_a"), F.col("arr").alias("arr_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    ab = arrs.select(
+        F.col(id_col).alias("doc_b"), F.col("arr").alias("arr_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    n_common = F.size(F.array_intersect("arr_a", "arr_b"))
+    jac = n_common.cast("double") / (F.col("n_a") + F.col("n_b") - n_common)
+    return (
+        cands.join(aa, "doc_a")
+        .join(ab, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1132,3 +1132,52 @@ def q8u_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         F.round(F.exp(-F.col("s") / F.col("n_bigrams")), 6).alias("ppl"),
     )
+
+
+# --------------------------------------------------------------------------
+# q5p — prefix-filtered exact Jaccard join (AllPairs/PPJoin family):
+# the SCALE PATH for q86's exact set-similarity join. Candidates come
+# only from joining per-doc PREFIXES under a rarest-shingle-first
+# global order (the prefix-filter theorem guarantees no false
+# negatives at J ≥ t), and the verify is an array_intersect over the
+# candidate pair's shingle arrays — per-candidate work instead of the
+# corpus-wide token join. The oracle is the plain exact pair set, so
+# a hash match PROVES the filter loses nothing.
+# --------------------------------------------------------------------------
+
+_PPJ_THRESHOLD = 0.5
+
+
+@query(
+    "q5p_prefix_jaccard",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents
+      WHERE doc_id < {_JACCARD_MAX_DOC}
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM toks, UNNEST(GENERATE_SERIES(1, GREATEST(LENGTH(w) - 2, 0))) AS g(i)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(p.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.n_common) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE CAST(p.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.n_common)
+          >= {_PPJ_THRESHOLD}
+    """,
+)
+def q5p_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _JACCARD_MAX_DOC)
+    return prefix_filter_jaccard_pairs(
+        d, id_col="doc_id", text_col="text", n=3, threshold=_PPJ_THRESHOLD
+    )

@@ -339,3 +339,38 @@ class TestGraphOperators:
         df = spark.createDataFrame(edges, "src STRING, dst STRING")
         total = sum(r["rank_scaled"] for r in pagerank(df, iters=3).collect())
         assert 0 < total <= PR_SCALE + len(edges)  # +rounding slack
+
+
+class TestPrefixFilterJoin:
+    def test_prefix_filter_equals_full_join(self, spark):
+        # the prefix-filter theorem in practice: the filtered join must
+        # return EXACTLY the full inverted-index join's pair set on
+        # arbitrary corpora, at several thresholds
+        import random
+
+        from fcs_etl_reactor_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+            prefix_filter_jaccard_pairs,
+        )
+
+        rng = random.Random(13)
+        vocab = [f"w{i}" for i in range(12)]
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 18))))
+            for i in range(24)
+        ]
+        df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+        for t in (0.3, 0.5, 0.8):
+            full = {
+                (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+                for r in ngram_jaccard_pairs(
+                    df, "doc_id", "text", n=3, threshold=t
+                ).collect()
+            }
+            filt = {
+                (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+                for r in prefix_filter_jaccard_pairs(
+                    df, "doc_id", "text", n=3, threshold=t
+                ).collect()
+            }
+            assert filt == full, (t, full ^ filt)
