@@ -116,6 +116,13 @@ def _relayout(spark: SparkSession, src: str, df: DataFrame) -> DataFrame:
                 import shutil
 
                 shutil.rmtree(tmp, ignore_errors=True)
+        # rename can fail because a COMPLETE copy won the race — but
+        # also because dest holds a partial dir from a crashed build
+        # (pre-atomic-rename era or a kill mid-rename). Only a
+        # _SUCCESS-marked dest may be served; a partial copy would
+        # silently drop source rows from every later query.
+        if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+            return df
         return spark.read.parquet(dest)
     except Exception:
         return df

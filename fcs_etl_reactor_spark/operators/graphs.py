@@ -151,3 +151,22 @@ def triangle_count_reference(edges: list[tuple[int, int]]) -> int:
         for x, y, z in combinations(sorted(nodes), 3)
         if (x, y) in adj and (y, z) in adj and (x, z) in adj
     )
+
+
+def copurchase_pairs(lineitem: DataFrame, min_shared: int = 1) -> DataFrame:
+    """Canonical co-purchase part pairs from lineitem rows: (a, b,
+    n_orders) with a < b, keyed self-join on the order (fanout bounded
+    by order size, never corpus-quadratic), map-side pair counts.
+    Shared by q1c (market basket) and q5o (triangle edges)."""
+    li = lineitem.select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= min_shared)
+    )

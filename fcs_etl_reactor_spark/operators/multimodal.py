@@ -398,9 +398,23 @@ def extract_features(
                 elif mode == "strict":
                     feats.append(_decode_feature(data, m, feature_dim))
                 else:
+                    # corrupt-blob tolerance must cover codec-internal
+                    # errors too: a valid-signature PNG with a corrupt
+                    # deflate stream raises zlib.error, truncation mid-
+                    # chunk raises struct.error — neither is a ValueError
+                    # subclass, and one bad blob must not sink the batch
+                    import struct as _struct
+                    import zlib as _zlib
+
                     try:
                         feats.append(_decode_feature(data, m, feature_dim))
-                    except (ValueError, NotImplementedError):
+                    except (
+                        ValueError,
+                        NotImplementedError,
+                        _zlib.error,
+                        _struct.error,
+                        IndexError,
+                    ):
                         feats.append(_histogram_feature(data, feature_dim))
             yield pd.DataFrame(
                 {

@@ -293,9 +293,21 @@ def _events_stream_dir_flushed(spark: SparkSession, sf_dir: str) -> str:
                     ).alias("r")
                 ).select("r.*")
             )
+            # pid-tmp + atomic rename (the io.py/storage.py pattern):
+            # a concurrent process must see the spool complete-or-
+            # absent — a half-written spool missing the flush pair
+            # would withhold unmatched clicks nondeterministically
+            tmp = f"{dest}.build.{os.getpid()}"
             e.select(
                 "event_id", "ts", "user_id", "event_type", "value", "props"
-            ).unionByName(flush).repartition(1).write.mode("overwrite").parquet(dest)
+            ).unionByName(flush).repartition(1).write.mode("overwrite").parquet(tmp)
+            try:
+                os.rename(tmp, dest)
+            except OSError:
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)
+            assert os.path.exists(os.path.join(dest, "_SUCCESS")), dest
         _FLUSH_DIRS[key] = dest
     return _FLUSH_DIRS[key]
 

@@ -192,9 +192,20 @@ def _events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
             # per-batch watermark advance makes late-file rows
             # legitimately droppable — correct semantics, but not the
             # reproducible full-result this harness entry wants.
+            # pid-tmp + atomic rename (the io.py/storage.py pattern):
+            # a concurrent process must observe the spool
+            # complete-or-absent, never mid-write
+            tmp = f"{dest}.build.{os.getpid()}"
             load(spark, sf_dir, "events").repartition(1).write.mode(
                 "overwrite"
-            ).parquet(dest)
+            ).parquet(tmp)
+            try:
+                os.rename(tmp, dest)
+            except OSError:
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)
+            assert os.path.exists(os.path.join(dest, "_SUCCESS")), dest
         _STREAM_DIRS[key] = dest
     return _STREAM_DIRS[key]
 

@@ -162,19 +162,11 @@ _TRI_MIN_SHARED = 2
     """,
 )
 def q5o_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fcs_etl_reactor_spark.operators.graphs import triangle_count
-
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= _TRI_MIN_SHARED)
-        .select("a", "b")
+    from fcs_etl_reactor_spark.operators.graphs import (
+        copurchase_pairs,
+        triangle_count,
     )
+
+    li = load(spark, sf_dir, "lineitem")
+    und = copurchase_pairs(li, min_shared=_TRI_MIN_SHARED).select("a", "b")
     return triangle_count(und)

@@ -494,18 +494,9 @@ def q1b_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q1c_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = l.alias("a")
-    b = l.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
-        )
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+    from fcs_etl_reactor_spark.operators.graphs import copurchase_pairs
+
+    pairs = copurchase_pairs(load(spark, sf_dir, "lineitem")).select(
+        F.col("a").alias("p1"), F.col("b").alias("p2"), "n_orders"
     )
     return pairs.orderBy(F.col("n_orders").desc(), "p1", "p2").limit(25)

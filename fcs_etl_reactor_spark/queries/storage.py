@@ -117,10 +117,15 @@ def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             try:
                 os.rename(tmp, path)
             except OSError:
-                # someone else won the race — their copy is complete
                 import shutil
 
                 shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            # the rename can lose to a COMPLETE winner (fine) or find a
+            # PARTIAL dir from a crashed pre-atomic build — only a
+            # _SUCCESS-marked layout may be served, else fall back to
+            # the derived-column scan (same rows, no pruning)
+            raise OSError(f"incomplete layout at {path}")
         return spark.read.parquet(path)
     except Exception:
         return load(spark, sf_dir, "events").withColumn(
@@ -229,8 +234,11 @@ WITH RECURSIVE bounds(lo, hi) AS (
 months(ym, hi, depth) AS (
   SELECT lo, hi, CAST(0 AS BIGINT) FROM bounds
   UNION ALL
-  -- depth guard: a corrupt order date (year 9999) must error out of
-  -- the recursion budget, not spin the scheduler for ~96k rounds
+  -- depth guard semantics, per engine: Spark ERRORS first at its own
+  -- cteRecursionLevelLimit (well below 1200), so a corrupt far-future
+  -- date fails loudly there; this SQL-side cap exists so the DuckDB
+  -- oracle cannot spin ~96k rounds on the same input — it TRUNCATES
+  -- quietly, which the differ then flags as a row-count mismatch
   SELECT ym + 1, hi, depth + 1 FROM months WHERE ym < hi AND depth < 1200
 )
 SELECT
@@ -373,7 +381,10 @@ WITH RECURSIVE reach(pk, depth) AS (
   UNION ALL
   SELECT c.p_partkey, r.depth + 1
   FROM reach r JOIN {part} c ON c.p_partkey IN (r.pk * 2, r.pk * 2 + 1)
-  -- depth guard: the key-doubling tree is ~log2(|part|) deep; 62 is
+  -- depth guard (same per-engine semantics as q2c's: Spark's own
+  -- recursion limit errors first; this cap bounds the DuckDB oracle,
+  -- truncating into a differ-visible mismatch rather than spinning):
+  -- the key-doubling tree is ~log2(|part|) deep; 62 is
   -- the int64 ceiling, so hitting it means corrupt keys, not data
   WHERE r.depth < 62
 )
@@ -439,6 +450,8 @@ def _evolved_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 import shutil
 
                 shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(os.path.join(path, "epoch2", "_SUCCESS")):
+            raise OSError(f"incomplete layout at {path}")  # -> exact fallback
         from fcs_etl_reactor_spark.io import read_parquet_evolving
 
         return read_parquet_evolving(

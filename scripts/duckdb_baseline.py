@@ -45,7 +45,10 @@ TABLES = (
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    except ValueError:
+        sf = -1.0  # basename not sf<number> — still measure, just untagged
 
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count() or 32}")
