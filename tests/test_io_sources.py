@@ -265,3 +265,72 @@ class TestSchemaEvolution:
         assert (
             merged.filter(F.col("o_orderpriority").isNull()).count() == n_early
         )
+
+
+class TestPartialLayoutGuards:
+    """Regression tests for the round-5 review fixes: a crashed build
+    that left a partial (no _SUCCESS) layout directory must NEVER be
+    served — the loaders fall back to the exact source-derived scan."""
+
+    def test_partitioned_events_partial_layout_falls_back(self, spark):
+        import os
+        import shutil
+
+        from fcs_etl_reactor_spark.io import source_fingerprint
+        from fcs_etl_reactor_spark.queries.storage import (
+            _LAYOUT_ROOT,
+            partitioned_events,
+        )
+        from tests.conftest import SF_SMALL
+
+        fp = source_fingerprint(SF_SMALL, "events")
+        path = os.path.join(_LAYOUT_ROOT, "partitioned", f"events_{fp}")
+        shutil.rmtree(path, ignore_errors=True)
+        try:
+            # simulate a crashed pre-atomic build: partial dir, no _SUCCESS
+            os.makedirs(os.path.join(path, "event_date=2024-01-01"))
+            with open(
+                os.path.join(path, "event_date=2024-01-01", "part-0.parquet"), "wb"
+            ) as f:
+                f.write(b"not parquet")
+            df = partitioned_events(spark, SF_SMALL)
+            # fallback path: full source row count, not the partial dir
+            from fcs_etl_reactor_spark.io import load
+
+            assert df.count() == load(spark, SF_SMALL, "events").count()
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+
+    def test_relayout_partial_dest_serves_source(self, spark, tmp_path):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from fcs_etl_reactor_spark import io as io_mod
+
+        # one BIG single-row-group file so _relayout wants to re-chunk
+        n = io_mod._LAYOUT_MIN_ROWS + 1
+        src = str(tmp_path / "big.parquet")
+        pq.write_table(
+            pa.table({"x": pa.array(range(n), type=pa.int64())}),
+            src,
+            row_group_size=n,
+        )
+        st = os.stat(src)
+        dest = os.path.join(
+            io_mod._LAYOUT_ROOT,
+            os.path.dirname(src).strip("/").replace("/", "_"),
+            f"{os.path.basename(src)}_{int(st.st_mtime)}_{st.st_size}",
+        )
+        # partial dest from a crashed build: exists, no _SUCCESS
+        os.makedirs(dest, exist_ok=True)
+        with open(os.path.join(dest, "part-0.parquet"), "wb") as f:
+            f.write(b"junk")
+        try:
+            df = io_mod._relayout(spark, src, spark.read.parquet(src))
+            assert df.count() == n  # source served, partial dir ignored
+        finally:
+            import shutil
+
+            shutil.rmtree(dest, ignore_errors=True)
