@@ -688,3 +688,91 @@ def q7s_spillover_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sxa") / F.col("sxx"), 9).alias("spill_a"),
         F.round(F.col("sxb") / F.col("sxx"), 9).alias("spill_b"),
     )
+
+
+# --------------------------------------------------------------------------
+# q7t — per-sample QC report (C-family): the acquisition-quality
+# screen a cytometry pipeline runs before any analysis — event count,
+# saturation fraction (signal pinned at the detector ceiling),
+# negative/zero fraction (air bubbles / electronic noise), and TIME
+# DRIFT (regression slope of signal vs acquisition time; a clogged
+# flow cell shows as a trend). Fixture mapping as in q77: event_type
+# = sample, value = channel signal, ts = acquisition clock. One
+# groupBy pass of exact sums; the drift slope reuses the q8q
+# normal-equation shape with x = seconds since epoch start scaled to
+# hours (keeps the scaled-long products in range).
+# --------------------------------------------------------------------------
+
+_QC_SATURATION = 950.0  # detector ceiling in fixture units
+# time origin for the drift regressor: hours since 2024-01-01 rather
+# than since 1970 — slope is shift-invariant, and keeping |t_h| small
+# (0..~10^3) keeps t_h^2 inside the scaled-long accumulator at ANY
+# corpus size (hours-since-epoch squared overflows it at ~20k rows)
+_QC_T0_US = 1_704_067_200_000_000
+
+
+@query(
+    "q7t_qc_report",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_type AS sample_id, value,
+             (EPOCH_US(ts) - 1704067200000000) / 3600000000.0 AS t_h
+      FROM events
+    ),
+    s AS (
+      SELECT sample_id,
+             COUNT(*) AS n,
+             COUNT(*) FILTER (value >= {_QC_SATURATION}) AS n_sat,
+             COUNT(*) FILTER (value <= 0) AS n_nonpos,
+             SUM(CAST(FLOOR(t_h * 1000000.0 + 0.5) AS BIGINT)) AS sx_scaled,
+             {o_dsum("t_h * t_h", "sxx", "10000.0")},
+             {o_dsum("value", "sy", "10000.0")},
+             {o_dsum("t_h * value", "sxy", "100.0")}
+      FROM x GROUP BY sample_id
+    )
+    SELECT sample_id, CAST(n AS BIGINT) AS n_events,
+           ROUND(CAST(n_sat AS DOUBLE) / n, 9) AS saturation_frac,
+           ROUND(CAST(n_nonpos AS DOUBLE) / n, 9) AS nonpos_frac,
+           ROUND((n * sxy - (CAST(sx_scaled AS DOUBLE) / 1000000.0) * sy)
+                 / (n * sxx - (CAST(sx_scaled AS DOUBLE) / 1000000.0)
+                              * (CAST(sx_scaled AS DOUBLE) / 1000000.0)), 6)
+             AS drift_per_hour
+    FROM s
+    """,
+)
+def q7t_qc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.functions.exact import dsum
+
+    e = load(spark, sf_dir, "events")
+    t_h = (F.unix_micros("ts") - F.lit(_QC_T0_US)) / F.lit(3600000000.0)
+    x = e.select(
+        F.col("event_type").alias("sample_id"),
+        "value",
+        t_h.alias("t_h"),
+    )
+    s = x.groupBy("sample_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("value") >= _QC_SATURATION, 1)).alias("n_sat"),
+        F.count(F.when(F.col("value") <= 0, 1)).alias("n_nonpos"),
+        F.sum(F.floor(F.col("t_h") * 1e6 + F.lit(0.5)).cast("long")).alias(
+            "sx_scaled"
+        ),
+        dsum(F.col("t_h") * F.col("t_h"), "sxx", scale=1e4),
+        dsum("value", "sy", scale=1e4),
+        dsum(F.col("t_h") * F.col("value"), "sxy", scale=1e2),
+    )
+    sx = F.col("sx_scaled").cast("double") / F.lit(1e6)
+    slope = (F.col("n") * F.col("sxy") - sx * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - sx * sx
+    )
+    return s.select(
+        "sample_id",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(F.col("n_sat").cast("double") / F.col("n"), 9).alias(
+            "saturation_frac"
+        ),
+        F.round(F.col("n_nonpos").cast("double") / F.col("n"), 9).alias(
+            "nonpos_frac"
+        ),
+        F.round(slope, 6).alias("drift_per_hour"),
+    )

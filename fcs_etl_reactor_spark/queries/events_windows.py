@@ -922,3 +922,56 @@ def q4i_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round((mid_lo + mid_hi) / 2.0, 9).alias("med5"),
     )
+
+
+# --------------------------------------------------------------------------
+# q9i — streaming windowed TOP-K: top-3 event types per 10-minute
+# tumbling window, executed as a TRUE stream. The split of labor is
+# the production shape: the STREAMING stage maintains only the
+# bounded per-(window, type) counts (watermarked state, complete
+# sink); the RANK is a batch window over the materialized sink —
+# ranking is not a streaming-stateful op and never needs to be. The
+# oracle restates the whole composite as batch SQL, so the hash
+# verifies the streamed counts AND the rank cut together.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q9i_streaming_topk",
+    oracle="""
+    WITH counts AS (
+      SELECT
+        MAKE_TIMESTAMP(CAST(FLOOR(EPOCH(ts) / 600) * 600000000 AS BIGINT))
+          AS win_start,
+        event_type,
+        COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT win_start, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY win_start
+                                ORDER BY n DESC, event_type) AS rk
+      FROM counts
+    )
+    SELECT win_start, event_type, n, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def q9i_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.streaming.windows import (
+        read_events_stream,
+        to_memory_sink,
+        tumbling_counts,
+    )
+
+    src = _events_stream_dir(spark, sf_dir)
+    sink = "q9i_sink_" + src.rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")
+    stream = read_events_stream(spark, src)
+    q = to_memory_sink(tumbling_counts(stream), sink, output_mode="complete")
+    q.awaitTermination()
+    w = Window.partitionBy("win_start").orderBy(F.col("n").desc(), "event_type")
+    return (
+        spark.table(sink)
+        .select("win_start", "event_type", "n", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+    )
