@@ -1181,3 +1181,94 @@ def q5p_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_jaccard_pairs(
         d, id_col="doc_id", text_col="text", n=3, threshold=_PPJ_THRESHOLD
     )
+
+
+# --------------------------------------------------------------------------
+# q6n — dataset card: the one-row corpus summary a release ships with
+# (HuggingFace dataset-card numbers): doc/token/vocab counts, language
+# spread (top language + share + entropy), mean doc length. One
+# explode pass feeds token+vocab counts; doc and language stats are
+# dimension-sized aggregates; everything meets in 1-row broadcast
+# combines. The language entropy runs through the scaled-long sum
+# (|langs| addends — tiny, but the hash contract is uniform).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q6n_dataset_card",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+    ), tok_stats AS (
+      SELECT COUNT(*) AS n_tokens, COUNT(DISTINCT w) AS n_vocab
+      FROM toks WHERE w <> ''
+    ), doc_stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM documents
+    ), langs AS (
+      SELECT lang, COUNT(*) AS n_i FROM documents GROUP BY lang
+    ), lang_stats AS (
+      SELECT COUNT(*) AS n_langs,
+             {o_fsum("-(CAST(n_i AS DOUBLE) / (SELECT n_docs FROM doc_stats)) * LN(CAST(n_i AS DOUBLE) / (SELECT n_docs FROM doc_stats))", "lang_entropy", "1000000000.0")}
+      FROM langs
+    ), top_lang AS (
+      SELECT lang AS top_lang, n_i AS top_n
+      FROM langs ORDER BY n_i DESC, lang LIMIT 1
+    )
+    SELECT d.n_docs, t.n_tokens, t.n_vocab, d.total_chars,
+           l.n_langs, tl.top_lang,
+           ROUND(CAST(tl.top_n AS DOUBLE) / d.n_docs, 9) AS top_lang_frac,
+           ROUND(l.lang_entropy, 9) AS lang_entropy,
+           ROUND(CAST(t.n_tokens AS DOUBLE) / d.n_docs, 9) AS mean_doc_tokens
+    FROM doc_stats d CROSS JOIN tok_stats t
+    CROSS JOIN lang_stats l CROSS JOIN top_lang tl
+    """,
+)
+def q6n_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.functions.exact import fsum
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    tok_stats = toks.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("w").alias("n_vocab"),
+    )
+    doc_stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    langs = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_i"))
+    p = F.col("n_i").cast("double") / F.col("n_docs")
+    lang_stats = (
+        langs.crossJoin(F.broadcast(doc_stats.select("n_docs")))
+        .select((-p * F.log(p)).alias("h"))
+        .agg(F.count(F.lit(1)).alias("n_langs"), fsum(F.col("h"), "lang_entropy", scale=1e9))
+    )
+    top_lang = (
+        langs.orderBy(F.col("n_i").desc(), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"), F.col("n_i").alias("top_n"))
+    )
+    return (
+        doc_stats.crossJoin(F.broadcast(tok_stats))
+        .crossJoin(F.broadcast(lang_stats))
+        .crossJoin(F.broadcast(top_lang))
+        .select(
+            "n_docs",
+            "n_tokens",
+            "n_vocab",
+            "total_chars",
+            "n_langs",
+            "top_lang",
+            F.round(F.col("top_n").cast("double") / F.col("n_docs"), 9).alias(
+                "top_lang_frac"
+            ),
+            F.round("lang_entropy", 9).alias("lang_entropy"),
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("n_docs"), 9
+            ).alias("mean_doc_tokens"),
+        )
+    )

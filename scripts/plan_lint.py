@@ -76,6 +76,7 @@ ALLOW_CARTESIAN = {
     "q8s_hll_intersect",        # K-row broadcast theta pair join of sketch rows
     "q8t_power_iteration",      # 1-row corpus-size and norm broadcast crosses
     "q8u_perplexity",           # 1-row vocab-size broadcast cross
+    "q6n_dataset_card",         # 1-row stat-frame broadcast combines
 }
 # Python-eval nodes allowed: q5i IS the scalar-UDF surface; q5g IS the
 # UDTF surface (UDTF eval is row-generating Python by definition).
