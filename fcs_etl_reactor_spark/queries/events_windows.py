@@ -975,3 +975,63 @@ def q9i_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("win_start", "event_type", "n", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= 3)
     )
+
+
+# --------------------------------------------------------------------------
+# q3f — RFM segmentation: per-user Recency (last event), Frequency
+# (event count), Monetary (exact value sum) → quartile codes → one
+# segment label per user. The classic engagement-analytics composite:
+# one groupBy pass for the three metrics, three NTILE windows over the
+# user-level table (dimension-sized, not event-sized), deterministic
+# tie-breaks on user_id. Recency is emitted as unix_micros so the
+# output carries no timestamp column (OS-tz-proof).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q3f_rfm_segments",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id,
+             EPOCH_US(MAX(ts)) AS last_us,
+             COUNT(*) AS freq,
+             {o_dsum("value", "monetary")}
+      FROM events GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_id, last_us, freq, monetary,
+             NTILE(4) OVER (ORDER BY last_us DESC, user_id) AS r_q,
+             NTILE(4) OVER (ORDER BY freq DESC, user_id) AS f_q,
+             NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS m_q
+      FROM base
+    )
+    SELECT user_id, last_us, freq, monetary,
+           CAST(r_q AS INTEGER) AS r_q,
+           CAST(f_q AS INTEGER) AS f_q,
+           CAST(m_q AS INTEGER) AS m_q,
+           CAST(r_q * 100 + f_q * 10 + m_q AS INTEGER) AS rfm_code
+    FROM scored
+    """,
+)
+def q3f_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    base = e.groupBy("user_id").agg(
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.count(F.lit(1)).alias("freq"),
+        dsum("value", "monetary"),
+    )
+    r_q = F.ntile(4).over(Window.orderBy(F.col("last_us").desc(), "user_id"))
+    f_q = F.ntile(4).over(Window.orderBy(F.col("freq").desc(), "user_id"))
+    m_q = F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), "user_id"))
+    return base.select(
+        "user_id",
+        "last_us",
+        "freq",
+        "monetary",
+        r_q.alias("r_q"),
+        f_q.alias("f_q"),
+        m_q.alias("m_q"),
+    ).select(
+        "*",
+        (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")).alias("rfm_code"),
+    )
