@@ -58,6 +58,8 @@ ALLOW_CARTESIAN = {
     "q81_tfidf",                # 1-row corpus-size broadcast cross
     "q83_quality_score",        # 1-row corpus stats broadcast cross
     "q8a_corpus_profile",       # 1-row profile cross
+    "qt11_important_parts",     # 1-row grand-total cross (non-equi >)
+    "qt22_idle_customers",      # 1-row global-avg cross (non-equi >)
     "q8c_lm_familiarity",       # small LM broadcast cross
     "q6f_domain_mixture",       # 1-row stats broadcast cross
     "q58_sampling",             # 1-row envelope cross
