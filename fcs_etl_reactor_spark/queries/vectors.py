@@ -557,3 +557,98 @@ def q8t_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("vj", 9).alias("component"),
         F.round("nrm", 9).alias("eigenvalue"),
     )
+
+
+# --------------------------------------------------------------------------
+# q8v — exact k-means (Lloyd) over the embedding corpus.
+# Float k-means can never pass a cross-engine value-hash (boundary
+# assignments flip in the last ulp), so operators/kmeans.py quantizes
+# components to positive BIGINTs once and runs every round in integer
+# arithmetic: BIGINT squared distances, floor-division centroid
+# updates, (d, cid) tie-breaks. The oracle replays all rounds as an
+# unrolled CTE chain — bit-exact, no envelope needed.
+# Scale: broadcast k*d centroid table per round; one (vec_id, cid)
+# shuffle for assignment and a k*d-cell map-side-combined update —
+# MLlib's topology with deterministic arithmetic.
+# --------------------------------------------------------------------------
+
+_KM_K = 4
+_KM_ITERS = 3
+
+
+def _kmeans_oracle(k: int, iters: int) -> str:
+    ctes = [
+        """pts AS (
+      SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS pos,
+             CAST(FLOOR((CAST(UNNEST(embedding) AS DOUBLE) + 2.0) * 1000.0
+                        + 0.5) AS BIGINT) AS qv
+      FROM embeddings
+    )""",
+        f"""seeds AS (
+      SELECT vec_id, rn - 1 AS cid FROM (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (ORDER BY MD5(CAST(vec_id AS VARCHAR)),
+                                  vec_id) AS rn
+        FROM embeddings
+      ) WHERE rn <= {k}
+    )""",
+        """cent0 AS (
+      SELECT s.cid, p.pos, p.qv
+      FROM seeds s JOIN pts p ON s.vec_id = p.vec_id
+    )""",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(f"""dist{t} AS (
+      SELECT p.vec_id, c.cid, SUM((p.qv - c.qv) * (p.qv - c.qv)) AS d
+      FROM pts p JOIN cent{t - 1} c ON p.pos = c.pos
+      GROUP BY p.vec_id, c.cid
+    )""")
+        ctes.append(f"""best{t} AS (
+      SELECT vec_id, MIN(d) AS dmin FROM dist{t} GROUP BY vec_id
+    )""")
+        ctes.append(f"""assign{t} AS (
+      SELECT d.vec_id, MIN(d.cid) AS cid, MIN(d.d) AS d
+      FROM dist{t} d JOIN best{t} b
+        ON d.vec_id = b.vec_id AND d.d = b.dmin
+      GROUP BY d.vec_id
+    )""")
+        ctes.append(f"""cent{t} AS (
+      SELECT a.cid, p.pos, CAST(SUM(p.qv) // COUNT(*) AS BIGINT) AS qv
+      FROM assign{t} a JOIN pts p ON a.vec_id = p.vec_id
+      GROUP BY a.cid, p.pos
+    )""")
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT CAST(a.cid AS INTEGER) AS cluster_id,
+           COUNT(*) AS n_points,
+           CAST(SUM(a.d) AS BIGINT) AS inertia,
+           MAX(cs.centroid_sum) AS centroid_sum
+    FROM assign{iters} a
+      JOIN (SELECT cid, CAST(SUM(qv) AS BIGINT) AS centroid_sum
+            FROM cent{iters} GROUP BY cid) cs ON a.cid = cs.cid
+    GROUP BY a.cid
+    """
+
+
+@query("q8v_kmeans", oracle=_kmeans_oracle(_KM_K, _KM_ITERS))
+def q8v_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.kmeans import kmeans_exact, quantize_long
+
+    e = load(spark, sf_dir, "embeddings")
+    points = quantize_long(e, "vec_id", "embedding")
+    assign, cent = kmeans_exact(points, "vec_id", k=_KM_K, iters=_KM_ITERS)
+    cs = cent.groupBy("cid").agg(F.sum("qv").alias("centroid_sum"))
+    return (
+        assign.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("d").alias("inertia"),
+        )
+        .join(F.broadcast(cs), "cid")
+        .select(
+            F.col("cid").cast("int").alias("cluster_id"),
+            "n_points",
+            "inertia",
+            "centroid_sum",
+        )
+    )
