@@ -322,3 +322,70 @@ def q59_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         (F.col("_fast_ids") == F.col("_exact_ids")).alias("topk_matches_exact"),
     )
+
+
+# --------------------------------------------------------------------------
+# q5q — sorted-neighborhood dedup (SNM): the third classic blocking
+# strategy beside hash blocking (q55) and LSH banding (q56). Sort the
+# corpus by a normalized key, then compare only records within a
+# fixed window w of each other in the global sort order — candidates
+# drop from O(n^2) to O(n*w). The global rank comes from
+# operators/ordering.global_rank (two-pass range-partitioned
+# zipWithIndex — NO single-reducer window), and the window join is an
+# equi-join on rank+offset, so the whole plan is shuffle-bounded by
+# the rank's range partitioning at any corpus size.
+# Verification inside the window is Levenshtein on the sort key —
+# integer edit distance, bit-identical across engines; the match
+# decision (lev <= 10) therefore never flips.
+# --------------------------------------------------------------------------
+
+_SNM_W = 3
+
+
+@query(
+    "q5q_sorted_neighborhood",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id,
+             LOWER(REPLACE(SUBSTR(text, 1, 40), ' ', '')) AS k,
+             ROW_NUMBER() OVER (
+               ORDER BY LOWER(REPLACE(SUBSTR(text, 1, 40), ' ', '')), doc_id
+             ) AS r
+      FROM documents
+    ),
+    cand AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             LEVENSHTEIN(a.k, b.k) AS lev
+      FROM ranked a JOIN ranked b ON b.r BETWEEN a.r + 1 AND a.r + {_SNM_W}
+    )
+    SELECT COUNT(*) AS n_candidates,
+           CAST(SUM(CASE WHEN lev <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matches,
+           CAST(SUM(lev) AS BIGINT) AS sum_lev
+    FROM cand
+    """,
+)
+def q5q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.ordering import global_rank
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(F.translate(F.substring("text", 1, 40), " ", "")).alias("k"),
+    )
+    ranked = global_rank(d, ["k", "doc_id"], rank_col="r")
+    left = ranked.select(
+        F.col("doc_id").alias("d1"), F.col("k").alias("k1"), F.col("r").alias("r1")
+    ).withColumn("off", F.explode(F.array(*[F.lit(i) for i in range(1, _SNM_W + 1)])))
+    right = ranked.select(
+        F.col("doc_id").alias("d2"), F.col("k").alias("k2"), F.col("r").alias("r2")
+    )
+    cand = left.join(right, F.col("r1") + F.col("off") == F.col("r2")).withColumn(
+        "lev", F.levenshtein("k1", "k2")
+    )
+    return cand.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(F.col("lev") <= 10, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_matches"),
+        F.sum("lev").cast("bigint").alias("sum_lev"),
+    )

@@ -109,3 +109,119 @@ def q4e_ellipse_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_total"),
         F.sum(F.when(inside, 1).otherwise(0)).cast("bigint").alias("n_inside"),
     )
+
+
+# --------------------------------------------------------------------------
+# q4j — grid-bucketed spatial join (point-in-radius), the scalable
+# spatial-join pattern: bucket points into cells of size = radius,
+# cover each query center with its 3x3 cell neighborhood, equi-join on
+# the cell id, then exact-filter by distance. Because the cell size
+# equals the radius, every true match is within +/-1 cell of the
+# center's cell, so the equi-join provably loses nothing — and the
+# oracle IS the naive quadratic distance join, making the equivalence
+# the thing the driver verifies (the same oracle-as-exact-arm pattern
+# as the LSH family).
+#
+# Coordinates are md5-derived integer centi-units (0..9999), so every
+# squared distance is exact BIGINT arithmetic in both engines — a
+# float spatial join could flip boundary points between engines.
+#
+# Scale: the 9-cell side is the SMALL side (facilities), exploded then
+# broadcast; points shuffle nowhere (scan → project cell → probe).
+# At 100 TB the equi-join on cell id replaces the O(|P|·|F|) cross
+# join with O(|P| + matches) — the standard geohash/S2 topology.
+# --------------------------------------------------------------------------
+
+_CELL = 500          # centi-units; == radius
+_R2 = _CELL * _CELL  # squared radius
+
+
+def _ixy(key: str, salt: str):
+    """Deterministic integer coordinate in [0, 10000) from md5."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col(key).cast("string"), F.lit(salt))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+
+
+def _o_ixy(key: str, salt: str) -> str:
+    return (
+        f"CAST(('0x' || SUBSTR(MD5(CAST({key} AS VARCHAR) || '{salt}'), 1, 8))"
+        f" AS BIGINT) % 10000"
+    )
+
+
+@query(
+    "q4j_spatial_grid_join",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey, c_acctbal,
+             {_o_ixy("c_custkey", "px")} AS xi,
+             {_o_ixy("c_custkey", "py")} AS yi
+      FROM customer
+    ),
+    fac AS (
+      SELECT s_suppkey,
+             {_o_ixy("s_suppkey", "px")} AS xf,
+             {_o_ixy("s_suppkey", "py")} AS yf
+      FROM supplier
+    )
+    SELECT s_suppkey,
+           COUNT(*) AS n_within,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS sum_acctbal
+    FROM fac JOIN pts
+      ON (xi - xf) * (xi - xf) + (yi - yf) * (yi - yf) <= {_R2}
+    GROUP BY s_suppkey
+    """,
+)
+def q4j_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    pts = c.select(
+        "c_custkey",
+        "c_acctbal",
+        _ixy("c_custkey", "px").alias("xi"),
+        _ixy("c_custkey", "py").alias("yi"),
+    ).withColumns(
+        {
+            "cell_x": F.expr(f"xi div {_CELL}"),
+            "cell_y": F.expr(f"yi div {_CELL}"),
+        }
+    )
+    off = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    fac = (
+        s.select(
+            "s_suppkey",
+            _ixy("s_suppkey", "px").alias("xf"),
+            _ixy("s_suppkey", "py").alias("yf"),
+        )
+        .withColumn("dx", F.explode(off))
+        .withColumn("dy", F.explode(off))
+        .withColumns(
+            {
+                "cell_x": F.expr(f"xf div {_CELL}") + F.col("dx"),
+                "cell_y": F.expr(f"yf div {_CELL}") + F.col("dy"),
+            }
+        )
+    )
+    d2 = (F.col("xi") - F.col("xf")) * (F.col("xi") - F.col("xf")) + (
+        F.col("yi") - F.col("yf")
+    ) * (F.col("yi") - F.col("yf"))
+    return (
+        pts.join(F.broadcast(fac), ["cell_x", "cell_y"])
+        .filter(d2 <= F.lit(_R2))
+        .groupBy("s_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_within"),
+            (
+                F.sum(F.floor(F.col("c_acctbal") * 100.0 + F.lit(0.5)).cast("long"))
+                .cast("double")
+                / 100.0
+            ).alias("sum_acctbal"),
+        )
+    )
