@@ -1035,3 +1035,306 @@ def q3f_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*",
         (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")).alias("rfm_code"),
     )
+
+
+# --------------------------------------------------------------------------
+# q4k — seasonal decomposition of the daily event series (classical
+# additive decompose): trend = centered 7-day moving average over the
+# daily counts, seasonal index = mean detrended deviation per ISO
+# day-of-week. The deviation is kept EXACT by cross-multiplying
+# (dev = 7*c - sum7, a BIGINT) — only the final per-dow index divides,
+# and both engines divide the same exact integers, so the doubles are
+# bit-identical.
+# Scale: the groupBy collapses the raw stream to ONE row per day
+# before any window — the ordered window runs over a calendar-bounded
+# series (|days|, not |events|), so the single-partition window is
+# bounded regardless of corpus size; the heavy reduction is the
+# map-side partial-aggregated daily count.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q4k_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+      FROM events GROUP BY 1
+    ),
+    t AS (
+      SELECT day, c,
+             SUM(c) OVER w AS s7,
+             COUNT(c) OVER w AS n7
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    )
+    SELECT CAST(EXTRACT(ISODOW FROM day) AS INTEGER) AS dow,
+           COUNT(*) AS n_days,
+           CAST(SUM(7 * c - s7) AS DOUBLE) / (7.0 * COUNT(*))
+             AS seasonal_index,
+           CAST(SUM(s7) AS DOUBLE) / (7.0 * COUNT(*)) AS trend_mean
+    FROM t WHERE n7 = 7
+    GROUP BY 1
+    """,
+)
+def q4k_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    t = (
+        daily.withColumn("s7", F.sum("c").over(w))
+        .withColumn("n7", F.count("c").over(w))
+        .filter(F.col("n7") == 7)
+    )
+    return (
+        t.groupBy((F.weekday("day") + 1).cast("int").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            (
+                F.sum(F.lit(7) * F.col("c") - F.col("s7")).cast("double")
+                / (F.lit(7.0) * F.count(F.lit(1)))
+            ).alias("seasonal_index"),
+            (
+                F.sum("s7").cast("double") / (F.lit(7.0) * F.count(F.lit(1)))
+            ).alias("trend_mean"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q3g — multi-touch attribution (first-touch vs last-touch): each
+# purchase's value is attributed to the touch channel (view / click /
+# signup) that opened the user's path and the one that most recently
+# preceded the purchase. One pass: two IGNORE NULLS window functions
+# over (user_id, ts, event_id) order — the frame excludes the current
+# row so a purchase never attributes to itself — then a purchase-only
+# filter and a per-(model, channel) rollup.
+# Scale: single shuffle on user_id for the window; revenue sums are
+# scaled-long exact; event_id breaks ts ties so the frame content is
+# deterministic in both engines.
+# --------------------------------------------------------------------------
+
+_TOUCH = "('view', 'click', 'signup')"
+
+
+@query(
+    "q3g_attribution",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type, value,
+             FIRST_VALUE(CASE WHEN event_type IN {_TOUCH}
+                              THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS first_touch,
+             LAST_VALUE(CASE WHEN event_type IN {_TOUCH}
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_touch
+      FROM events
+    )
+    SELECT 'first_touch' AS model, first_touch AS channel,
+           COUNT(*) AS n_purchases,
+           {o_dsum("value", "attributed_revenue", "100.0")}
+    FROM seq WHERE event_type = 'purchase' AND first_touch IS NOT NULL
+    GROUP BY 2
+    UNION ALL
+    SELECT 'last_touch', last_touch, COUNT(*),
+           {o_dsum("value", "attributed_revenue", "100.0")}
+    FROM seq WHERE event_type = 'purchase' AND last_touch IS NOT NULL
+    GROUP BY 2
+    """,
+)
+def q3g_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    touch = F.when(
+        F.col("event_type").isin("view", "click", "signup"), F.col("event_type")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = e.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+    ).filter(F.col("event_type") == "purchase")
+
+    def rollup(model: str, channel_col: str) -> DataFrame:
+        return (
+            seq.filter(F.col(channel_col).isNotNull())
+            .groupBy(F.col(channel_col).alias("channel"))
+            .agg(
+                F.count(F.lit(1)).alias("n_purchases"),
+                dsum("value", "attributed_revenue", scale=100.0),
+            )
+            .select(
+                F.lit(model).alias("model"),
+                "channel",
+                "n_purchases",
+                "attributed_revenue",
+            )
+        )
+
+    return rollup("first_touch", "first_touch").unionAll(
+        rollup("last_touch", "last_touch")
+    )
+
+
+# --------------------------------------------------------------------------
+# q3h — robust outlier detection via MAD (median absolute deviation):
+# the dispersion-robust alternative to the z-score family (q46/q3c).
+# med and MAD are exact interpolated medians (both engines compute
+# quantile_cont(0.5) over the same doubles); the outlier gate
+# |x − med| > 3·1.4826·MAD multiplies the same constants in the same
+# order, so the boolean never flips cross-engine.
+# Scale: two grouped exact medians + a broadcast join of the 5-row
+# stats table; the raw table streams through the final count pass.
+# At 100 TB the exact median is the documented bottleneck — the
+# sketch path is q36's approx_percentile envelope.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q3h_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, MEDIAN(value) AS med FROM events GROUP BY 1
+    ),
+    dev AS (
+      SELECT e.event_type, ABS(e.value - m.med) AS dv, m.med
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, MEDIAN(dv) AS mad FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           COUNT(*) AS n,
+           MIN(d.med) AS med,
+           MIN(a.mad) AS mad,
+           CAST(SUM(CASE WHEN d.dv > 3.0 * 1.4826 * a.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad a USING (event_type)
+    GROUP BY 1
+    """,
+)
+def q3h_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("value") - F.col("med")).alias("dv"),
+        "med",
+    )
+    mad = dev.groupBy("event_type").agg(F.median("dv").alias("mad"))
+    gate = F.col("dv") > F.lit(3.0) * F.lit(1.4826) * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(F.when(gate, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q4l — bootstrap confidence interval for the mean daily event count,
+# with a DETERMINISTIC hash-weighted resampling scheme: replicate b
+# weights day d by md5(day||b) % 3 (mean-1 integer weights — a
+# Bayesian-bootstrap-style surrogate for multinomial resampling that
+# every engine reproduces bit-for-bit). Replicate means are ratios of
+# exact BIGINT sums; the CI bounds are exact order statistics of the
+# 100 replicate means with (mean, b) tie-breaks.
+# Scale: the base series is the calendar-bounded daily aggregate, so
+# the 100x replicate blow-up is bounded by |days|*B, not |events|*B.
+# --------------------------------------------------------------------------
+
+_BOOT_B = 100
+
+
+@query(
+    "q4l_bootstrap_ci",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+      FROM events GROUP BY 1
+    ),
+    reps AS (
+      SELECT b.range AS b,
+             CAST(SUM(w * c) AS DOUBLE) / SUM(w) AS rep_mean
+      FROM daily, range(1, {_BOOT_B + 1}) b,
+           LATERAL (SELECT CAST(('0x' || SUBSTR(MD5(CAST(day AS VARCHAR)
+                      || '-' || CAST(b.range AS VARCHAR) || 'boot'), 1, 8))
+                      AS BIGINT) % 3 AS w) s
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT rep_mean, ROW_NUMBER() OVER (ORDER BY rep_mean, b) AS rn
+      FROM reps
+    )
+    SELECT (SELECT COUNT(*) FROM reps) AS n_reps,
+           (SELECT CAST(SUM(c) AS DOUBLE) / COUNT(*) FROM daily)
+             AS point_estimate,
+           MIN(CASE WHEN rn = 5 THEN rep_mean END) AS ci_lo,
+           MAX(CASE WHEN rn = 96 THEN rep_mean END) AS ci_hi
+    FROM ranked
+    """,
+)
+def q4l_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    b = spark.range(1, _BOOT_B + 1).select(F.col("id").alias("b"))
+    w = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("day").cast("string"),
+                        F.lit("-"),
+                        F.col("b").cast("string"),
+                        F.lit("boot"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 3
+    )
+    reps = (
+        daily.crossJoin(F.broadcast(b))
+        .withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            (F.sum(F.col("w") * F.col("c")).cast("double") / F.sum("w")).alias(
+                "rep_mean"
+            )
+        )
+    )
+    ranked = reps.withColumn(
+        "rn", F.row_number().over(Window.orderBy("rep_mean", "b"))
+    )
+    point = daily.agg(
+        (F.sum("c").cast("double") / F.count(F.lit(1))).alias("point_estimate")
+    )
+    return (
+        ranked.agg(
+            F.count(F.lit(1)).alias("n_reps"),
+            F.min(F.when(F.col("rn") == 5, F.col("rep_mean"))).alias("ci_lo"),
+            F.max(F.when(F.col("rn") == 96, F.col("rep_mean"))).alias("ci_hi"),
+        )
+        .join(F.broadcast(point))
+        .select("n_reps", "point_estimate", "ci_lo", "ci_hi")
+    )

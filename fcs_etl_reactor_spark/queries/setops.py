@@ -633,3 +633,87 @@ def q7l_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.groupBy(
         "prev_type", F.col("event_type").alias("next_type")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# --------------------------------------------------------------------------
+# q7u — declarative data-quality expectations (Deequ / Great
+# Expectations style): a constraint suite over lineitem evaluated in
+# ONE aggregation pass (operators/expectations.py) — one scan,
+# map-side partials, a 1-row shuffle, then a stack() unpivot into the
+# (expectation, metric, passed) report. N constraints cost one pass,
+# not N — the only sane topology at 100 TB. Metrics are restricted to
+# exactly-reproducible aggregates (counts, count-distinct, min/max,
+# violation counts) so every boolean verdict hash-matches the SQL
+# replay.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q7u_expectations",
+    oracle="""
+    WITH m AS (
+      SELECT
+        CAST(COUNT(l_shipdate) AS DOUBLE) / COUNT(*) AS m0,
+        CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE)
+          / COUNT(*) AS m1,
+        CAST(MIN(l_quantity) AS DOUBLE) AS m2,
+        CAST(MAX(l_quantity) AS DOUBLE) AS m3,
+        CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                      THEN 1 ELSE 0 END) AS DOUBLE) AS m4,
+        CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 1.0
+                      THEN 1 ELSE 0 END) AS DOUBLE) AS m5,
+        CAST(SUM(CASE WHEN l_extendedprice <= 0.0
+                      THEN 1 ELSE 0 END) AS DOUBLE) AS m6
+      FROM lineitem
+    )
+    SELECT e.expectation, e.metric, e.passed FROM m, LATERAL (
+      VALUES ('completeness_l_shipdate', m0, m0 >= 1.0),
+             ('uniqueness_l_orderkey_l_linenumber', m1, m1 >= 1.0),
+             ('min_l_quantity', m2, m2 >= 1.0),
+             ('max_l_quantity', m3, m3 <= 50.0),
+             ('domain_l_returnflag', m4, m4 = 0.0),
+             ('range_l_discount', m5, m5 = 0.0),
+             ('positive_l_extendedprice', m6, m6 = 0.0)
+    ) AS e(expectation, metric, passed)
+    """,
+)
+def q7u_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.expectations import (
+        Expectation,
+        completeness,
+        run_expectations,
+        uniqueness,
+        violations,
+    )
+
+    l = load(spark, sf_dir, "lineitem")
+    specs = [
+        (completeness("l_shipdate"), "{m} >= 1.0d"),
+        (uniqueness("l_orderkey", "l_linenumber"), "{m} >= 1.0d"),
+        (
+            Expectation("min_l_quantity", F.min("l_quantity").cast("double")),
+            "{m} >= 1.0d",
+        ),
+        (
+            Expectation("max_l_quantity", F.max("l_quantity").cast("double")),
+            "{m} <= 50.0d",
+        ),
+        (
+            violations(
+                "domain_l_returnflag", ~F.col("l_returnflag").isin("A", "N", "R")
+            ),
+            "{m} = 0.0d",
+        ),
+        (
+            violations(
+                "range_l_discount",
+                (F.col("l_discount") < 0.0) | (F.col("l_discount") > 1.0),
+            ),
+            "{m} = 0.0d",
+        ),
+        (
+            violations("positive_l_extendedprice", F.col("l_extendedprice") <= 0.0),
+            "{m} = 0.0d",
+        ),
+    ]
+    return run_expectations(l, specs)

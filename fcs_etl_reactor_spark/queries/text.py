@@ -1272,3 +1272,97 @@ def q6n_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_doc_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q8w — PMI collocation mining: pointwise mutual information over
+# adjacent-token bigrams, the classic collocation statistic
+# (Church & Hanks 1990). Bigrams come from a pure-expression
+# transform over the token array (no per-doc shuffle); unigram and
+# bigram counts are exact integers; PMI's log argument is a ratio of
+# exact-integer products evaluated in the same association on both
+# engines, and the output PMI is rounded to 6 dp (libm-vs-libm last
+# ulp discipline). The ranking key is (count, bigram) — integers and
+# strings only, so the top-20 set never depends on float order.
+# Scale: explode→count with map-side partials; the unigram join
+# sides are vocabulary-bounded broadcasts; totals are 1-row
+# broadcasts. TakeOrderedAndProject handles the top-20.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q8w_pmi_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w,
+             GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS i
+      FROM documents
+    ),
+    uni AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+    nu AS (SELECT COUNT(*) AS n_uni FROM toks),
+    bg AS (
+      SELECT a.w AS w1, b.w AS w2, COUNT(*) AS cxy
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      GROUP BY a.w, b.w
+    ),
+    nb AS (SELECT CAST(SUM(cxy) AS BIGINT) AS n_bg FROM bg)
+    SELECT w1 || ' ' || w2 AS bigram,
+           cxy,
+           ROUND(LN((CAST(cxy AS DOUBLE) * CAST(n_uni AS DOUBLE)
+                     * CAST(n_uni AS DOUBLE))
+                    / (CAST(n_bg AS DOUBLE) * CAST(u1.c AS DOUBLE)
+                       * CAST(u2.c AS DOUBLE))), 6) AS pmi
+    FROM bg JOIN uni u1 ON bg.w1 = u1.w
+            JOIN uni u2 ON bg.w2 = u2.w, nu, nb
+    ORDER BY cxy DESC, bigram LIMIT 20
+    """,
+)
+def q8w_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    nu = toks.agg(F.count(F.lit(1)).alias("n_uni"))
+    t = d.select(F.split("text", " ").alias("t")).filter(F.size("t") >= 2)
+    bg = (
+        t.select(
+            F.expr(
+                "explode(transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1,"
+                "             element_at(t, i + 1) AS w2))) AS p"
+            )
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+    )
+    nb = bg.agg(F.sum("cxy").cast("bigint").alias("n_bg"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.round(
+        F.log(
+            (
+                F.col("cxy").cast("double")
+                * F.col("n_uni").cast("double")
+                * F.col("n_uni").cast("double")
+            )
+            / (
+                F.col("n_bg").cast("double")
+                * F.col("c1").cast("double")
+                * F.col("c2").cast("double")
+            )
+        ),
+        6,
+    )
+    return (
+        bg.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .join(F.broadcast(nu))
+        .join(F.broadcast(nb))
+        .select(
+            F.concat(F.col("w1"), F.lit(" "), F.col("w2")).alias("bigram"),
+            "cxy",
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.col("cxy").desc(), "bigram")
+        .limit(20)
+    )

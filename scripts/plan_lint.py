@@ -60,6 +60,8 @@ ALLOW_CARTESIAN = {
     "q8a_corpus_profile",       # 1-row profile cross
     "qt11_important_parts",     # 1-row grand-total cross (non-equi >)
     "qt22_idle_customers",      # 1-row global-avg cross (non-equi >)
+    "q4l_bootstrap_ci",         # 1-row point-estimate + B-row replicate cross
+    "q8w_pmi_collocations",     # 1-row corpus-total crosses (n_uni, n_bg)
     "q8c_lm_familiarity",       # small LM broadcast cross
     "q6f_domain_mixture",       # 1-row stats broadcast cross
     "q58_sampling",             # 1-row envelope cross
