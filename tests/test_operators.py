@@ -772,3 +772,164 @@ class TestEmptyInputs:
 
         assert frame_indices(0, 3) == [0]
         assert frame_indices(5, 1) == [0]
+
+
+class TestKmeansExact:
+    """operators/kmeans.py — exact integer Lloyd iterations."""
+
+    def _points(self, spark):
+        from fcs_etl_reactor_spark.io import load
+        from fcs_etl_reactor_spark.operators.kmeans import quantize_long
+        from tests.conftest import SF_SMALL
+
+        e = load(spark, SF_SMALL, "embeddings")
+        return quantize_long(e, "vec_id", "embedding")
+
+    def test_inertia_non_increasing(self, spark):
+        """Lloyd's algorithm guarantees monotone non-increasing
+        inertia when both steps are exact argmin/centroid updates;
+        the integer floor-division update can in theory tie but never
+        increase past the previous assignment's cost by more than the
+        rounding slack. Assert strict practical monotonicity over the
+        fixture."""
+        from fcs_etl_reactor_spark.operators.kmeans import kmeans_exact
+        import pyspark.sql.functions as F
+
+        pts = self._points(spark)
+        inertias = []
+        for iters in (1, 2, 3):
+            assign, _ = kmeans_exact(pts, "vec_id", k=4, iters=iters)
+            inertias.append(assign.agg(F.sum("d")).collect()[0][0])
+        assert inertias[0] >= inertias[1] >= inertias[2]
+
+    def test_every_point_assigned_exactly_once(self, spark):
+        from fcs_etl_reactor_spark.operators.kmeans import kmeans_exact
+
+        pts = self._points(spark)
+        assign, cent = kmeans_exact(pts, "vec_id", k=4, iters=2)
+        n_points = pts.select("vec_id").distinct().count()
+        assert assign.count() == n_points
+        assert assign.select("vec_id").distinct().count() == n_points
+        # centroids keep full dimensionality
+        import pyspark.sql.functions as F
+
+        dims = cent.groupBy("cid").count().select(F.min("count")).collect()[0][0]
+        assert dims == 64
+
+    def test_quantization_positive(self, spark):
+        import pyspark.sql.functions as F
+
+        pts = self._points(spark)
+        assert pts.filter(F.col("qv") < 0).count() == 0
+
+
+class TestExpectations:
+    """operators/expectations.py — one-pass constraint evaluation."""
+
+    def test_single_aggregate_pass(self, spark):
+        """All metrics must land in ONE Aggregate over ONE scan: the
+        physical plan contains no join and only the unpivot above the
+        aggregation."""
+        from fcs_etl_reactor_spark.io import load
+        from fcs_etl_reactor_spark.operators.expectations import (
+            completeness,
+            run_expectations,
+            violations,
+        )
+        import pyspark.sql.functions as F
+
+        from tests.conftest import SF_SMALL
+
+        l = load(spark, SF_SMALL, "lineitem")
+        rep = run_expectations(
+            l,
+            [
+                (completeness("l_shipdate"), "{m} >= 1.0d"),
+                (violations("neg_qty", F.col("l_quantity") < 0), "{m} = 0.0d"),
+            ],
+        )
+        plan = rep._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+        rows = {r["expectation"]: r for r in rep.collect()}
+        assert rows["completeness_l_shipdate"]["passed"] is True
+        assert rows["neg_qty"]["metric"] == 0.0
+
+    def test_violation_detection(self, spark):
+        from fcs_etl_reactor_spark.operators.expectations import (
+            run_expectations,
+            uniqueness,
+            violations,
+        )
+        import pyspark.sql.functions as F
+
+        df = spark.createDataFrame(
+            [(1, 10.0), (1, -5.0), (2, 3.0)], ["id", "v"]
+        )
+        rep = run_expectations(
+            df,
+            [
+                (uniqueness("id"), "{m} >= 1.0d"),
+                (violations("neg_v", F.col("v") < 0), "{m} = 0.0d"),
+            ],
+        ).collect()
+        by = {r["expectation"]: r for r in rep}
+        assert by["uniqueness_id"]["passed"] is False
+        assert by["neg_v"]["metric"] == 1.0
+        assert by["neg_v"]["passed"] is False
+
+
+class TestSpatialGrid:
+    """q4j's 3x3 cell cover must be lossless: grid-join == naive join
+    on adversarial points placed at cell boundaries."""
+
+    def test_grid_equals_naive_on_boundary_points(self, spark):
+        import pyspark.sql.functions as F
+
+        cell = 500
+        r2 = cell * cell
+        # points straddling cell boundaries and exact-radius pairs
+        pts = [(i, x, y) for i, (x, y) in enumerate(
+            [(0, 0), (499, 0), (500, 0), (999, 999), (1000, 1000),
+             (1500, 1500), (4999, 4999), (5000, 5000), (250, 250),
+             (750, 250), (250, 750), (9999, 9999)]
+        )]
+        fac = [(100 + i, x, y) for i, (x, y) in enumerate(
+            [(0, 0), (500, 500), (1000, 1000), (5000, 5000), (9750, 9750)]
+        )]
+        p = spark.createDataFrame(pts, ["pid", "xi", "yi"])
+        f = spark.createDataFrame(fac, ["fid", "xf", "yf"])
+        naive = (
+            p.crossJoin(f)
+            .filter(
+                (F.col("xi") - F.col("xf")) * (F.col("xi") - F.col("xf"))
+                + (F.col("yi") - F.col("yf")) * (F.col("yi") - F.col("yf"))
+                <= r2
+            )
+            .select("pid", "fid")
+        )
+        off = F.array(F.lit(-1), F.lit(0), F.lit(1))
+        pc = p.withColumns(
+            {"cx": F.expr(f"xi div {cell}"), "cy": F.expr(f"yi div {cell}")}
+        )
+        fc = (
+            f.withColumn("dx", F.explode(off))
+            .withColumn("dy", F.explode(off))
+            .withColumns(
+                {
+                    "cx": F.expr(f"xf div {cell}") + F.col("dx"),
+                    "cy": F.expr(f"yf div {cell}") + F.col("dy"),
+                }
+            )
+        )
+        grid = (
+            pc.join(fc, ["cx", "cy"])
+            .filter(
+                (F.col("xi") - F.col("xf")) * (F.col("xi") - F.col("xf"))
+                + (F.col("yi") - F.col("yf")) * (F.col("yi") - F.col("yf"))
+                <= r2
+            )
+            .select("pid", "fid")
+        )
+        assert sorted(map(tuple, naive.collect())) == sorted(
+            map(tuple, grid.collect())
+        )
