@@ -170,3 +170,32 @@ def copurchase_pairs(lineitem: DataFrame, min_shared: int = 1) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= min_shared)
     )
+
+
+def bfs_hops(und: DataFrame, max_hops: int) -> DataFrame:
+    """Single-source BFS hop distances (unweighted SSSP), Pregel
+    style: each round expands the current distance set across the
+    edge list (one shuffle on the node id) and re-minimizes. The loop
+    unrolls `max_hops` rounds into one lazy plan — frontier-bounded,
+    no driver collect, iteration-capped by construction.
+
+    `und` is the undirected edge list as (src, dst) with both
+    directions present. The source is the smallest node id present —
+    deterministic and engine-independent. Returns (node, d) for every
+    node within `max_hops` hops; unreached nodes are absent.
+
+    Scale: identical topology to pagerank() — the per-round cost is
+    one |E| join partial-aggregated on dst. Distances are INTs; MIN
+    over ints is order-independent, so the result is partition- and
+    engine-invariant."""
+    dist = (
+        und.agg(F.min("src").alias("node"))
+        .withColumn("d", F.lit(0).cast("int"))
+    )
+    for _ in range(max_hops):
+        nxt = (
+            dist.join(und, dist["node"] == und["src"])
+            .select(F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
+        )
+        dist = dist.unionAll(nxt).groupBy("node").agg(F.min("d").alias("d"))
+    return dist

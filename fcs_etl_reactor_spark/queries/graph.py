@@ -170,3 +170,64 @@ def q5o_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     und = copurchase_pairs(li, min_shared=_TRI_MIN_SHARED).select("a", "b")
     return triangle_count(und)
+
+
+# --------------------------------------------------------------------------
+# q5r — single-source BFS hop distances over the co-purchase graph
+# (unweighted SSSP, operators/graphs.bfs_hops): the third iterative
+# graph algorithm beside PageRank (q5n) and connected components
+# (q5b/q5f). Source = smallest part id with any edge; 3 unrolled
+# frontier rounds; distances are INTs so MIN is order-independent —
+# no fixed-point scaling needed. The oracle unrolls the same rounds
+# as a CTE chain. Output is the hop histogram (calendar of the
+# graph's 3-hop neighborhood sizes).
+# --------------------------------------------------------------------------
+
+_BFS_HOPS = 3
+
+
+def _bfs_oracle(hops: int) -> str:
+    ctes = [
+        """e0 AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )""",
+        """edges AS (
+      SELECT p1 AS src, p2 AS dst FROM e0
+      UNION ALL
+      SELECT p2, p1 FROM e0
+    )""",
+        """d0 AS (
+      SELECT MIN(src) AS node, 0 AS d FROM edges
+    )""",
+    ]
+    for t in range(1, hops + 1):
+        ctes.append(f"""d{t} AS (
+      SELECT node, MIN(d) AS d FROM (
+        SELECT node, d FROM d{t - 1}
+        UNION ALL
+        SELECT e.dst, p.d + 1 FROM d{t - 1} p JOIN edges e ON e.src = p.node
+      ) GROUP BY node
+    )""")
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT CAST(d AS INTEGER) AS hop, COUNT(*) AS n_nodes
+    FROM d{hops} GROUP BY 1
+    """
+
+
+@query("q5r_bfs_hops", oracle=_bfs_oracle(_BFS_HOPS))
+def q5r_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.graphs import bfs_hops, copurchase_pairs
+
+    l = load(spark, sf_dir, "lineitem")
+    pairs = copurchase_pairs(l).select("a", "b")
+    und = pairs.selectExpr("a AS src", "b AS dst").unionAll(
+        pairs.selectExpr("b AS src", "a AS dst")
+    )
+    dist = bfs_hops(und, _BFS_HOPS)
+    return dist.groupBy(F.col("d").cast("int").alias("hop")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )

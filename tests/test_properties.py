@@ -341,6 +341,51 @@ class TestGraphOperators:
         assert 0 < total <= PR_SCALE + len(edges)  # +rounding slack
 
 
+class TestBfsHops:
+    """bfs_hops must equal a pure-Python BFS (hop-capped) on random
+    undirected graphs, including disconnected ones."""
+
+    def test_matches_python_bfs(self, spark):
+        import random
+        from collections import deque
+
+        from fcs_etl_reactor_spark.operators.graphs import bfs_hops
+
+        rng = random.Random(23)
+        for trial in range(4):
+            n = rng.randint(4, 14)
+            pairs = sorted(
+                {
+                    (min(a, b), max(a, b))
+                    for a, b in (
+                        (rng.randrange(n), rng.randrange(n)) for _ in range(n * 2)
+                    )
+                    if a != b
+                }
+            )
+            if not pairs:
+                continue
+            und_list = pairs + [(b, a) for a, b in pairs]
+            df = spark.createDataFrame(und_list, "src INT, dst INT")
+            got = {r["node"]: r["d"] for r in bfs_hops(df, 3).collect()}
+            # python reference
+            adj = {}
+            for a, b in und_list:
+                adj.setdefault(a, []).append(b)
+            src = min(a for a, _ in und_list)
+            ref = {src: 0}
+            q = deque([src])
+            while q:
+                u = q.popleft()
+                if ref[u] >= 3:
+                    continue
+                for v in adj.get(u, []):
+                    if v not in ref:
+                        ref[v] = ref[u] + 1
+                        q.append(v)
+            assert got == ref, (pairs, got, ref)
+
+
 class TestPrefixFilterJoin:
     def test_prefix_filter_equals_full_join(self, spark):
         # the prefix-filter theorem in practice: the filtered join must
