@@ -1338,3 +1338,125 @@ def q4l_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(point))
         .select("n_reps", "point_estimate", "ci_lo", "ci_hi")
     )
+
+
+# --------------------------------------------------------------------------
+# q4m — chi-square test of independence (event_type × ISO dow
+# contingency table): the classic categorical-association statistic.
+# Observed counts are exact integers; expected counts and per-cell
+# terms are identical IEEE expressions on both engines; the chi2 SUM
+# goes through the scaled-long trick (floor(term*1e9+0.5)) so the
+# 35-term reduction is order-independent.
+# Scale: one groupBy for the table, row/col margins via broadcast
+# joins of the 5- and 7-row margin tables; everything after the first
+# aggregation is dimension-bounded.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q4m_chi_square",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, CAST(EXTRACT(ISODOW FROM ts) AS INTEGER) AS dow,
+             COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    rows_ AS (SELECT event_type, SUM(o) AS rt FROM cells GROUP BY 1),
+    cols_ AS (SELECT dow, SUM(o) AS ct FROM cells GROUP BY 1),
+    n_ AS (SELECT SUM(o) AS n FROM cells),
+    terms AS (
+      SELECT (CAST(o AS DOUBLE)
+              - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(o AS DOUBLE)
+              - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+             AS term
+      FROM cells JOIN rows_ USING (event_type) JOIN cols_ USING (dow), n_
+    )
+    SELECT CAST(SUM(CAST(FLOOR(term * 1000000000.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1000000000.0 AS chi2,
+           (SELECT CAST((COUNT(DISTINCT event_type) - 1)
+                        * (COUNT(DISTINCT dow) - 1) AS INTEGER)
+            FROM cells) AS dof,
+           (SELECT CAST(n AS BIGINT) FROM n_) AS n
+    FROM terms
+    """,
+)
+def q4m_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type", (F.weekday("ts") + 1).cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows_ = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    cols_ = cells.groupBy("dow").agg(F.sum("o").alias("ct"))
+    n_ = cells.agg(F.sum("o").alias("n"))
+    exp = F.col("rt").cast("double") * F.col("ct").cast("double") / F.col(
+        "n"
+    ).cast("double")
+    term = (F.col("o").cast("double") - exp) * (
+        F.col("o").cast("double") - exp
+    ) / exp
+    dof = cells.agg(
+        (
+            (F.count_distinct("event_type") - 1) * (F.count_distinct("dow") - 1)
+        )
+        .cast("int")
+        .alias("dof")
+    )
+    return (
+        cells.join(F.broadcast(rows_), "event_type")
+        .join(F.broadcast(cols_), "dow")
+        .join(F.broadcast(n_))
+        .agg(
+            (
+                F.sum(F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("long")).cast(
+                    "double"
+                )
+                / F.lit(1e9)
+            ).alias("chi2")
+        )
+        .join(F.broadcast(dof))
+        .join(F.broadcast(n_.select(F.col("n").cast("bigint").alias("n"))))
+        .select("chi2", "dof", "n")
+    )
+
+
+# --------------------------------------------------------------------------
+# q3i — top event paths (path mining): the most frequent 3-step
+# event-type sequences per user session stream, via two LEADs over
+# (user_id, ts, event_id) order — one shuffle, integer counts, and a
+# (count, path) ranking key with no floats anywhere.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q3i_top_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS e1,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+    FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 10
+    """,
+)
+def q3i_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        seq.groupBy(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(10)
+    )

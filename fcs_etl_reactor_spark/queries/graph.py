@@ -231,3 +231,71 @@ def q5r_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.groupBy(F.col("d").cast("int").alias("hop")).agg(
         F.count(F.lit(1)).alias("n_nodes")
     )
+
+
+# --------------------------------------------------------------------------
+# q1d — Apriori frequent-triple mining over market baskets: L2 =
+# frequent pairs (support >= 2), candidate triples generated by the
+# classic prefix join L2(a,b) x L2(a,c), PRUNED by requiring the
+# third face (b,c) in L2, then support-counted candidate-first (three
+# order-keyed joins driven BY the candidate set — the whole point of
+# Apriori at scale: the corpus is never triple-enumerated).
+# The oracle enumerates triples naively with HAVING >= 2 — equal by
+# the Apriori downward-closure property (every frequent triple's
+# faces are frequent), so the driver verifies pruned == naive.
+# --------------------------------------------------------------------------
+
+_AP_SUPPORT = 2
+
+
+@query(
+    "q1d_apriori_triples",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem)
+    SELECT a.p AS p1, b.p AS p2, c.p AS p3, COUNT(*) AS support
+    FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+              JOIN op c ON b.o = c.o AND b.p < c.p
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) >= {_AP_SUPPORT}
+    """,
+)
+def q1d_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    op = l.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    # L2: frequent pairs
+    oa, ob = op.alias("oa"), op.alias("ob")
+    l2 = (
+        oa.join(
+            ob,
+            (F.col("oa.o") == F.col("ob.o")) & (F.col("oa.p") < F.col("ob.p")),
+        )
+        .groupBy(F.col("oa.p").alias("x"), F.col("ob.p").alias("y"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _AP_SUPPORT)
+        .select("x", "y")
+    )
+    # candidate generation: shared prefix + downward-closure prune
+    ab = l2.select(F.col("x").alias("p1"), F.col("y").alias("p2"))
+    ac = l2.select(F.col("x").alias("p1"), F.col("y").alias("p3"))
+    bc = l2.select(F.col("x").alias("p2"), F.col("y").alias("p3"))
+    cand = (
+        ab.join(ac, "p1")
+        .filter(F.col("p2") < F.col("p3"))
+        .join(bc, ["p2", "p3"], "left_semi")
+    )
+    # candidate-driven support counting: three joins keyed on the
+    # order id, each restricted to candidate members
+    o1 = op.select(F.col("o"), F.col("p").alias("q1"))
+    o2 = op.select(F.col("o").alias("o2"), F.col("p").alias("q2"))
+    o3 = op.select(F.col("o").alias("o3"), F.col("p").alias("q3"))
+    return (
+        cand.join(o1, F.col("q1") == F.col("p1"))
+        .join(o2, (F.col("o") == F.col("o2")) & (F.col("q2") == F.col("p2")))
+        .join(o3, (F.col("o") == F.col("o3")) & (F.col("q3") == F.col("p3")))
+        .groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _AP_SUPPORT)
+    )

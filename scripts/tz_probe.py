@@ -35,6 +35,11 @@ TS_QUERIES = [
     "q9g_stream_stream_join", "q7m_scd2_history", "q4f_interpolate",
     "q4g_ewma", "q3d_debounce", "q9h_stream_stream_left_outer",
     "q8q_group_ols",
+    # round-5 continuation additions (timestamp-touching):
+    "qt04_order_priority", "qt07_nation_volume", "qt12_ship_lag_priority",
+    "qt20_excess_suppliers", "qt21_waiting_suppliers",
+    "q4k_seasonal_decompose", "q3g_attribution", "q4l_bootstrap_ci",
+    "q4m_chi_square", "q3i_top_paths",
 ]
 
 
