@@ -439,3 +439,63 @@ def q8s_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.10) * n_union
         ).alias("estimate_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# q8x — join-size estimation via the CMS inner product (the AMS
+# second-moment estimator): |lineitem ⋈ lineitem on l_partkey| =
+# Σ_p c(p)², estimated as min over sketch rows of Σ_b counter[r,b]² —
+# the classic sketch answer to "how big will this join be?" that a
+# cost-based planner asks BEFORE running the join. Colliding keys
+# only ADD cross terms, so the estimate never undercounts; the
+# overcount is ≤ (e/width)·N² with the sketch guarantee. 32 KB of
+# counters regardless of key cardinality; the estimate is a
+# dimension-bounded fold of the broadcast sketch.
+# Envelope oracle: exact size recomputed in SQL + the two guarantee
+# booleans (Spark computes them from the real sketch).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q8x_join_size_estimate",
+    oracle="""
+    WITH c AS (SELECT l_partkey, COUNT(*) AS n FROM lineitem GROUP BY 1)
+    SELECT CAST(SUM(n * n) AS BIGINT) AS exact_size,
+           TRUE AS never_undercounts,
+           TRUE AS within_eps
+    FROM c
+    """,
+)
+def q8x_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from fcs_etl_reactor_spark.operators.countmin import cms_build
+
+    l = load(spark, sf_dir, "lineitem")
+    depth, width = 4, 1024
+    sketch = cms_build(l, "l_partkey", depth, width)
+    est = (
+        sketch.groupBy("r")
+        .agg(F.sum(F.col("counter") * F.col("counter")).alias("row_est"))
+        .agg(F.min("row_est").alias("est"))
+    )
+    exact = (
+        l.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * F.col("n")).cast("bigint").alias("exact_size"))
+    )
+    n_total = l.agg(F.count(F.lit(1)).alias("nt"))
+    eps = math.e / width
+    return (
+        exact.join(F.broadcast(est))
+        .join(F.broadcast(n_total))
+        .select(
+            "exact_size",
+            (F.col("est") >= F.col("exact_size")).alias("never_undercounts"),
+            (
+                F.col("est")
+                <= F.col("exact_size")
+                + F.ceil(F.lit(eps) * F.col("nt") * F.col("nt"))
+            ).alias("within_eps"),
+        )
+    )

@@ -1460,3 +1460,339 @@ def q3i_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# q4n — A/B test evaluation: deterministic md5 bucketing of users
+# into variants (the same engine-independent assignment a real
+# experimentation system uses), conversion = any HIGH-VALUE purchase
+# (value >= 150, a ~47% rate at every SF — nearly every fixture user has SOME purchase, which
+# would put the pooled rate at exactly 1.0 and the z denominator at
+# 0), and a two-proportion pooled z-score. All counts are exact integers;
+# the z expression is written with identical association on both
+# sides and rounded to 9 dp. One groupBy(user) + one global fold.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q4n_ab_test",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR) || 'ab1'),
+                   1, 8)) AS BIGINT) % 2 AS v,
+             MAX(CASE WHEN event_type = 'purchase' AND value >= 150.0
+                      THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT
+        CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN v = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+        CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN v = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+      FROM u
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           ROUND((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                 / SQRT(CAST(conv_a + conv_b AS DOUBLE)
+                        / CAST(n_a + n_b AS DOUBLE)
+                        * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                           / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0 / CAST(n_a AS DOUBLE)
+                           + 1.0 / CAST(n_b AS DOUBLE))), 9) AS z_score
+    FROM s
+    """,
+)
+def q4n_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    v = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("ab1"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    u = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 150.0), 1
+            ).otherwise(0)
+        ).alias("conv")
+    ).withColumn("v", v)
+    s = u.agg(
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("v") == 0, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("v") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("v") == 1, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    pa = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = F.round(
+        (pa - pb)
+        / F.sqrt(
+            pp
+            * (F.lit(1.0) - pp)
+            * (
+                F.lit(1.0) / F.col("n_a").cast("double")
+                + F.lit(1.0) / F.col("n_b").cast("double")
+            )
+        ),
+        9,
+    )
+    return s.select("n_a", "conv_a", "n_b", "conv_b", z.alias("z_score"))
+
+
+# --------------------------------------------------------------------------
+# q4p — clamped running balance (operators/clamped.py): per-user
+# account where purchases credit and errors debit, floored at zero —
+# bal_i = max(0, bal_{i-1} + delta_i). The clamp makes the recurrence
+# NON-LINEAR in prefix sums, so no window function can express it;
+# this is the canonical per-key sequential scan (U3 applyInPandas,
+# integer arithmetic on 2-decimal-scaled deltas, total (ts, event_id)
+# order). The oracle replays the identical recurrence as a DuckDB
+# recursive CTE over the same row numbering — a rows-faithful replay
+# of a stateful operator, not an envelope.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q4p_clamped_balance",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                  ELSE -CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+             END AS delta
+      FROM events WHERE event_type IN ('purchase', 'error')
+    ),
+    bal AS (
+      SELECT user_id, rn,
+             GREATEST(CAST(0 AS BIGINT), delta) AS b,
+             CASE WHEN delta < 0 THEN CAST(1 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS clamps,
+             GREATEST(CAST(0 AS BIGINT), delta) AS maxb
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.user_id, d.rn,
+             GREATEST(CAST(0 AS BIGINT), bal.b + d.delta),
+             bal.clamps + CASE WHEN bal.b + d.delta < 0 THEN 1 ELSE 0 END,
+             GREATEST(bal.maxb, GREATEST(CAST(0 AS BIGINT), bal.b + d.delta))
+      FROM bal JOIN d ON d.user_id = bal.user_id AND d.rn = bal.rn + 1
+    )
+    SELECT CAST(b.user_id AS INTEGER) AS user_id,
+           CAST(b.b AS BIGINT) AS final_scaled,
+           CAST(b.maxb AS BIGINT) AS max_scaled,
+           CAST(b.clamps AS BIGINT) AS n_clamps
+    FROM bal b JOIN (SELECT user_id, MAX(rn) AS mr FROM bal GROUP BY 1) m
+      ON b.user_id = m.user_id AND b.rn = m.mr
+    """,
+)
+def q4p_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.clamped import clamped_balance
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    scaled = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    d = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", scaled)
+        .otherwise(-scaled)
+        .alias("delta"),
+    )
+    return clamped_balance(d, "user_id", ["ts", "event_id"], "delta")
+
+
+# --------------------------------------------------------------------------
+# q4o — Kaplan–Meier time-to-conversion curve: "survival" = a user
+# has not yet made their first purchase, measured in whole hours from
+# their first event (exact integer epoch-microsecond division). Users
+# with no purchase are right-CENSORED at their last observed hour —
+# they stay in the at-risk set but never count as events, the
+# defining feature of KM vs a naive conversion fraction.
+# S(t) = Π_{t_i≤t} (1 − d_i/n_i) via EXP(SUM(LN(...)) OVER
+# (ORDER BY t)) — identical transcendental chain on both engines,
+# rounded 6 dp; d and n are exact integers and rows with d = n are
+# excluded identically (Spark ln(0) is NULL, DuckDB -inf).
+# Scale: the per-user collapse is the only corpus-sized aggregation;
+# the curve is hour-cardinality-bounded, so the ordered window runs
+# over a tiny series (the q4k calendar-bound argument).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q4o_kaplan_meier",
+    oracle="""
+    WITH ud AS (
+      SELECT user_id,
+             MIN(epoch_us(ts)) AS f_us,
+             MAX(epoch_us(ts)) AS l_us,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(ts) END) AS p_us
+      FROM events GROUP BY 1
+    ),
+    u AS (
+      SELECT user_id,
+             CAST(COALESCE((p_us - f_us) // 3600000000,
+                           (l_us - f_us) // 3600000000) AS INTEGER) AS t_obs,
+             CASE WHEN p_us IS NOT NULL THEN 1 ELSE 0 END AS converted
+      FROM ud
+    ),
+    ucnt AS (SELECT t_obs, COUNT(*) AS c FROM u GROUP BY t_obs),
+    atrisk AS (
+      SELECT t_obs, SUM(c) OVER (ORDER BY t_obs DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS n_ge
+      FROM ucnt
+    ),
+    ev AS (
+      SELECT t_obs AS t, CAST(SUM(converted) AS BIGINT) AS d
+      FROM u GROUP BY t_obs HAVING SUM(converted) > 0
+    ),
+    curve AS (
+      SELECT e.t, e.d, CAST(a.n_ge AS BIGINT) AS n_at_risk
+      FROM ev e JOIN atrisk a ON e.t = a.t_obs
+      WHERE e.d < a.n_ge
+    )
+    SELECT t, d, n_at_risk,
+           ROUND(EXP(SUM(LN(1.0 - CAST(d AS DOUBLE)
+                              / CAST(n_at_risk AS DOUBLE)))
+                     OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)), 6) AS survival
+    FROM curve
+    """,
+)
+def q4o_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    ud = e.groupBy("user_id").agg(
+        F.min(us).alias("f_us"),
+        F.max(us).alias("l_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("p_us"),
+    )
+    u = ud.select(
+        F.coalesce(
+            F.expr("(p_us - f_us) div 3600000000"),
+            F.expr("(l_us - f_us) div 3600000000"),
+        )
+        .cast("int")
+        .alias("t_obs"),
+        F.when(F.col("p_us").isNotNull(), 1).otherwise(0).alias("converted"),
+    )
+    ucnt = u.groupBy("t_obs").agg(F.count(F.lit(1)).alias("c"))
+    w_desc = (
+        Window.orderBy(F.col("t_obs").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    atrisk = ucnt.select("t_obs", F.sum("c").over(w_desc).alias("n_ge"))
+    ev = (
+        u.groupBy(F.col("t_obs").alias("t"))
+        .agg(F.sum("converted").cast("bigint").alias("d"))
+        .filter(F.col("d") > 0)
+    )
+    curve = (
+        ev.join(atrisk, F.col("t") == F.col("t_obs"))
+        .filter(F.col("d") < F.col("n_ge"))
+        .select("t", "d", F.col("n_ge").cast("bigint").alias("n_at_risk"))
+    )
+    w_asc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    surv = F.round(
+        F.exp(
+            F.sum(
+                F.log(
+                    F.lit(1.0)
+                    - F.col("d").cast("double") / F.col("n_at_risk").cast("double")
+                )
+            ).over(w_asc)
+        ),
+        6,
+    )
+    return curve.select("t", "d", "n_at_risk", surv.alias("survival"))
+
+
+# --------------------------------------------------------------------------
+# q4q — Holt's linear-trend exponential smoothing over the daily
+# event series, forecast 7 days ahead: level/trend state is a
+# SEQUENTIAL recurrence (like q4p's clamp, inexpressible by
+# windows) — l_i = α·y_i + (1−α)(l_{i−1}+b_{i−1}),
+# b_i = β(l_i−l_{i−1}) + (1−β)b_{i−1}. Both engines execute the
+# IDENTICAL IEEE double expression sequence (pandas loop vs
+# recursive CTE, same literals, same association), so the state is
+# bit-identical; forecasts are rounded 6 dp. The scan runs over the
+# calendar-bounded daily aggregate (the q4k argument): the heavy
+# reduction is the map-side daily count, the recurrence is O(|days|).
+# --------------------------------------------------------------------------
+
+_HW_ALPHA, _HW_BETA = 0.5, 0.3
+
+
+@query(
+    "q4q_holt_forecast",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1
+    ),
+    d AS (SELECT ROW_NUMBER() OVER (ORDER BY day) AS rn, y FROM daily),
+    hw AS (
+      SELECT rn, y AS l, 0.0e0 AS b FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.rn,
+             {_HW_ALPHA} * d.y + {1 - _HW_ALPHA} * (hw.l + hw.b),
+             {_HW_BETA} * ({_HW_ALPHA} * d.y
+                           + {1 - _HW_ALPHA} * (hw.l + hw.b) - hw.l)
+               + {1 - _HW_BETA} * hw.b
+      FROM hw JOIN d ON d.rn = hw.rn + 1
+    ),
+    fin AS (SELECT l, b FROM hw WHERE rn = (SELECT MAX(rn) FROM hw))
+    SELECT CAST(h.range AS INTEGER) AS h,
+           ROUND(l + h.range * b, 6) AS forecast
+    FROM fin, range(1, 8) h
+    """,
+)
+def q4q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    a, bt = _HW_ALPHA, _HW_BETA
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day", kind="mergesort")
+        ys = list(pdf["y"])
+        l, b = ys[0], 0.0
+        for y in ys[1:]:
+            l_new = a * y + (1 - a) * (l + b)
+            b = bt * (l_new - l) + (1 - bt) * b
+            l = l_new
+        return pd.DataFrame(
+            {"h": list(range(1, 8)), "forecast": [l + h * b for h in range(1, 8)]}
+        )
+
+    return (
+        daily.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(fit, schema="h int, forecast double")
+        .select("h", F.round("forecast", 6).alias("forecast"))
+    )

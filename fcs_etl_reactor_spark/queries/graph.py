@@ -299,3 +299,290 @@ def q1d_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= _AP_SUPPORT)
     )
+
+
+# --------------------------------------------------------------------------
+# q1e — item-item collaborative filtering: top-5 most co-purchased
+# parts per catalog item (the p_size=1 slice), scored by cosine
+# similarity over order co-occurrence — sim(a,b) = c_ab/√(c_a·c_b).
+# The RANKING key is (c_ab, other) — integers only, so the top-5 set
+# never depends on float ordering; the cosine is emitted as a 9-dp
+# value. Co-occurrence pairs come from the order-bounded self-join
+# (never corpus-quadratic); per-item totals are a part-bounded
+# broadcast.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q1e_item_similarity",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+    cnt AS (SELECT p, COUNT(*) AS c FROM op GROUP BY 1),
+    pairs AS (
+      SELECT a.p AS p1, b.p AS p2, COUNT(*) AS cab
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2
+    ),
+    sym AS (
+      SELECT p1 AS item, p2 AS other, cab FROM pairs
+      UNION ALL
+      SELECT p2, p1, cab FROM pairs
+    ),
+    ranked AS (
+      SELECT s.item, s.other, s.cab,
+             ROUND(CAST(s.cab AS DOUBLE)
+                   / SQRT(CAST(ci.c AS DOUBLE) * CAST(co.c AS DOUBLE)), 9)
+               AS sim,
+             ROW_NUMBER() OVER (PARTITION BY s.item
+                                ORDER BY s.cab DESC, s.other) AS rn
+      FROM sym s JOIN cnt ci ON s.item = ci.p
+                 JOIN cnt co ON s.other = co.p
+    )
+    SELECT r.item, r.other, r.cab, r.sim
+    FROM ranked r JOIN part ON r.item = p_partkey
+    WHERE p_size = 1 AND rn <= 5
+    """,
+)
+def q1e_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") == 1)
+    op = l.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    cnt = op.groupBy(F.col("pk")).agg(F.count(F.lit(1)).alias("c"))
+    # pairs over the DISTINCT (order, part) set — true co-occurrence,
+    # not lineitem-row pairs (a part listed twice in one order must
+    # not inflate the count)
+    oa, ob = op.alias("oa"), op.alias("ob")
+    pairs = (
+        oa.join(
+            ob,
+            (F.col("oa.o") == F.col("ob.o")) & (F.col("oa.pk") < F.col("ob.pk")),
+        )
+        .groupBy(F.col("oa.pk").alias("a"), F.col("ob.pk").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cab"))
+    )
+    sym = pairs.selectExpr("a AS item", "b AS other", "cab").unionAll(
+        pairs.selectExpr("b AS item", "a AS other", "cab")
+    )
+    ci = cnt.select(F.col("pk").alias("item"), F.col("c").alias("ci"))
+    co = cnt.select(F.col("pk").alias("other"), F.col("c").alias("co"))
+    w = Window.partitionBy("item").orderBy(F.col("cab").desc(), F.col("other"))
+    return (
+        sym.join(F.broadcast(ci), "item")
+        .join(F.broadcast(co), "other")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .join(F.broadcast(p), F.col("item") == F.col("p_partkey"), "left_semi")
+        .select(
+            "item",
+            "other",
+            "cab",
+            F.round(
+                F.col("cab").cast("double")
+                / F.sqrt(F.col("ci").cast("double") * F.col("co").cast("double")),
+                9,
+            ).alias("sim"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q5s — Bellman-Ford weighted shortest paths (3 relaxation rounds)
+# over the co-purchase graph, edge weight = 6 − LEAST(n_orders, 5)
+# (stronger co-purchase ties are "closer": weight 1..5). Same Pregel
+# topology as BFS (q5r) with integer distance MIN — exact at any
+# partitioning; the oracle unrolls the rounds. Unreached nodes absent
+# by construction on both sides.
+# --------------------------------------------------------------------------
+
+_BF_ROUNDS = 3
+
+
+def _bf_oracle(rounds: int) -> str:
+    ctes = [
+        """e0 AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )""",
+        """edges AS (
+      SELECT p1 AS src, p2 AS dst, 6 - LEAST(n, 5) AS w FROM e0
+      UNION ALL
+      SELECT p2, p1, 6 - LEAST(n, 5) FROM e0
+    )""",
+        """d0 AS (
+      SELECT MIN(src) AS node, 0 AS d FROM edges
+    )""",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(f"""d{t} AS (
+      SELECT node, MIN(d) AS d FROM (
+        SELECT node, d FROM d{t - 1}
+        UNION ALL
+        SELECT e.dst, p.d + e.w FROM d{t - 1} p JOIN edges e ON e.src = p.node
+      ) GROUP BY node
+    )""")
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT CAST(d AS INTEGER) AS dist, COUNT(*) AS n_nodes
+    FROM d{rounds} GROUP BY 1
+    """
+
+
+@query("q5s_bellman_ford", oracle=_bf_oracle(_BF_ROUNDS))
+def q5s_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.graphs import copurchase_pairs
+
+    l = load(spark, sf_dir, "lineitem")
+    pairs = copurchase_pairs(l)
+    wcol = (F.lit(6) - F.least(F.col("n_orders"), F.lit(5))).cast("int")
+    und = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), wcol.alias("w")
+    ).unionAll(
+        pairs.select(
+            F.col("b").alias("src"), F.col("a").alias("dst"), wcol.alias("w")
+        )
+    )
+    dist = (
+        und.agg(F.min("src").alias("node"))
+        .withColumn("d", F.lit(0).cast("int"))
+    )
+    for _ in range(_BF_ROUNDS):
+        nxt = dist.join(und, dist["node"] == und["src"]).select(
+            F.col("dst").alias("node"), (F.col("d") + F.col("w")).alias("d")
+        )
+        dist = dist.unionAll(nxt).groupBy("node").agg(F.min("d").alias("d"))
+    return dist.groupBy(F.col("d").cast("int").alias("dist")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+
+
+# --------------------------------------------------------------------------
+# q1f — offline recommender evaluation (MRR@5): split orders into
+# train (orderkey % 5 != 0) and test (% 5 == 0), build top-5
+# co-purchase recommendations per catalog item (p_size = 1 slice)
+# from TRAIN only, then score them against TEST co-occurrence as
+# ground truth. Reciprocal ranks are kept EXACT by scaling with
+# lcm(1..5) = 60 — rr_scaled = 60 / rank is an integer — so the MRR
+# numerator is an exact BIGINT sum and only the final division is
+# float. Denominator = items with at least one recommendation.
+# Scale: the same order-bounded pair joins as q1e; the eval join is
+# rec-set (items × 5) vs test-pair set, both bounded.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q1f_recsys_eval",
+    oracle="""
+    WITH train AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+      WHERE l_orderkey % 5 <> 0
+    ),
+    test AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+      WHERE l_orderkey % 5 = 0
+    ),
+    pairs AS (
+      SELECT a.p AS p1, b.p AS p2, COUNT(*) AS cab
+      FROM train a JOIN train b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2
+    ),
+    sym AS (
+      SELECT p1 AS item, p2 AS other, cab FROM pairs
+      UNION ALL SELECT p2, p1, cab FROM pairs
+    ),
+    recs AS (
+      SELECT item, other, rn FROM (
+        SELECT item, other,
+               ROW_NUMBER() OVER (PARTITION BY item
+                                  ORDER BY cab DESC, other) AS rn
+        FROM sym
+      ) WHERE rn <= 5
+    ),
+    truth AS (
+      SELECT DISTINCT a.p AS item, b.p AS other
+      FROM test a JOIN test b ON a.o = b.o AND a.p <> b.p
+    ),
+    eval_items AS (
+      SELECT r.item, MIN(CASE WHEN t.other IS NOT NULL THEN r.rn END) AS hit
+      FROM recs r
+        JOIN part ON r.item = p_partkey AND p_size = 1
+        LEFT JOIN truth t ON r.item = t.item AND r.other = t.other
+      GROUP BY r.item
+    )
+    SELECT COUNT(*) AS n_items,
+           CAST(SUM(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hit,
+           CAST(SUM(CASE WHEN hit IS NOT NULL THEN 60 // hit ELSE 0 END)
+                AS DOUBLE) / (60.0 * COUNT(*)) AS mrr
+    FROM eval_items
+    """,
+)
+def q1f_recsys_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    l = load(spark, sf_dir, "lineitem")
+    p1slice = load(spark, sf_dir, "part").filter(F.col("p_size") == 1)
+    op = l.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    train = op.filter(F.col("o") % 5 != 0)
+    test = op.filter(F.col("o") % 5 == 0)
+    ta, tb = train.alias("ta"), train.alias("tb")
+    pairs = (
+        ta.join(
+            tb,
+            (F.col("ta.o") == F.col("tb.o")) & (F.col("ta.pk") < F.col("tb.pk")),
+        )
+        .groupBy(F.col("ta.pk").alias("a"), F.col("tb.pk").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cab"))
+    )
+    sym = pairs.selectExpr("a AS item", "b AS other", "cab").unionAll(
+        pairs.selectExpr("b AS item", "a AS other", "cab")
+    )
+    w = Window.partitionBy("item").orderBy(F.col("cab").desc(), F.col("other"))
+    recs = (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .join(F.broadcast(p1slice), F.col("item") == F.col("p_partkey"), "left_semi")
+        .select("item", "other", "rn")
+    )
+    ea, eb = test.alias("ea"), test.alias("eb")
+    truth = (
+        ea.join(
+            eb,
+            (F.col("ea.o") == F.col("eb.o")) & (F.col("ea.pk") != F.col("eb.pk")),
+        )
+        .select(F.col("ea.pk").alias("t_item"), F.col("eb.pk").alias("t_other"))
+        .distinct()
+    )
+    hits = (
+        recs.join(
+            truth,
+            (F.col("item") == F.col("t_item")) & (F.col("other") == F.col("t_other")),
+            "left",
+        )
+        .groupBy("item")
+        .agg(
+            F.min(F.when(F.col("t_other").isNotNull(), F.col("rn"))).alias("hit")
+        )
+    )
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hit"),
+        (
+            F.sum(
+                F.when(
+                    F.col("hit").isNotNull(), F.expr("60 div hit")
+                ).otherwise(0)
+            ).cast("double")
+            / (F.lit(60.0) * F.count(F.lit(1)))
+        ).alias("mrr"),
+    )

@@ -63,6 +63,7 @@ ALLOW_CARTESIAN = {
     "q4l_bootstrap_ci",         # 1-row point-estimate + B-row replicate cross
     "q8w_pmi_collocations",     # 1-row corpus-total crosses (n_uni, n_bg)
     "q4m_chi_square",           # 1-row n/dof crosses over 35 cells
+    "q8x_join_size_estimate",   # 1-row sketch-estimate/exact/N crosses
     "q8c_lm_familiarity",       # small LM broadcast cross
     "q6f_domain_mixture",       # 1-row stats broadcast cross
     "q58_sampling",             # 1-row envelope cross

@@ -77,6 +77,15 @@ PROBE_QUERIES = [  # all run on the replicated tables
     "q8t_power_iteration",   # Gram outer-product + dimension-bound iters
     "q8u_perplexity",        # explode-once bigram LM scoring
     "q4i_rolling_median",    # fixed-frame array median
+    # round-5 continuation additions:
+    "qt09_product_profit",   # 5-table TPC-H Q9 profit rollup
+    "qt21_waiting_suppliers",  # EXISTS + NOT-EXISTS pair-set joins
+    "q8v_kmeans",            # 3 exact Lloyd rounds (broadcast centroids)
+    "q4j_spatial_grid_join", # 3x3 cell cover spatial join
+    "q5q_sorted_neighborhood",  # global-rank window blocking
+    "q1d_apriori_triples",   # candidate-driven support counting
+    "q5r_bfs_hops",          # 3 Pregel frontier rounds
+    "q8w_pmi_collocations",  # bigram transform + vocab broadcasts
 ]
 
 

@@ -386,6 +386,139 @@ class TestBfsHops:
             assert got == ref, (pairs, got, ref)
 
 
+class TestBellmanFordAndApriori:
+    """Weighted relaxation and Apriori candidate pruning vs
+    brute-force references on random inputs."""
+
+    def test_bellman_ford_rounds_match_reference(self, spark):
+        import random
+
+        import pyspark.sql.functions as F
+
+        rng = random.Random(31)
+        for trial in range(3):
+            n = rng.randint(4, 10)
+            pairs = sorted(
+                {
+                    (min(a, b), max(a, b))
+                    for a, b in (
+                        (rng.randrange(n), rng.randrange(n)) for _ in range(n * 2)
+                    )
+                    if a != b
+                }
+            )
+            if not pairs:
+                continue
+            wts = {p: rng.randint(1, 5) for p in pairs}
+            und_list = [(a, b, w) for (a, b), w in wts.items()] + [
+                (b, a, w) for (a, b), w in wts.items()
+            ]
+            df = spark.createDataFrame(und_list, "src INT, dst INT, w INT")
+            rounds = 3
+            dist = df.agg(F.min("src").alias("node")).withColumn(
+                "d", F.lit(0).cast("int")
+            )
+            for _ in range(rounds):
+                nxt = dist.join(df, dist["node"] == df["src"]).select(
+                    F.col("dst").alias("node"), (F.col("d") + F.col("w")).alias("d")
+                )
+                dist = dist.unionAll(nxt).groupBy("node").agg(F.min("d").alias("d"))
+            got = {r["node"]: r["d"] for r in dist.collect()}
+            # reference: bounded Bellman-Ford, exactly `rounds` relaxations
+            src = min(a for a, _, _ in und_list)
+            ref = {src: 0}
+            for _ in range(rounds):
+                nxt = dict(ref)
+                for a, b, w in und_list:
+                    if a in ref and ref[a] + w < nxt.get(b, 1 << 30):
+                        nxt[b] = ref[a] + w
+                ref = nxt
+            assert got == ref, (pairs, wts, got, ref)
+
+    def test_apriori_prune_equals_naive(self, spark):
+        """Candidate-driven counting with downward-closure pruning
+        must equal naive triple enumeration at the same support — the
+        Apriori correctness property on random baskets."""
+        import random
+        from itertools import combinations
+
+        import pyspark.sql.functions as F
+
+        rng = random.Random(43)
+        baskets = [
+            (o, p)
+            for o in range(12)
+            for p in rng.sample(range(8), rng.randint(2, 5))
+        ]
+        sup = 2
+        op = spark.createDataFrame(baskets, "o INT, p INT").distinct()
+        oa, ob = op.alias("oa"), op.alias("ob")
+        l2 = (
+            oa.join(ob, (F.col("oa.o") == F.col("ob.o")) & (F.col("oa.p") < F.col("ob.p")))
+            .groupBy(F.col("oa.p").alias("x"), F.col("ob.p").alias("y"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= sup)
+            .select("x", "y")
+        )
+        ab = l2.select(F.col("x").alias("p1"), F.col("y").alias("p2"))
+        ac = l2.select(F.col("x").alias("p1"), F.col("y").alias("p3"))
+        bc = l2.select(F.col("x").alias("p2"), F.col("y").alias("p3"))
+        cand = (
+            ab.join(ac, "p1")
+            .filter(F.col("p2") < F.col("p3"))
+            .join(bc, ["p2", "p3"], "left_semi")
+        )
+        o1 = op.select(F.col("o"), F.col("p").alias("q1"))
+        o2 = op.select(F.col("o").alias("o2"), F.col("p").alias("q2"))
+        o3 = op.select(F.col("o").alias("o3"), F.col("p").alias("q3"))
+        got = {
+            (r["p1"], r["p2"], r["p3"]): r["support"]
+            for r in (
+                cand.join(o1, F.col("q1") == F.col("p1"))
+                .join(o2, (F.col("o") == F.col("o2")) & (F.col("q2") == F.col("p2")))
+                .join(o3, (F.col("o") == F.col("o3")) & (F.col("q3") == F.col("p3")))
+                .groupBy("p1", "p2", "p3")
+                .agg(F.count(F.lit(1)).alias("support"))
+                .filter(F.col("support") >= sup)
+                .collect()
+            )
+        }
+        # naive reference
+        sets = {}
+        for o, p in baskets:
+            sets.setdefault(o, set()).add(p)
+        ref = {}
+        for items in sets.values():
+            for tri in combinations(sorted(items), 3):
+                ref[tri] = ref.get(tri, 0) + 1
+        ref = {t: c for t, c in ref.items() if c >= sup}
+        assert got == ref
+
+    def test_cms_join_size_never_undercounts(self, spark):
+        import random
+
+        import pyspark.sql.functions as F
+
+        from fcs_etl_reactor_spark.operators.countmin import cms_build
+
+        rng = random.Random(53)
+        rows = [(rng.randint(0, 30),) for _ in range(500)]
+        df = spark.createDataFrame(rows, "k INT")
+        sketch = cms_build(df, "k", 4, 256)
+        est = (
+            sketch.groupBy("r")
+            .agg(F.sum(F.col("counter") * F.col("counter")).alias("e"))
+            .agg(F.min("e"))
+            .collect()[0][0]
+        )
+        from collections import Counter
+
+        c = Counter(k for (k,) in rows)
+        exact = sum(v * v for v in c.values())
+        assert est >= exact
+        assert est <= exact + 3 * (500 * 500) // 256  # loose eps bound
+
+
 class TestPrefixFilterJoin:
     def test_prefix_filter_equals_full_join(self, spark):
         # the prefix-filter theorem in practice: the filtered join must
