@@ -1796,3 +1796,53 @@ def q4q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(fit, schema="h int, forecast double")
         .select("h", F.round("forecast", 6).alias("forecast"))
     )
+
+
+# --------------------------------------------------------------------------
+# q3j — time-decayed popularity scoring: each event contributes
+# 0.5^(age_weeks) to its type's score (half-life one week). The decay
+# weight is EXACT: 0.5^k for integer k is a power of two, computed as
+# the integer shift (2^20 >> k) — so the whole aggregation is BIGINT
+# arithmetic and only the final /2^20 is float. No libm pow in the
+# pipeline, no last-ulp drift, map-side-combinable at any scale.
+# The freshness anchor (max event time) is a 1-row broadcast.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q3j_decayed_counts",
+    oracle="""
+    WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
+    w AS (
+      SELECT event_type,
+             CASE WHEN (m - epoch_us(ts)) // 604800000000 < 20
+                  THEN 1048576 >> CAST((m - epoch_us(ts)) // 604800000000
+                                       AS INTEGER)
+                  ELSE 0 END AS ws
+      FROM events, mx
+    )
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(ws) AS DOUBLE) / 1048576.0 AS decayed_count
+    FROM w GROUP BY event_type
+    """,
+)
+def q3j_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    mx = e.agg(F.max(F.unix_micros("ts")).alias("m"))
+    # pyspark's F.shiftright takes a literal bit count, so the
+    # column-shift goes through expr()
+    ws = F.expr(
+        "CASE WHEN (m - unix_micros(ts)) div 604800000000 < 20"
+        " THEN shiftright(1048576,"
+        "      cast((m - unix_micros(ts)) div 604800000000 as int))"
+        " ELSE 0 END"
+    )
+    return (
+        e.join(F.broadcast(mx))
+        .select("event_type", ws.cast("long").alias("ws"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("ws").cast("double") / F.lit(1048576.0)).alias("decayed_count"),
+        )
+    )

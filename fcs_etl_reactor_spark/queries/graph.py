@@ -235,37 +235,48 @@ def q5r_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q1d — Apriori frequent-triple mining over market baskets: L2 =
-# frequent pairs (support >= 2), candidate triples generated by the
-# classic prefix join L2(a,b) x L2(a,c), PRUNED by requiring the
-# third face (b,c) in L2, then support-counted candidate-first (three
-# order-keyed joins driven BY the candidate set — the whole point of
-# Apriori at scale: the corpus is never triple-enumerated).
-# The oracle enumerates triples naively with HAVING >= 2 — equal by
-# the Apriori downward-closure property (every frequent triple's
-# faces are frequent), so the driver verifies pruned == naive.
+# frequent pairs, candidate triples generated by the classic prefix
+# join L2(a,b) x L2(a,c), PRUNED by requiring the third face (b,c) in
+# L2, then support-counted candidate-first (three order-keyed joins
+# driven BY the candidate set — the whole point of Apriori at scale:
+# the corpus is never triple-enumerated).
+# Support is a FRACTION of the basket count — max(2, ceil(N/10000))
+# — computed as a 1-row broadcast on both sides. An absolute support
+# does not survive data growth: the 10x scale probe measured 149x
+# wall with support=2 because the frequent-pair lattice explodes as
+# density rises; with fractional support the probe is ~linear.
+# The oracle enumerates triples naively with HAVING — equal by the
+# Apriori downward-closure property (every frequent triple's faces
+# are frequent), so the driver verifies pruned == naive.
 # --------------------------------------------------------------------------
 
-_AP_SUPPORT = 2
 
-
-@query(
-    "q1d_apriori_triples",
-    oracle=f"""
+_AP_ORACLE = """
     WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-                FROM lineitem)
+                FROM lineitem),
+    thr AS (SELECT GREATEST(2, CAST(CEIL(COUNT(DISTINCT o) / 10000.0)
+                                    AS BIGINT)) AS s FROM op)
     SELECT a.p AS p1, b.p AS p2, c.p AS p3, COUNT(*) AS support
     FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
               JOIN op c ON b.o = c.o AND b.p < c.p
     GROUP BY 1, 2, 3
-    HAVING COUNT(*) >= {_AP_SUPPORT}
-    """,
-)
+    HAVING COUNT(*) >= (SELECT s FROM thr)
+    """
+
+
+@query("q1d_apriori_triples", oracle=_AP_ORACLE)
 def q1d_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
     op = l.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
-    # L2: frequent pairs
+    thr = op.agg(
+        F.greatest(
+            F.lit(2).cast("bigint"),
+            F.ceil(F.count_distinct("o") / F.lit(10000.0)).cast("bigint"),
+        ).alias("s")
+    )
+    # L2: frequent pairs at the fractional support
     oa, ob = op.alias("oa"), op.alias("ob")
     l2 = (
         oa.join(
@@ -274,7 +285,8 @@ def q1d_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("oa.p").alias("x"), F.col("ob.p").alias("y"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= _AP_SUPPORT)
+        .join(F.broadcast(thr))
+        .filter(F.col("n") >= F.col("s"))
         .select("x", "y")
     )
     # candidate generation: shared prefix + downward-closure prune
@@ -297,7 +309,9 @@ def q1d_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o3, (F.col("o") == F.col("o3")) & (F.col("q3") == F.col("p3")))
         .groupBy("p1", "p2", "p3")
         .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= _AP_SUPPORT)
+        .join(F.broadcast(thr))
+        .filter(F.col("support") >= F.col("s"))
+        .select("p1", "p2", "p3", "support")
     )
 
 
