@@ -625,3 +625,66 @@ def q4h_ntile_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_extendedprice").alias("lo"),
         F.max("l_extendedprice").alias("hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# q4r — Gini coefficient of customer revenue concentration (the
+# inequality statistic behind "top-x% of customers drive y% of
+# revenue"). Revenue per customer is collapsed first (the only
+# corpus-sized aggregation); the Lorenz rank-weighted sum uses the
+# standard G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n identity over scaled-long
+# revenues with a deterministic (revenue, custkey) rank — integer
+# arithmetic end to end, one final double division.
+# Scale note: the rank is a single ordered window over the CUSTOMER
+# aggregate (|customers| rows, not |orders|); for an unbounded key
+# space swap in ordering.global_rank — the identity itself only
+# needs (i · x_i) products, which distribute.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q4r_gini",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey,
+             SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS rev
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i
+      FROM r
+    )
+    SELECT COUNT(*) AS n_customers,
+           CAST(SUM(rev) AS BIGINT) AS total_rev_scaled,
+           ROUND(2.0 * CAST(SUM(i * rev) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE))
+                 - (CAST(COUNT(*) AS DOUBLE) + 1.0)
+                   / CAST(COUNT(*) AS DOUBLE), 9) AS gini
+    FROM ranked
+    """,
+)
+def q4r_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    r = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("long")
+        ).alias("rev")
+    )
+    ranked = r.select(
+        "rev",
+        F.row_number().over(Window.orderBy("rev", "o_custkey")).alias("i"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev").cast("bigint").alias("total_rev_scaled"),
+        F.round(
+            F.lit(2.0)
+            * F.sum(F.col("i") * F.col("rev")).cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.sum("rev").cast("double"))
+            - (F.count(F.lit(1)).cast("double") + F.lit(1.0))
+            / F.count(F.lit(1)).cast("double"),
+            9,
+        ).alias("gini"),
+    )

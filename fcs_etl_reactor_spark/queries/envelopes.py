@@ -499,3 +499,52 @@ def q8x_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_eps"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q8y — Misra–Gries heavy hitters over the document term stream
+# (operators/misra_gries.py): the deterministic counter sketch beside
+# count-min (q8h) and HLL (q8l) — k counters per partition, key-wise
+# merge, and the classic guarantee: every term with frequency > N/k
+# IS in the summary, and estimates undercount by at most N/k. Both
+# booleans are theory-guaranteed deterministic (any partitioning),
+# and the comparisons run on exact integers (freq·k > N, not
+# fractions). The oracle recomputes the exact heavy-hitter set.
+# --------------------------------------------------------------------------
+
+_MG_K = 64
+
+
+@query(
+    "q8y_heavy_hitters",
+    oracle=f"""
+    WITH t AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
+    n AS (SELECT COUNT(*) AS n FROM t),
+    c AS (SELECT w, COUNT(*) AS freq FROM t GROUP BY w)
+    SELECT w AS term, freq, TRUE AS in_summary, TRUE AS within_bound
+    FROM c, n WHERE freq * {_MG_K} > n
+    """,
+)
+def q8y_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.misra_gries import mg_merged
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("w"))
+    merged = mg_merged(toks, "w", _MG_K)
+    exact = toks.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    n = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        exact.join(F.broadcast(n))
+        .filter(F.col("freq") * _MG_K > F.col("n"))
+        .join(merged, "w", "left")
+        .select(
+            F.col("w").alias("term"),
+            "freq",
+            F.col("mg_est").isNotNull().alias("in_summary"),
+            (
+                F.col("mg_est").isNotNull()
+                & (F.col("mg_est") <= F.col("freq"))
+                & ((F.col("freq") - F.col("mg_est")) * _MG_K <= F.col("n"))
+            ).alias("within_bound"),
+        )
+    )

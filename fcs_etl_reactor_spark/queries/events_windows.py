@@ -1846,3 +1846,74 @@ def q3j_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("ws").cast("double") / F.lit(1048576.0)).alias("decayed_count"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q4s — CUSUM change-point detection over the daily event series:
+# S_i = max(0, S_{i-1} + (x_i − 1.05·mean)) — the one-sided cumulative
+# sum drift detector. The deviation is cross-multiplied to exact
+# BIGINTs (20·n·c_i − 21·Σc puts both the mean and the 5% slack on a
+# common integer denominator), and the clamp recurrence REUSES
+# operators/clamped.clamped_balance — the same stateful-scan operator
+# behind q4p, demonstrating it as a library primitive, not a one-off.
+# Outputs: final CUSUM, its running max (the drift peak), and the
+# number of resets. Oracle: recursive-CTE replay of the identical
+# integer recurrence.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q4s_cusum",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+      FROM events GROUP BY 1
+    ),
+    g AS (SELECT COUNT(*) AS n, SUM(c) AS tot FROM daily),
+    d AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY day) AS rn,
+             20 * g.n * daily.c - 21 * g.tot AS delta
+      FROM daily, g
+    ),
+    s AS (
+      SELECT rn,
+             GREATEST(CAST(0 AS BIGINT), delta) AS b,
+             CASE WHEN delta < 0 THEN CAST(1 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS clamps,
+             GREATEST(CAST(0 AS BIGINT), delta) AS maxb
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.rn,
+             GREATEST(CAST(0 AS BIGINT), s.b + d.delta),
+             s.clamps + CASE WHEN s.b + d.delta < 0 THEN 1 ELSE 0 END,
+             GREATEST(s.maxb, GREATEST(CAST(0 AS BIGINT), s.b + d.delta))
+      FROM s JOIN d ON d.rn = s.rn + 1
+    )
+    SELECT CAST(s.b AS BIGINT) AS cusum_final,
+           CAST(s.maxb AS BIGINT) AS cusum_max,
+           CAST(s.clamps AS BIGINT) AS n_resets
+    FROM s WHERE rn = (SELECT MAX(rn) FROM s)
+    """,
+)
+def q4s_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.clamped import clamped_balance
+
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    g = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("tot")
+    )
+    d = daily.join(F.broadcast(g)).select(
+        F.lit(1).alias("k"),
+        "day",
+        (F.lit(20) * F.col("n") * F.col("c") - F.lit(21) * F.col("tot")).alias(
+            "delta"
+        ),
+    )
+    return clamped_balance(d, "k", ["day"], "delta").select(
+        F.col("final_scaled").alias("cusum_final"),
+        F.col("max_scaled").alias("cusum_max"),
+        "n_clamps",
+    ).withColumnRenamed("n_clamps", "n_resets")

@@ -600,3 +600,76 @@ def q1f_recsys_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(60.0) * F.count(F.lit(1)))
         ).alias("mrr"),
     )
+
+
+# --------------------------------------------------------------------------
+# q1g — association-rule mining (a→b with confidence and lift) from
+# the co-purchase pairs: the rule layer on top of q1c/q1d. Both
+# metrics are emitted as exact INTEGER basis points —
+# conf_bp = 10000·c_ab div c_a, lift_bp = 10000·N·c_ab div (c_a·c_b)
+# — so no float enters the output or the ranking; top-20 by
+# (c_ab, a, b). Same order-bounded pair join and part-bounded
+# count broadcasts as the rest of the family.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q1g_association_rules",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT o) AS n FROM op),
+    cnt AS (SELECT p, COUNT(*) AS c FROM op GROUP BY 1),
+    pairs AS (
+      SELECT a.p AS p1, b.p AS p2, COUNT(*) AS cab
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2
+    ),
+    rules AS (
+      SELECT p1 AS ante, p2 AS cons, cab FROM pairs
+      UNION ALL
+      SELECT p2, p1, cab FROM pairs
+    )
+    SELECT r.ante, r.cons, r.cab AS support_cnt,
+           CAST(10000 * r.cab // ca.c AS BIGINT) AS conf_bp,
+           CAST(10000 * n.n * r.cab // (ca.c * cc.c) AS BIGINT) AS lift_bp
+    FROM rules r JOIN cnt ca ON r.ante = ca.p
+                 JOIN cnt cc ON r.cons = cc.p, n
+    ORDER BY r.cab DESC, r.ante, r.cons LIMIT 20
+    """,
+)
+def q1g_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    op = l.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n = op.agg(F.count_distinct("o").alias("n"))
+    cnt = op.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    oa, ob = op.alias("oa"), op.alias("ob")
+    pairs = (
+        oa.join(
+            ob,
+            (F.col("oa.o") == F.col("ob.o")) & (F.col("oa.p") < F.col("ob.p")),
+        )
+        .groupBy(F.col("oa.p").alias("p1"), F.col("ob.p").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("cab"))
+    )
+    rules = pairs.selectExpr("p1 AS ante", "p2 AS cons", "cab").unionAll(
+        pairs.selectExpr("p2 AS ante", "p1 AS cons", "cab")
+    )
+    ca = cnt.select(F.col("p").alias("ante"), F.col("c").alias("ca"))
+    cc = cnt.select(F.col("p").alias("cons"), F.col("c").alias("cc"))
+    return (
+        rules.join(F.broadcast(ca), "ante")
+        .join(F.broadcast(cc), "cons")
+        .join(F.broadcast(n))
+        .select(
+            "ante",
+            "cons",
+            F.col("cab").alias("support_cnt"),
+            F.expr("10000 * cab div ca").cast("bigint").alias("conf_bp"),
+            F.expr("10000 * n * cab div (ca * cc)").cast("bigint").alias("lift_bp"),
+        )
+        .orderBy(F.col("support_cnt").desc(), "ante", "cons")
+        .limit(20)
+    )

@@ -717,3 +717,60 @@ def q7u_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return run_expectations(l, specs)
+
+
+# --------------------------------------------------------------------------
+# q7v — Benford's-law first-digit audit over order totals: the
+# classic forensic data-quality screen. Digit counts are exact
+# integers (first digit via string, no float log); the Benford
+# expectation LOG10(1 + 1/d) and the chi-square-style deviation use
+# identical IEEE chains on both engines with scaled-long summation
+# for order independence. Output: per digit 1-9, observed count,
+# expected probability (9 dp), plus the aggregate deviation — one
+# scan, dimension-bounded everything after it.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q7v_benford",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice >= 1.0
+    ),
+    n AS (SELECT COUNT(*) AS n FROM d),
+    c AS (SELECT digit, COUNT(*) AS observed FROM d GROUP BY digit)
+    SELECT c.digit, c.observed,
+           ROUND(LOG10(1.0 + 1.0 / CAST(c.digit AS DOUBLE)), 9)
+             AS benford_p,
+           ROUND((CAST(c.observed AS DOUBLE) / CAST(n.n AS DOUBLE)
+                  - LOG10(1.0 + 1.0 / CAST(c.digit AS DOUBLE)))
+                 * (CAST(c.observed AS DOUBLE) / CAST(n.n AS DOUBLE)
+                  - LOG10(1.0 + 1.0 / CAST(c.digit AS DOUBLE))), 9)
+             AS sq_dev
+    FROM c, n
+    """,
+)
+def q7v_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1.0)
+    d = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("observed"))
+    bp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    frac = F.col("observed").cast("double") / F.col("n").cast("double")
+    return (
+        c.join(F.broadcast(n))
+        .select(
+            "digit",
+            "observed",
+            F.round(bp, 9).alias("benford_p"),
+            F.round((frac - bp) * (frac - bp), 9).alias("sq_dev"),
+        )
+    )

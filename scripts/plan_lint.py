@@ -64,6 +64,12 @@ ALLOW_CARTESIAN = {
     "q8w_pmi_collocations",     # 1-row corpus-total crosses (n_uni, n_bg)
     "q4m_chi_square",           # 1-row n/dof crosses over 35 cells
     "q8x_join_size_estimate",   # 1-row sketch-estimate/exact/N crosses
+    "q1d_apriori_triples",      # 1-row fractional-support threshold cross
+    "q8y_heavy_hitters",        # 1-row corpus-N cross for the HH gate
+    "q1g_association_rules",    # 1-row basket-N cross for lift
+    "q7v_benford",              # 1-row digit-total cross
+    "q4s_cusum",                # 1-row (n, tot) mean-denominator cross
+    "q3j_decayed_counts",       # 1-row freshness-anchor (max ts) cross
     "q8c_lm_familiarity",       # small LM broadcast cross
     "q6f_domain_mixture",       # 1-row stats broadcast cross
     "q58_sampling",             # 1-row envelope cross

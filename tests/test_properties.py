@@ -519,6 +519,43 @@ class TestBellmanFordAndApriori:
         assert est <= exact + 3 * (500 * 500) // 256  # loose eps bound
 
 
+class TestMisraGries:
+    """The MG guarantee must hold on adversarial random streams at
+    any partitioning: every key with freq > N/k present, estimates
+    undercount by at most N/k."""
+
+    def test_guarantee_on_random_streams(self, spark):
+        import random
+        from collections import Counter
+
+        import pyspark.sql.functions as F
+
+        from fcs_etl_reactor_spark.operators.misra_gries import mg_merged
+
+        rng = random.Random(61)
+        for trial, nparts in [(0, 2), (1, 5), (2, 9)]:
+            # zipf-ish stream: few hot keys + uniform tail
+            stream = [f"hot{i % 3}" for i in range(600)] + [
+                f"cold{rng.randrange(200)}" for _ in range(400)
+            ]
+            rng.shuffle(stream)
+            k = 8
+            df = spark.createDataFrame(
+                [(s,) for s in stream], "w string"
+            ).repartition(nparts)
+            merged = {
+                r["w"]: r["mg_est"] for r in mg_merged(df, "w", k).collect()
+            }
+            exact = Counter(stream)
+            n = len(stream)
+            for key, freq in exact.items():
+                if freq * k > n:
+                    assert key in merged, (trial, key)
+                if key in merged:
+                    assert merged[key] <= freq
+                    assert (freq - merged[key]) * k <= n
+
+
 class TestPrefixFilterJoin:
     def test_prefix_filter_equals_full_join(self, spark):
         # the prefix-filter theorem in practice: the filtered join must
