@@ -776,3 +776,79 @@ def q7t_qc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(slope, 6).alias("drift_per_hour"),
     )
+
+
+# --------------------------------------------------------------------------
+# q7w — doublet-discrimination gate (C-family): the standard
+# cytometry preprocessing step that precedes every analysis gate —
+# events whose pulse AREA exceeds pulse HEIGHT by more than a
+# tolerance ratio are coincident doublets and are dropped, reported
+# per sample. On the synthetic channel frame, area = price/1000 and
+# height = area / (1 + tax) (tax models the pulse widening), so the
+# area/height ratio gate is the same division-and-compare expression
+# a real FSC-A/FSC-H gate runs; both engines evaluate the identical
+# IEEE chain, so the keep decision never flips. Retained-population
+# stats use the exact scaled-long mean.
+# Scale: pure per-row expression gate at scan parallelism + one
+# sample-keyed aggregation — the same shape as q70's compensation.
+# --------------------------------------------------------------------------
+
+_DBL_RATIO = 1.06
+
+
+@query(
+    "q7w_doublet_gate",
+    oracle=f"""
+    WITH ch AS (
+      SELECT l_orderkey AS sample_id,
+             l_extendedprice / 1000.0 AS area,
+             (l_extendedprice / 1000.0) / (1.0 + l_tax) AS height,
+             l_quantity AS ch_qty
+      FROM lineitem
+    )
+    SELECT sample_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN area / height <= {_DBL_RATIO}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_singlets,
+           CAST(SUM(CASE WHEN area / height <= {_DBL_RATIO}
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS singlet_rate,
+           CAST(SUM(CASE WHEN area / height <= {_DBL_RATIO}
+                         THEN CAST(FLOOR(ch_qty * 100.0 + 0.5) AS BIGINT)
+                         ELSE 0 END) AS DOUBLE) / 100.0
+             AS singlet_qty_sum
+    FROM ch GROUP BY sample_id
+    """,
+)
+def q7w_doublet_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    area = F.col("l_extendedprice") / F.lit(1000.0)
+    height = (F.col("l_extendedprice") / F.lit(1000.0)) / (
+        F.lit(1.0) + F.col("l_tax")
+    )
+    singlet = (area / height) <= F.lit(_DBL_RATIO)
+    qty_scaled = F.floor(F.col("l_quantity") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    return (
+        l.select(
+            F.col("l_orderkey").alias("sample_id"),
+            singlet.alias("s"),
+            qty_scaled.alias("q"),
+        )
+        .groupBy("sample_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("s"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_singlets"),
+            (
+                F.sum(F.when(F.col("s"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("singlet_rate"),
+            (
+                F.sum(F.when(F.col("s"), F.col("q")).otherwise(0)).cast("double")
+                / 100.0
+            ).alias("singlet_qty_sum"),
+        )
+    )

@@ -1366,3 +1366,110 @@ def q8w_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cxy").desc(), "bigram")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# q8z — Heaps'-law fit (vocabulary growth V = K·N^β), the companion
+# corpus statistic to the Zipf fit (q8r): split the corpus into 10
+# doc-id deciles, compute cumulative token count N_k and cumulative
+# vocabulary V_k (terms by FIRST-occurrence decile — a min-aggregate,
+# not a re-scan per prefix), then fit β by OLS on (ln N_k, ln V_k)
+# with scaled-long sums. Every count is an exact integer; the ln
+# chain is identical on both engines; β rounds to 6 dp.
+# Scale: one explode pass; first-occurrence is a per-term MIN; the
+# fit runs over 10 rows.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q8z_heaps_law",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+    ),
+    dmax AS (SELECT MAX(doc_id) + 1 AS md FROM documents),
+    tk AS (
+      SELECT CAST(doc_id * 10 // md AS INTEGER) AS dec_, w FROM t, dmax
+    ),
+    toks AS (SELECT dec_, COUNT(*) AS nt FROM tk GROUP BY dec_),
+    first_occ AS (SELECT w, MIN(dec_) AS fd FROM tk GROUP BY w),
+    vocab AS (SELECT fd AS dec_, COUNT(*) AS nv FROM first_occ GROUP BY fd),
+    cum AS (
+      SELECT t1.dec_,
+             SUM(t2.nt) AS cum_tokens,
+             (SELECT SUM(nv) FROM vocab v WHERE v.dec_ <= t1.dec_) AS cum_vocab
+      FROM toks t1 JOIN toks t2 ON t2.dec_ <= t1.dec_
+      GROUP BY t1.dec_
+    ),
+    pts AS (
+      SELECT LN(CAST(cum_tokens AS DOUBLE)) AS x,
+             LN(CAST(cum_vocab AS DOUBLE)) AS y
+      FROM cum
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(FLOOR(x * 1000000000.0 + 0.5) AS BIGINT)) AS sx,
+             SUM(CAST(FLOOR(y * 1000000000.0 + 0.5) AS BIGINT)) AS sy,
+             SUM(CAST(FLOOR(x * y * 1000000000.0 + 0.5) AS BIGINT)) AS sxy,
+             SUM(CAST(FLOOR(x * x * 1000000000.0 + 0.5) AS BIGINT)) AS sxx
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / 1000000000.0)
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / 1000000000.0),
+                 6) AS heaps_beta
+    FROM s
+    """,
+)
+def q8z_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    md = d.agg((F.max("doc_id") + 1).alias("md"))
+    tk = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .join(F.broadcast(md))
+        .select(F.expr("cast(doc_id * 10 div md as int)").alias("dec_"), "w")
+    )
+    toks = tk.groupBy("dec_").agg(F.count(F.lit(1)).alias("nt"))
+    vocab = (
+        tk.groupBy("w")
+        .agg(F.min("dec_").alias("fd"))
+        .groupBy(F.col("fd").alias("dec_"))
+        .agg(F.count(F.lit(1)).alias("nv"))
+    )
+    w_cum = Window.orderBy("dec_").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        toks.join(vocab, "dec_", "outer")
+        .select(
+            "dec_",
+            F.sum(F.coalesce("nt", F.lit(0))).over(w_cum).alias("cum_tokens"),
+            F.sum(F.coalesce("nv", F.lit(0))).over(w_cum).alias("cum_vocab"),
+        )
+    )
+    x = F.log(F.col("cum_tokens").cast("double"))
+    y = F.log(F.col("cum_vocab").cast("double"))
+    sc = lambda c: F.sum(  # noqa: E731
+        F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("long")
+    )
+    s = cum.agg(
+        F.count(F.lit(1)).alias("n"),
+        sc(x).alias("sx"),
+        sc(y).alias("sy"),
+        sc(x * y).alias("sxy"),
+        sc(x * x).alias("sxx"),
+    )
+    beta = F.round(
+        (
+            F.col("n").cast("double") * F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy").cast("double") / F.lit(1e9)
+        )
+        / (
+            F.col("n").cast("double") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double") / F.lit(1e9)
+        ),
+        6,
+    )
+    return s.select(F.col("n").cast("bigint").alias("n_points"), beta.alias("heaps_beta"))
