@@ -661,3 +661,125 @@ def q6m_curriculum_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q6o — first-fit-decreasing bin packing of the oversized-document
+# tail into 4 shards: the classic scheduling answer to "balance the
+# big files", distinct from q6c's sequence packing (which preserves
+# order) — FFD sorts by size and places each item in the FIRST bin
+# it fits. Bin state across items is sequential (like q4p/q4q), so
+# the operator is a bounded applyInPandas scan over the TOP-500
+# largest documents (TakeOrderedAndProject — at 100 TB you FFD the
+# oversized tail and round-robin the rest; the tail is what skews
+# shards). Capacity = ceil(total·1.1/4). The oracle replays the
+# identical integer cascade as a recursive CTE carrying the 4 bin
+# loads as columns — depth-bounded at 500 by construction.
+# Everything is BIGINT; no floats anywhere but the capacity ceil.
+# --------------------------------------------------------------------------
+
+_FFD_TOP = 500
+_FFD_BINS = 4
+
+
+@query(
+    "q6o_bin_packing",
+    oracle=f"""
+    WITH RECURSIVE items AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rn,
+             CAST(n_chars AS BIGINT) AS sz
+      FROM documents
+      ORDER BY n_chars DESC, doc_id LIMIT {_FFD_TOP}
+    ),
+    cap AS (SELECT CAST(CEIL(SUM(sz) * 1.1 / {_FFD_BINS}.0) AS BIGINT)
+                   AS cap FROM items),
+    st AS (
+      SELECT 0 AS rn,
+             CAST(0 AS BIGINT) AS b1, CAST(0 AS BIGINT) AS b2,
+             CAST(0 AS BIGINT) AS b3, CAST(0 AS BIGINT) AS b4,
+             CAST(0 AS BIGINT) AS n1, CAST(0 AS BIGINT) AS n2,
+             CAST(0 AS BIGINT) AS n3, CAST(0 AS BIGINT) AS n4,
+             CAST(0 AS BIGINT) AS ovf, CAST(0 AS BIGINT) AS ovn
+      UNION ALL
+      SELECT i.rn,
+        CASE WHEN st.b1 + i.sz <= cap.cap THEN st.b1 + i.sz ELSE st.b1 END,
+        CASE WHEN st.b1 + i.sz <= cap.cap THEN st.b2
+             WHEN st.b2 + i.sz <= cap.cap THEN st.b2 + i.sz ELSE st.b2 END,
+        CASE WHEN st.b1 + i.sz <= cap.cap OR st.b2 + i.sz <= cap.cap
+             THEN st.b3
+             WHEN st.b3 + i.sz <= cap.cap THEN st.b3 + i.sz ELSE st.b3 END,
+        CASE WHEN st.b1 + i.sz <= cap.cap OR st.b2 + i.sz <= cap.cap
+                  OR st.b3 + i.sz <= cap.cap THEN st.b4
+             WHEN st.b4 + i.sz <= cap.cap THEN st.b4 + i.sz ELSE st.b4 END,
+        st.n1 + CASE WHEN st.b1 + i.sz <= cap.cap THEN 1 ELSE 0 END,
+        st.n2 + CASE WHEN st.b1 + i.sz > cap.cap
+                      AND st.b2 + i.sz <= cap.cap THEN 1 ELSE 0 END,
+        st.n3 + CASE WHEN st.b1 + i.sz > cap.cap
+                      AND st.b2 + i.sz > cap.cap
+                      AND st.b3 + i.sz <= cap.cap THEN 1 ELSE 0 END,
+        st.n4 + CASE WHEN st.b1 + i.sz > cap.cap
+                      AND st.b2 + i.sz > cap.cap
+                      AND st.b3 + i.sz > cap.cap
+                      AND st.b4 + i.sz <= cap.cap THEN 1 ELSE 0 END,
+        st.ovf + CASE WHEN st.b1 + i.sz > cap.cap
+                       AND st.b2 + i.sz > cap.cap
+                       AND st.b3 + i.sz > cap.cap
+                       AND st.b4 + i.sz > cap.cap THEN i.sz ELSE 0 END,
+        st.ovn + CASE WHEN st.b1 + i.sz > cap.cap
+                       AND st.b2 + i.sz > cap.cap
+                       AND st.b3 + i.sz > cap.cap
+                       AND st.b4 + i.sz > cap.cap THEN 1 ELSE 0 END
+      FROM st JOIN items i ON i.rn = st.rn + 1, cap
+    ),
+    fin AS (SELECT * FROM st WHERE rn = (SELECT MAX(rn) FROM st))
+    SELECT e.bin_id, e.bin_load, e.n_items FROM fin, LATERAL (
+      VALUES (1, fin.b1, fin.n1), (2, fin.b2, fin.n2),
+             (3, fin.b3, fin.n3), (4, fin.b4, fin.n4),
+             (-1, fin.ovf, fin.ovn)
+    ) AS e(bin_id, bin_load, n_items)
+    """,
+)
+def q6o_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents")
+    top = (
+        d.select("doc_id", F.col("n_chars").cast("long").alias("sz"))
+        .orderBy(F.col("sz").desc(), "doc_id")
+        .limit(_FFD_TOP)
+    )
+
+    def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["sz", "doc_id"], ascending=[False, True],
+                              kind="mergesort")
+        total = int(pdf["sz"].sum())
+        import math
+
+        cap = math.ceil(total * 1.1 / _FFD_BINS)
+        loads = [0] * _FFD_BINS
+        counts = [0] * _FFD_BINS
+        ovf, ovn = 0, 0
+        for sz in pdf["sz"].astype("int64"):
+            placed = False
+            for b in range(_FFD_BINS):
+                if loads[b] + sz <= cap:
+                    loads[b] += int(sz)
+                    counts[b] += 1
+                    placed = True
+                    break
+            if not placed:
+                ovf += int(sz)
+                ovn += 1
+        return pd.DataFrame(
+            {
+                "bin_id": list(range(1, _FFD_BINS + 1)) + [-1],
+                "bin_load": loads + [ovf],
+                "n_items": counts + [ovn],
+            }
+        )
+
+    return (
+        top.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(ffd, schema="bin_id int, bin_load long, n_items long")
+    )
