@@ -619,3 +619,55 @@ def q5g_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d.doc_id, g.n
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q5t — the Observation API (df.observe): production pipelines attach
+# named metric expressions to a DataFrame and read them AFTER an
+# action, without a second scan — the built-in data-quality /
+# lineage-metrics channel (X-surface beside SQL UDF q5d and the
+# Python Data Source q5m). The query runs ONE noop-sink action over
+# orders with three observed aggregates and returns the observed
+# metrics as the result row; the metrics ride the action, so the
+# scan happens once. Sums go through the scaled-long discipline.
+# The 1-row driver hop is the API's design (metrics, not data).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q5t_observed_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS total_price,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_urgent
+    FROM orders
+    """,
+)
+def q5t_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    o = load(spark, sf_dir, "orders")
+    obs = Observation("q5t_metrics")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).cast("double")
+            / 100.0
+        ).alias("total_price"),
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_urgent"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), float(m["total_price"]), int(m["n_urgent"]))],
+        "n_rows long, total_price double, n_urgent long",
+    )

@@ -410,3 +410,42 @@ def q9f_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     final = spark.read.parquet(os.path.join(dest, versions[-1]))
     return final.select("user_id", "last_ts", "last_event_type", "last_value")
+
+
+# --------------------------------------------------------------------------
+# q9k — multi-source streaming union: two independent file streams
+# over the same event spool union into ONE streaming DAG (the
+# multiplexed-ingest topology — e.g. two regional kafka topics into
+# one pipeline), then a watermarked complete-mode count per type.
+# Every event is seen exactly twice, so the batch oracle is 2x the
+# plain counts — the union itself is what's verified. availableNow
+# drains both sources deterministically.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q9k_stream_union",
+    oracle="""
+    SELECT event_type, CAST(2 * COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q9k_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.queries.events_windows import _events_stream_dir
+    from fcs_etl_reactor_spark.streaming.windows import (
+        read_events_stream,
+        to_memory_sink,
+    )
+
+    src = _events_stream_dir(spark, sf_dir)
+    sink = _sink_name("q9k_sink", src)
+    s1 = read_events_stream(spark, src)
+    s2 = read_events_stream(spark, src)
+    counts = (
+        s1.unionAll(s2)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = to_memory_sink(counts, sink, output_mode="complete")
+    q.awaitTermination()
+    return spark.table(sink).select("event_type", "n")
