@@ -933,3 +933,65 @@ class TestSpatialGrid:
         assert sorted(map(tuple, naive.collect())) == sorted(
             map(tuple, grid.collect())
         )
+
+
+class TestNewOperatorEdges:
+    """Degenerate-input behavior of the continuation operators: a
+    single row, an empty frame, and k larger than the population must
+    return sane results, not crash (the 100 TB pipeline will see
+    empty partitions and tiny keys constantly)."""
+
+    def test_kmeans_k_exceeds_points(self, spark):
+        from fcs_etl_reactor_spark.operators.kmeans import (
+            kmeans_exact,
+            quantize_long,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [0.1, 0.2]), (2, [0.3, 0.4])], "vec_id int, embedding array<float>"
+        )
+        pts = quantize_long(df, "vec_id", "embedding")
+        assign, cent = kmeans_exact(pts, "vec_id", k=5, iters=2)
+        assert assign.count() == 2  # every point assigned
+        assert cent.select("cid").distinct().count() <= 2
+
+    def test_clamped_balance_single_and_all_negative(self, spark):
+        from fcs_etl_reactor_spark.operators.clamped import clamped_balance
+
+        df = spark.createDataFrame(
+            [(1, 1, 10), (2, 1, -5), (2, 2, -7)], "k int, ord int, delta long"
+        )
+        out = {
+            r["k"]: r for r in clamped_balance(df, "k", ["ord"], "delta").collect()
+        }
+        assert out[1]["final_scaled"] == 10 and out[1]["n_clamps"] == 0
+        # all-negative key clamps at every step and ends at zero
+        assert out[2]["final_scaled"] == 0 and out[2]["n_clamps"] == 2
+
+    def test_mg_fewer_keys_than_k(self, spark):
+        from fcs_etl_reactor_spark.operators.misra_gries import mg_merged
+
+        df = spark.createDataFrame([("a",), ("b",), ("a",)], "w string")
+        merged = {r["w"]: r["mg_est"] for r in mg_merged(df, "w", 8).collect()}
+        assert merged == {"a": 2, "b": 1}  # exact when keys < k
+
+    def test_bfs_isolated_source(self, spark):
+        from fcs_etl_reactor_spark.operators.graphs import bfs_hops
+
+        # the only edge is far from node 0; source = min node = 1
+        df = spark.createDataFrame([(1, 2), (2, 1)], "src int, dst int")
+        got = {r["node"]: r["d"] for r in bfs_hops(df, 3).collect()}
+        assert got == {1: 0, 2: 1}
+
+    def test_expectations_empty_frame(self, spark):
+        from fcs_etl_reactor_spark.operators.expectations import (
+            run_expectations,
+            violations,
+        )
+
+        df = spark.createDataFrame([], "v double")
+        rep = run_expectations(
+            df, [(violations("neg", F.col("v") < 0), "{m} = 0.0d")]
+        ).collect()
+        # SUM over empty input is NULL -> metric NULL, passed NULL
+        assert len(rep) == 1 and rep[0]["metric"] is None
