@@ -1473,3 +1473,159 @@ def q8z_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return s.select(F.col("n").cast("bigint").alias("n_points"), beta.alias("heaps_beta"))
+
+
+# --------------------------------------------------------------------------
+# q5u — end-to-end multinomial Naive Bayes language classifier:
+# TRAIN (doc_id % 5 != 0) → per-lang priors and add-one word
+# likelihoods → PREDICT the held-out split → EVALUATE accuracy, all
+# as ONE lazy plan. Every log term is floor-scaled to BIGINT from an
+# identical ln chain, so per-(doc, lang) scores are exact integers
+# and the argmax (score DESC, lang ASC) can never flip engines.
+# Add-one smoothing makes unseen-word terms ln(1) = 0, so the
+# missing-join case is an exact COALESCE(0), not an approximation.
+# Scale: model tables are vocabulary- and class-bounded broadcasts;
+# the eval side explodes once and joins at token granularity —
+# the standard distributed NB scoring topology.
+# Fixture note: the synthetic corpus shares one vocabulary across
+# langs, so absolute accuracy (~0.42 at sf0.01, vs a 0.44
+# majority-class baseline) reflects the DATA's separability, not the
+# estimator; the verified artifact is the exact train/predict/eval
+# pipeline parity.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q5u_naive_bayes",
+    oracle="""
+    WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+    ev AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+    ttoks AS (
+      SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM train
+    ),
+    v AS (SELECT COUNT(DISTINCT w) AS v FROM ttoks),
+    tl AS (SELECT lang, COUNT(*) AS t FROM ttoks GROUP BY lang),
+    priors AS (
+      SELECT lang, COUNT(*) AS dl,
+             (SELECT COUNT(*) FROM train) AS dt
+      FROM train GROUP BY lang
+    ),
+    langstats AS (
+      SELECT p.lang,
+             CAST(FLOOR(LN(CAST(p.dl AS DOUBLE) / CAST(p.dt AS DOUBLE))
+                        * 1000000000.0 + 0.5) AS BIGINT) AS lnprior_s,
+             CAST(FLOOR(LN(CAST(tl.t + v.v AS DOUBLE))
+                        * 1000000000.0 + 0.5) AS BIGINT) AS lntv_s
+      FROM priors p JOIN tl ON p.lang = tl.lang, v
+    ),
+    wl AS (
+      SELECT w, lang,
+             CAST(FLOOR(LN(CAST(COUNT(*) + 1 AS DOUBLE))
+                        * 1000000000.0 + 0.5) AS BIGINT) AS lnc1_s
+      FROM ttoks GROUP BY w, lang
+    ),
+    etoks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM ev
+    ),
+    scored AS (
+      SELECT e.doc_id, ls.lang,
+             ls.lnprior_s
+               + SUM(COALESCE(wl.lnc1_s, 0))
+               - COUNT(*) * ls.lntv_s AS score_s
+      FROM etoks e CROSS JOIN langstats ls
+      LEFT JOIN wl ON wl.w = e.w AND wl.lang = ls.lang
+      GROUP BY e.doc_id, ls.lang, ls.lnprior_s, ls.lntv_s
+    ),
+    pred AS (
+      SELECT doc_id, lang AS predicted FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score_s DESC, lang) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT COUNT(*) AS n_eval,
+           CAST(SUM(CASE WHEN p.predicted = ev.lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN p.predicted = ev.lang THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS accuracy
+    FROM pred p JOIN ev ON p.doc_id = ev.doc_id
+    """,
+)
+def q5u_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    ev = d.filter(F.col("doc_id") % 5 == 0)
+    sc9 = lambda c: F.floor(F.log(c) * F.lit(1e9) + F.lit(0.5)).cast(  # noqa: E731
+        "long"
+    )
+    ttoks = train.select("lang", F.explode(F.split("text", " ")).alias("w"))
+    v = ttoks.agg(F.count_distinct("w").alias("v"))
+    tl = ttoks.groupBy("lang").agg(F.count(F.lit(1)).alias("t"))
+    priors = (
+        train.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("dl"))
+        .join(F.broadcast(train.agg(F.count(F.lit(1)).alias("dt"))))
+    )
+    langstats = (
+        priors.join(tl, "lang")
+        .join(F.broadcast(v))
+        .select(
+            "lang",
+            sc9(F.col("dl").cast("double") / F.col("dt").cast("double")).alias(
+                "lnprior_s"
+            ),
+            sc9((F.col("t") + F.col("v")).cast("double")).alias("lntv_s"),
+        )
+    )
+    wl = (
+        ttoks.groupBy("w", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.col("w").alias("m_w"),
+            F.col("lang").alias("m_lang"),
+            sc9((F.col("c") + 1).cast("double")).alias("lnc1_s"),
+        )
+    )
+    etoks = ev.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    scored = (
+        etoks.crossJoin(F.broadcast(langstats))
+        .join(
+            F.broadcast(wl),
+            (F.col("w") == F.col("m_w")) & (F.col("lang") == F.col("m_lang")),
+            "left",
+        )
+        .groupBy("doc_id", "lang", "lnprior_s", "lntv_s")
+        .agg(
+            (
+                F.col("lnprior_s")
+                + F.sum(F.coalesce("lnc1_s", F.lit(0)))
+                - F.count(F.lit(1)) * F.col("lntv_s")
+            ).alias("score_s")
+        )
+    )
+    w_pred = Window.partitionBy("doc_id").orderBy(
+        F.col("score_s").desc(), F.col("lang")
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w_pred))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("predicted"))
+    )
+    return (
+        pred.join(ev.select("doc_id", "lang"), "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(F.when(F.col("predicted") == F.col("lang"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_correct"),
+            (
+                F.sum(
+                    F.when(F.col("predicted") == F.col("lang"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("accuracy"),
+        )
+    )

@@ -652,3 +652,134 @@ def q8v_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_sum",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q5v — full-batch logistic-regression gradient descent (3 unrolled
+# steps) on the embedding table: y = [label < 5], features = the
+# first 8 components pivoted to COLUMNS so the margin
+# w1*x1 + ... + w8*x8 is one fixed-order expression (a dimension-
+# major groupBy-sum would re-associate floats). Per-row gradient
+# contributions floor-scale to BIGINT before summation, so each
+# step's weight vector is bit-identical across engines and
+# partitionings; the oracle unrolls the same steps as a CTE chain.
+# Prediction uses the margin sign (σ(m) ≥ 0.5 ⇔ m ≥ 0) — no
+# transcendental in the decision. This is the canonical distributed
+# GD topology: per-step cost is one scan + an 8-cell reduction, the
+# weight state is a 1-row broadcast.
+# --------------------------------------------------------------------------
+
+_LR_DIMS = 8
+_LR_STEPS = 3
+
+
+def _logreg_oracle(dims: int, steps: int) -> str:
+    xs = ", ".join(
+        f"CAST(embedding[{i + 1}] AS DOUBLE) AS x{i + 1}" for i in range(dims)
+    )
+    ctes = [
+        f"""pts AS (
+      SELECT {xs},
+             CASE WHEN label < 5 THEN 1.0e0 ELSE 0.0e0 END AS y
+      FROM embeddings
+    )""",
+        "nn AS (SELECT COUNT(*) AS n FROM pts)",
+        "w0 AS (SELECT "
+        + ", ".join(f"0.0e0 AS w{i + 1}" for i in range(dims))
+        + ")",
+    ]
+    for t in range(1, steps + 1):
+        m = " + ".join(f"w{i + 1} * x{i + 1}" for i in range(dims))
+        gs = ", ".join(
+            f"SUM(CAST(FLOOR(x{i + 1} * (y - 1.0e0 / (1.0e0 + EXP(-({m}))))"
+            f" * 1000000000.0 + 0.5) AS BIGINT)) AS g{i + 1}"
+            for i in range(dims)
+        )
+        ctes.append(f"g{t} AS (SELECT {gs} FROM pts, w{t - 1})")
+        ws = ", ".join(
+            f"w{t - 1}.w{i + 1} + (CAST(g{t}.g{i + 1} AS DOUBLE)"
+            f" / 1000000000.0) / nn.n AS w{i + 1}"
+            for i in range(dims)
+        )
+        ctes.append(f"w{t} AS (SELECT {ws} FROM w{t - 1}, g{t}, nn)")
+    m_fin = " + ".join(f"w{i + 1} * x{i + 1}" for i in range(dims))
+    wout = ", ".join(f"ROUND(w{i + 1}, 9) AS w{i + 1}" for i in range(dims))
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n,
+           CAST(SUM(CASE WHEN ({m_fin} >= 0.0e0) = (y = 1.0e0)
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS train_accuracy,
+           {wout}
+    FROM pts, w{steps}
+    GROUP BY {", ".join(f"w{i + 1}" for i in range(dims))}
+    """
+
+
+@query("q5v_logreg_gd", oracle=_logreg_oracle(_LR_DIMS, _LR_STEPS))
+def q5v_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    pts = e.select(
+        *[
+            F.col("embedding")[i].cast("double").alias(f"x{i + 1}")
+            for i in range(_LR_DIMS)
+        ],
+        F.when(F.col("label") < 5, F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+    )
+    nn = pts.agg(F.count(F.lit(1)).alias("n"))
+    w = {f"w{i + 1}": F.lit(0.0) for i in range(_LR_DIMS)}
+    wdf = pts.limit(1).select(
+        *[v.alias(k) for k, v in w.items()]
+    )  # 1-row zero-weight frame
+    for _ in range(_LR_STEPS):
+        joined = pts.join(F.broadcast(wdf))
+        m = None
+        for i in range(_LR_DIMS):
+            term = F.col(f"w{i + 1}") * F.col(f"x{i + 1}")
+            m = term if m is None else m + term
+        resid = F.col("y") - F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+        g = joined.agg(
+            *[
+                F.sum(
+                    F.floor(
+                        F.col(f"x{i + 1}") * resid * F.lit(1e9) + F.lit(0.5)
+                    ).cast("long")
+                ).alias(f"g{i + 1}")
+                for i in range(_LR_DIMS)
+            ]
+        )
+        wdf = (
+            wdf.join(F.broadcast(g))
+            .join(F.broadcast(nn))
+            .select(
+                *[
+                    (
+                        F.col(f"w{i + 1}")
+                        + (F.col(f"g{i + 1}").cast("double") / F.lit(1e9))
+                        / F.col("n")
+                    ).alias(f"w{i + 1}")
+                    for i in range(_LR_DIMS)
+                ]
+            )
+        )
+    m_fin = None
+    for i in range(_LR_DIMS):
+        term = F.col(f"w{i + 1}") * F.col(f"x{i + 1}")
+        m_fin = term if m_fin is None else m_fin + term
+    correct = (m_fin >= F.lit(0.0)) == (F.col("y") == F.lit(1.0))
+    return (
+        pts.join(F.broadcast(wdf))
+        .groupBy(*[f"w{i + 1}" for i in range(_LR_DIMS)])
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (
+                F.sum(F.when(correct, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("train_accuracy"),
+        )
+        .select(
+            "n",
+            "train_accuracy",
+            *[F.round(F.col(f"w{i + 1}"), 9).alias(f"w{i + 1}") for i in range(_LR_DIMS)],
+        )
+    )

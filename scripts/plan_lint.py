@@ -71,6 +71,8 @@ ALLOW_CARTESIAN = {
     "q4s_cusum",                # 1-row (n, tot) mean-denominator cross
     "q3j_decayed_counts",       # 1-row freshness-anchor (max ts) cross
     "q8z_heaps_law",            # 1-row max-doc-id decile-denominator cross
+    "q5u_naive_bayes",          # 5-row class-stats broadcast cross (NB scoring)
+    "q5v_logreg_gd",            # 1-row weight-state broadcast cross per GD step
     "q8c_lm_familiarity",       # small LM broadcast cross
     "q6f_domain_mixture",       # 1-row stats broadcast cross
     "q58_sampling",             # 1-row envelope cross
