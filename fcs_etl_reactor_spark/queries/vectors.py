@@ -783,3 +783,112 @@ def q5v_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.round(F.col(f"w{i + 1}"), 9).alias(f"w{i + 1}") for i in range(_LR_DIMS)],
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q5w — k-NN classifier evaluation (k=5), completing the supervised
+# trio beside Naive Bayes (q5u) and logistic GD (q5v): held-out
+# vectors (vec_id % 20 == 0) classified by majority label of their 5
+# nearest training vectors. Distances reuse operators/kmeans
+# quantization, so every comparison is BIGINT-exact; neighbor rank
+# ties break on (distance, train id) and vote ties on (count DESC,
+# label ASC) — no float anywhere in the decision chain. The exact
+# quadratic arm is the correctness baseline by design (like q91);
+# the registered ANN paths (q89/q92) are the scale route.
+# --------------------------------------------------------------------------
+
+_KNN_K = 5
+
+
+@query(
+    "q5w_knn_eval",
+    oracle=f"""
+    WITH pts AS (
+      SELECT vec_id, label, GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS pos,
+             CAST(FLOOR((CAST(UNNEST(embedding) AS DOUBLE) + 2.0) * 1000.0
+                        + 0.5) AS BIGINT) AS qv
+      FROM embeddings
+    ),
+    ev AS (SELECT * FROM pts WHERE vec_id % 20 = 0),
+    tr AS (SELECT * FROM pts WHERE vec_id % 20 <> 0),
+    dist AS (
+      SELECT e.vec_id AS eid, t.vec_id AS tid, t.label AS tlabel,
+             SUM((e.qv - t.qv) * (e.qv - t.qv)) AS d
+      FROM ev e JOIN tr t ON e.pos = t.pos
+      GROUP BY 1, 2, 3
+    ),
+    nn AS (
+      SELECT eid, tlabel FROM (
+        SELECT eid, tlabel,
+               ROW_NUMBER() OVER (PARTITION BY eid ORDER BY d, tid) AS rn
+        FROM dist
+      ) WHERE rn <= {_KNN_K}
+    ),
+    votes AS (
+      SELECT eid, tlabel, COUNT(*) AS c FROM nn GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT eid, tlabel AS predicted FROM (
+        SELECT eid, tlabel,
+               ROW_NUMBER() OVER (PARTITION BY eid
+                                  ORDER BY c DESC, tlabel) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    )
+    SELECT COUNT(*) AS n_eval,
+           CAST(SUM(CASE WHEN p.predicted = e.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN p.predicted = e.label THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS accuracy
+    FROM pred p JOIN embeddings e ON p.eid = e.vec_id
+    """,
+)
+def q5w_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from fcs_etl_reactor_spark.operators.kmeans import quantize_long
+
+    e = load(spark, sf_dir, "embeddings")
+    pts = quantize_long(e, "vec_id", "embedding").join(
+        e.select("vec_id", "label"), "vec_id"
+    )
+    ev = pts.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("eid"), F.col("pos").alias("epos"),
+        F.col("qv").alias("eqv"),
+    )
+    tr = pts.filter(F.col("vec_id") % 20 != 0).select(
+        F.col("vec_id").alias("tid"), F.col("label").alias("tlabel"),
+        F.col("pos").alias("tpos"), F.col("qv").alias("tqv"),
+    )
+    diff = F.col("eqv") - F.col("tqv")
+    dist = (
+        ev.join(tr, F.col("epos") == F.col("tpos"))
+        .groupBy("eid", "tid", "tlabel")
+        .agg(F.sum(diff * diff).alias("d"))
+    )
+    w_nn = Window.partitionBy("eid").orderBy("d", "tid")
+    nn = dist.withColumn("rn", F.row_number().over(w_nn)).filter(
+        F.col("rn") <= _KNN_K
+    )
+    votes = nn.groupBy("eid", "tlabel").agg(F.count(F.lit(1)).alias("c"))
+    w_v = Window.partitionBy("eid").orderBy(F.col("c").desc(), F.col("tlabel"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w_v))
+        .filter(F.col("rn") == 1)
+        .select("eid", F.col("tlabel").alias("predicted"))
+    )
+    return (
+        pred.join(e.select(F.col("vec_id").alias("eid"), "label"), "eid")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(F.when(F.col("predicted") == F.col("label"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_correct"),
+            (
+                F.sum(
+                    F.when(F.col("predicted") == F.col("label"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("accuracy"),
+        )
+    )
