@@ -846,26 +846,28 @@ _KNN_K = 5
 def q5w_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from fcs_etl_reactor_spark.operators.kmeans import quantize_long
-
     e = load(spark, sf_dir, "embeddings")
-    pts = quantize_long(e, "vec_id", "embedding").join(
-        e.select("vec_id", "label"), "vec_id"
+    # quantize to array<long> ONCE per row; distances are a zip_with
+    # fold per PAIR — the pair join ships |E|x|T| rows, not
+    # |E|x|T|x64 (the dimension-major explode-join probed 829x at
+    # 10x; this form is the q91 contract: quadratic by design, but
+    # codegen expression work, no dimension blow-up in the shuffle)
+    qarr = F.expr(
+        "transform(embedding, e -> cast(floor((cast(e as double) + 2.0)"
+        " * 1000.0 + 0.5) as bigint))"
     )
-    ev = pts.filter(F.col("vec_id") % 20 == 0).select(
-        F.col("vec_id").alias("eid"), F.col("pos").alias("epos"),
-        F.col("qv").alias("eqv"),
+    ev = e.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("eid"), qarr.alias("eq")
     )
-    tr = pts.filter(F.col("vec_id") % 20 != 0).select(
+    tr = e.filter(F.col("vec_id") % 20 != 0).select(
         F.col("vec_id").alias("tid"), F.col("label").alias("tlabel"),
-        F.col("pos").alias("tpos"), F.col("qv").alias("tqv"),
+        qarr.alias("tq"),
     )
-    diff = F.col("eqv") - F.col("tqv")
-    dist = (
-        ev.join(tr, F.col("epos") == F.col("tpos"))
-        .groupBy("eid", "tid", "tlabel")
-        .agg(F.sum(diff * diff).alias("d"))
+    d = F.expr(
+        "aggregate(zip_with(eq, tq, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, x) -> acc + x)"
     )
+    dist = tr.join(F.broadcast(ev)).select("eid", "tid", "tlabel", d.alias("d"))
     w_nn = Window.partitionBy("eid").orderBy("d", "tid")
     nn = dist.withColumn("rn", F.row_number().over(w_nn)).filter(
         F.col("rn") <= _KNN_K
