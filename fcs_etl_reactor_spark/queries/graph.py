@@ -673,3 +673,116 @@ def q1g_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("support_cnt").desc(), "ante", "cons")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# q5x — HITS hubs & authorities (Kleinberg) on the customer→supplier
+# purchase graph: the classic link-analysis dual to PageRank (q5n),
+# natural on a bipartite graph — customers are pure hubs, suppliers
+# pure authorities. Fixed-point integer arithmetic throughout:
+# SCALE=1e6 keeps every Σ and the max-normalization product
+# (score·SCALE div max) inside BIGINT in both engines, so all three
+# unrolled mutual-reinforcement rounds are bit-exact at any
+# partitioning. Output: top-10 authorities and top-10 hubs with an
+# integer ranking key. Per-round cost: one |E| join partial-
+# aggregated per side + a 1-row max broadcast — the q5n topology.
+# --------------------------------------------------------------------------
+
+_HITS_SCALE = 1_000_000
+_HITS_ITERS = 3
+
+
+def _hits_oracle(iters: int) -> str:
+    s = _HITS_SCALE
+    ctes = [
+        """edges AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    )""",
+        f"""h0 AS (
+      SELECT DISTINCT src AS node, CAST({s} AS BIGINT) AS h FROM edges
+    )""",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(f"""ar{t} AS (
+      SELECT e.dst AS node, SUM(p.h) AS a
+      FROM edges e JOIN h{t - 1} p ON e.src = p.node
+      GROUP BY e.dst
+    )""")
+        ctes.append(f"""a{t} AS (
+      SELECT node, CAST(a * {s} // (SELECT MAX(a) FROM ar{t}) AS BIGINT) AS a
+      FROM ar{t}
+    )""")
+        ctes.append(f"""hr{t} AS (
+      SELECT e.src AS node, SUM(q.a) AS h
+      FROM edges e JOIN a{t} q ON e.dst = q.node
+      GROUP BY e.src
+    )""")
+        ctes.append(f"""h{t} AS (
+      SELECT node, CAST(h * {s} // (SELECT MAX(h) FROM hr{t}) AS BIGINT) AS h
+      FROM hr{t}
+    )""")
+    return f"""
+    WITH {','.join(ctes)},
+    topa AS (
+      SELECT 'authority' AS kind, node, a AS score
+      FROM a{iters} ORDER BY a DESC, node LIMIT 10
+    ),
+    toph AS (
+      SELECT 'hub' AS kind, node, h AS score
+      FROM h{iters} ORDER BY h DESC, node LIMIT 10
+    )
+    SELECT * FROM topa UNION ALL SELECT * FROM toph
+    """
+
+
+@query("q5x_hits", oracle=_hits_oracle(_HITS_ITERS))
+def q5x_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _HITS_SCALE
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    h = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "h", F.lit(s).cast("bigint")
+    )
+    a = None
+    for _ in range(_HITS_ITERS):
+        ar = (
+            edges.join(h, edges["src"] == h["node"])
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a"))
+        )
+        am = ar.agg(F.max("a").alias("am"))
+        a = ar.join(F.broadcast(am)).select(
+            F.col("dst").alias("node"),
+            F.expr(f"a * {s} div am").cast("bigint").alias("a"),
+        )
+        hr = (
+            edges.join(a, edges["dst"] == a["node"])
+            .groupBy("src")
+            .agg(F.sum("a").alias("hsum"))
+        )
+        hm = hr.agg(F.max("hsum").alias("hm"))
+        h = hr.join(F.broadcast(hm)).select(
+            F.col("src").alias("node"),
+            F.expr(f"hsum * {s} div hm").cast("bigint").alias("h"),
+        )
+    topa = (
+        a.orderBy(F.col("a").desc(), "node")
+        .limit(10)
+        .select(F.lit("authority").alias("kind"), "node", F.col("a").alias("score"))
+    )
+    toph = (
+        h.orderBy(F.col("h").desc(), "node")
+        .limit(10)
+        .select(F.lit("hub").alias("kind"), "node", F.col("h").alias("score"))
+    )
+    return topa.unionAll(toph)

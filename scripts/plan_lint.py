@@ -74,6 +74,7 @@ ALLOW_CARTESIAN = {
     "q5u_naive_bayes",          # 5-row class-stats broadcast cross (NB scoring)
     "q5v_logreg_gd",            # 1-row weight-state broadcast cross per GD step
     "q5w_knn_eval",             # quadratic exact arm (q91 contract), broadcast eval side
+    "q5x_hits",                 # 1-row max-normalize broadcast cross per round
     "q8c_lm_familiarity",       # small LM broadcast cross
     "q6f_domain_mixture",       # 1-row stats broadcast cross
     "q58_sampling",             # 1-row envelope cross
