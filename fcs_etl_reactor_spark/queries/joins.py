@@ -500,3 +500,58 @@ def q1c_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a").alias("p1"), F.col("b").alias("p2"), "n_orders"
     )
     return pairs.orderBy(F.col("n_orders").desc(), "p1", "p2").limit(25)
+
+
+# --------------------------------------------------------------------------
+# q4t — interval stabbing by sweep-line / difference array: "how many
+# 30-day order windows are open at each month boundary?" The naive
+# answer is a grid × intervals RANGE JOIN (O(|grid|·|intervals|));
+# the scalable answer bucketizes each interval into a +1 delta at the
+# first grid point it covers and a −1 delta at the first grid point
+# past its end, then takes ONE calendar-bounded running sum — O(N)
+# scan + a tiny ordered window. The oracle IS the naive range join,
+# so the driver verifies sweep-line ≡ range-join (the grid/LSH
+# bucketed-equals-exact pattern).
+# Boundary discipline: [start, end) vs grid point T — start ≤ T
+# becomes ceil-to-month(start) ≤ T (exact at boundaries because the
+# grid is month starts); end ≤ T kills the window at T.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q4t_interval_stabbing",
+    oracle="""
+    WITH grid AS (
+      SELECT DISTINCT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP)
+        AS t FROM orders
+    ),
+    iv AS (
+      SELECT o_orderdate AS s, o_orderdate + INTERVAL 30 DAY AS e
+      FROM orders
+    )
+    SELECT g.t, CAST(COUNT(iv.s) AS BIGINT) AS n_open
+    FROM grid g LEFT JOIN iv ON iv.s <= g.t AND g.t < iv.e
+    GROUP BY g.t
+    """,
+)
+def q4t_interval_stabbing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    grid = o.select(F.date_trunc("month", "o_orderdate").alias("t")).distinct()
+    s = F.col("o_orderdate")
+    e = F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    ceil_m = lambda c: F.when(  # noqa: E731
+        F.date_trunc("month", c) == c, F.date_trunc("month", c)
+    ).otherwise(F.date_trunc("month", F.add_months(c, 1)))
+    deltas = o.select(ceil_m(s).alias("m"), F.lit(1).alias("d")).unionAll(
+        o.select(ceil_m(e).alias("m"), F.lit(-1).alias("d"))
+    )
+    per_month = deltas.groupBy("m").agg(F.sum("d").alias("dm"))
+    months = per_month.join(
+        grid.withColumnRenamed("t", "m"), "m", "outer"
+    ).select("m", F.coalesce("dm", F.lit(0)).alias("dm"))
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    cum = months.select("m", F.sum("dm").over(w).alias("n_open"))
+    return (
+        cum.join(grid, cum["m"] == grid["t"], "left_semi")
+        .select(F.col("m").alias("t"), F.col("n_open").cast("bigint"))
+    )

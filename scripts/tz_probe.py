@@ -41,7 +41,7 @@ TS_QUERIES = [
     "q4k_seasonal_decompose", "q3g_attribution", "q4l_bootstrap_ci",
     "q4m_chi_square", "q3i_top_paths", "q4o_kaplan_meier",
     "q4p_clamped_balance", "q4q_holt_forecast", "q3j_decayed_counts",
-    "q4s_cusum",
+    "q4s_cusum", "q4t_interval_stabbing",
 ]
 
 
