@@ -449,3 +449,57 @@ def q9k_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = to_memory_sink(counts, sink, output_mode="complete")
     q.awaitTermination()
     return spark.table(sink).select("event_type", "n")
+
+
+# --------------------------------------------------------------------------
+# q9l — MULTI-micro-batch incremental state: every other streaming
+# entry runs availableNow over a single-file spool (one batch by
+# design, documented in _events_stream_dir); this one spools events
+# as FOUR files and sets maxFilesPerTrigger=1, so availableNow
+# executes four micro-batches and the complete-mode aggregation
+# state must merge across them. The final counts equal the batch
+# answer — cross-batch state accumulation is the thing verified.
+# No watermark: a non-windowed complete aggregation accumulates all
+# input regardless of arrival order, so the file split can't affect
+# the result.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q9l_incremental_batches",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+    """,
+)
+def q9l_incremental_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from fcs_etl_reactor_spark.io import load, source_fingerprint
+    from fcs_etl_reactor_spark.streaming.windows import (
+        read_events_stream,
+        to_memory_sink,
+    )
+
+    key = sf_dir.rstrip("/")
+    dest = os.path.join(
+        "/tmp/spark_graft_stream_src",
+        key.strip("/").replace("/", "_")
+        + "_x4_"
+        + source_fingerprint(sf_dir, "events"),
+    )
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        tmp = f"{dest}.build.{os.getpid()}"
+        e = load(spark, sf_dir, "events")
+        e.repartition(4).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    sink = _sink_name("q9l_sink", dest)
+    stream = read_events_stream(spark, dest, max_files_per_trigger=1)
+    counts = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    q = to_memory_sink(counts, sink, output_mode="complete")
+    q.awaitTermination()
+    return spark.table(sink).select("event_type", "n")

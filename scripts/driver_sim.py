@@ -73,7 +73,16 @@ def main():
 
     n_pass = n_rowsonly = 0
     fails = []
-    for name, fn in qs.items():
+    for i, (name, fn) in enumerate(qs.items()):
+        # The real driver verifies a 50-query window per session; this
+        # sim runs the FULL registry in one vanilla (1g-heap) session,
+        # which pins every executed plan's broadcasts. Release caches
+        # at the real driver's cadence so sim-only heap pressure can't
+        # masquerade as a product failure (observed: 4 late-run heap
+        # OOMs at the 255-entry registry before this).
+        if i and i % 50 == 0:
+            spark.__dict__.pop("_fcs_plan_cache", None)
+            spark.catalog.clearCache()
         try:
             sdf = fn(spark, SF)
             srows = sdf.collect()
