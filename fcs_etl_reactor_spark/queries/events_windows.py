@@ -1917,3 +1917,82 @@ def q4s_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_scaled").alias("cusum_max"),
         "n_clamps",
     ).withColumnRenamed("n_clamps", "n_resets")
+
+
+# --------------------------------------------------------------------------
+# q4u — autocorrelation function (ACF) of the hourly event-count
+# series, per event type, at lags 1 and 24 (the hour-over-hour and
+# day-over-day signals a seasonality detector reads). Series = counts
+# of the OBSERVED hourly buckets in time order; lag is by row over
+# that sequence (documented: no zero-fill — both engines use the
+# identical row-lag semantics, and q4d is the gap-fill operator).
+#
+# Pearson r over (x = lagged count, y = count): every aggregate
+# (n, Sx, Sy, Sxy, Sxx, Syy) is a BIGINT sum of exact integers, so
+# both engines divide the SAME integers; the one float expression is
+# the final ratio, rounded to 9 dp. Scale: one shuffle to the hourly
+# buckets (map-side combinable), a per-type window lag, and a
+# (type x lag)-cell aggregate — counts-bound after the first pass.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q4u_autocorrelation",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS hr, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, c,
+             LAG(c, 1) OVER (PARTITION BY event_type ORDER BY hr) AS x1,
+             LAG(c, 24) OVER (PARTITION BY event_type ORDER BY hr) AS x24
+      FROM hourly
+    ),
+    pairs AS (
+      SELECT event_type, 1 AS lag, x1 AS x, c AS y FROM lagged WHERE x1 IS NOT NULL
+      UNION ALL
+      SELECT event_type, 24 AS lag, x24 AS x, c AS y FROM lagged WHERE x24 IS NOT NULL
+    )
+    SELECT event_type, CAST(lag AS INTEGER) AS lag,
+           COUNT(*) AS n_pairs,
+           ROUND(
+             CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
+             / NULLIF(SQRT(CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE)
+                           * CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS DOUBLE)),
+                      0),
+             9) AS acf
+    FROM pairs
+    GROUP BY event_type, lag
+    """,
+)
+def q4u_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    lagged = hourly.select(
+        "event_type",
+        "c",
+        F.lag("c", 1).over(w).alias("x1"),
+        F.lag("c", 24).over(w).alias("x24"),
+    )
+    pairs = lagged.select(
+        "event_type",
+        "c",
+        F.expr("stack(2, 1, x1, 24, x24) AS (lag, x)"),
+    ).filter(F.col("x").isNotNull())
+    n = F.count(F.lit(1))
+    sx, sy = F.sum("x"), F.sum("c")
+    sxy = F.sum(F.col("x") * F.col("c"))
+    sxx = F.sum(F.col("x") * F.col("x"))
+    syy = F.sum(F.col("c") * F.col("c"))
+    num = (n * sxy - sx * sy).cast("double")
+    den = F.sqrt(
+        (n * sxx - sx * sx).cast("double") * (n * syy - sy * sy).cast("double")
+    )
+    return pairs.groupBy("event_type", F.col("lag").cast("int").alias("lag")).agg(
+        n.alias("n_pairs"),
+        F.round(num / F.nullif(den, F.lit(0.0)), 9).alias("acf"),
+    )

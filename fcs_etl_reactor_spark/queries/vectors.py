@@ -894,3 +894,116 @@ def q5w_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("accuracy"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q8e — Arrow-vectorized Gram matrix (the PCA/linear-model building
+# block at scale). q8t builds the same 64x64 second-moment matrix by
+# explode -> self-join, which materializes D^2 = 4096 intermediate
+# rows PER VECTOR before the map-side combine. This operator is the
+# physical strategy a 100 TB run wants instead: mapInPandas computes
+# a per-partition integer X^T X with one NumPy matmul (no row
+# blow-up), and the only shuffle is (#partitions x 2080) partial
+# cells summed by (i, j) — dimension-bound, not corpus-bound.
+#
+# Determinism: components are quantized to BIGINT (round(x * 1e4))
+# BEFORE any product, so partials and sums are exact integers in both
+# engines — no float reduction anywhere. |q| <= ~1e4 keeps a cell
+# product <= ~1e8, so an int64 partition partial is exact up to ~9e10
+# rows per partition; the cross-partition sum is widened to
+# DECIMAL(38,0) so no row count can wrap it.
+# --------------------------------------------------------------------------
+
+_GRAM_DIM = 64
+_GRAM_SCALE = 10000
+
+
+@query(
+    "q8e_gram_matrix",
+    oracle=f"""
+    WITH q AS (
+      SELECT LIST_TRANSFORM(
+               embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * {_GRAM_SCALE}) AS BIGINT)
+             ) AS v
+      FROM embeddings
+    )
+    SELECT CAST(a.i - 1 AS INTEGER) AS i,
+           CAST(b.i - 1 AS INTEGER) AS j,
+           CAST(SUM(v[a.i] * v[b.i]) AS BIGINT) AS gram
+    FROM q, RANGE(1, {_GRAM_DIM + 1}) a(i), RANGE(1, {_GRAM_DIM + 1}) b(i)
+    WHERE a.i <= b.i
+    GROUP BY 1, 2
+    """,
+)
+def q8e_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.density import gram_upper
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.select(
+        F.expr(
+            "transform(embedding, x -> "
+            f"cast(round(cast(x as double) * {_GRAM_SCALE}) as bigint))"
+        ).alias("v")
+    )
+    return gram_upper(q, "v", _GRAM_DIM)
+
+
+# --------------------------------------------------------------------------
+# q5y — DBSCAN core-point detection, grid-bucketed (the density-
+# clustering primitive; k-means q8v assigns every point, DBSCAN
+# instead asks which points sit in dense regions). Points are the
+# first two embedding components quantized to BIGINT; eps-neighbor
+# counting uses the standard cell trick: bucket by floor(q/eps),
+# explode each point to its 3x3 neighbor cells, equi-join on cell,
+# then exact integer squared-distance filter. No all-pairs join
+# anywhere — candidate sets are (local density x 9) per point, so the
+# shuffle is data-proportional, not quadratic. The oracle IS the
+# quadratic self-join (correctness baseline at sf scale).
+#
+# Exactness: quantize-then-compare. Both engines round the SAME
+# doubles to the SAME integers, and every distance test is pure
+# int64 arithmetic — no float boundary can flip a neighbor.
+# --------------------------------------------------------------------------
+
+_DB_SCALE = 10000
+_DB_EPS_Q = 200  # eps = 0.02 in embedding units, quantized
+_DB_MINPTS = 4  # |N_eps(p)| >= 4, self included (classic DBSCAN)
+
+
+@query(
+    "q5y_dbscan_core",
+    oracle=f"""
+    WITH p AS (
+      SELECT vec_id,
+             CAST(ROUND(CAST(embedding[1] AS DOUBLE) * {_DB_SCALE}) AS BIGINT) AS qx,
+             CAST(ROUND(CAST(embedding[2] AS DOUBLE) * {_DB_SCALE}) AS BIGINT) AS qy
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_id,
+           COUNT(*) AS n_neighbors,
+           COUNT(*) >= {_DB_MINPTS} AS is_core
+    FROM p a JOIN p b
+      ON (a.qx - b.qx) * (a.qx - b.qx)
+         + (a.qy - b.qy) * (a.qy - b.qy) <= {_DB_EPS_Q * _DB_EPS_Q}
+    GROUP BY a.vec_id
+    """,
+)
+def q5y_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.density import eps_neighbor_counts
+
+    e = load(spark, sf_dir, "embeddings")
+    p = e.select(
+        "vec_id",
+        F.expr(
+            f"cast(round(cast(embedding[0] as double) * {_DB_SCALE}) as bigint)"
+        ).alias("qx"),
+        F.expr(
+            f"cast(round(cast(embedding[1] as double) * {_DB_SCALE}) as bigint)"
+        ).alias("qy"),
+    )
+    return eps_neighbor_counts(p, "vec_id", "qx", "qy", _DB_EPS_Q).select(
+        "vec_id",
+        "n_neighbors",
+        (F.col("n_neighbors") >= _DB_MINPTS).alias("is_core"),
+    )

@@ -589,3 +589,69 @@ class TestPrefixFilterJoin:
                 ).collect()
             }
             assert filt == full, (t, full ^ filt)
+
+
+class TestDensityOperators:
+    def test_eps_neighbor_counts_equals_brute_force(self, spark):
+        # grid completeness on adversarial coordinates: negatives,
+        # points exactly eps apart (boundary is <=), cell-line
+        # straddlers, and coincident points
+        import random
+
+        from fcs_etl_reactor_spark.operators.density import (
+            eps_neighbor_counts,
+        )
+
+        rng = random.Random(17)
+        eps = 100
+        pts = [(0, -100, -100), (1, 0, 0), (2, 100, 0), (3, 0, 100),
+               (4, 99, 99), (5, 100, 100), (6, 0, 0), (7, -250, 50)]
+        pts += [
+            (8 + i, rng.randint(-400, 400), rng.randint(-400, 400))
+            for i in range(60)
+        ]
+        for nparts in (1, 3, 7):
+            df = spark.createDataFrame(
+                pts, "pid LONG, qx LONG, qy LONG"
+            ).repartition(nparts)
+            got = {
+                r["pid"]: r["n_neighbors"]
+                for r in eps_neighbor_counts(
+                    df, "pid", "qx", "qy", eps
+                ).collect()
+            }
+            want = {
+                a[0]: sum(
+                    1
+                    for b in pts
+                    if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= eps * eps
+                )
+                for a in pts
+            }
+            assert got == want, (nparts, {
+                k: (got.get(k), want[k]) for k in want if got.get(k) != want[k]
+            })
+
+    def test_gram_upper_equals_numpy(self, spark):
+        import random
+
+        import numpy as np
+
+        from fcs_etl_reactor_spark.operators.density import gram_upper
+
+        rng = random.Random(23)
+        dim = 5
+        rows = [
+            ([rng.randint(-1000, 1000) for _ in range(dim)],)
+            for _ in range(40)
+        ]
+        m = np.array([r[0] for r in rows], dtype=np.int64)
+        want = m.T @ m
+        for nparts in (1, 2, 9):  # 9 > rows/5: some partitions empty
+            df = spark.createDataFrame(
+                rows, "v ARRAY<LONG>"
+            ).repartition(nparts)
+            got = {(r["i"], r["j"]): r["gram"] for r in gram_upper(df, "v", dim).collect()}
+            assert len(got) == dim * (dim + 1) // 2, nparts
+            for (i, j), g in got.items():
+                assert i <= j and g == want[i][j], (nparts, i, j, g, want[i][j])
