@@ -86,6 +86,9 @@ PROBE_QUERIES = [  # all run on the replicated tables
     "q1d_apriori_triples",   # candidate-driven support counting
     "q5r_bfs_hops",          # 3 Pregel frontier rounds
     "q8w_pmi_collocations",  # bigram transform + vocab broadcasts
+    "q8e_gram_matrix",       # partition-local integer X^T X matmul
+    "q5y_dbscan_core",       # eps-grid 3x3 candidate join
+    "q4u_autocorrelation",   # hourly buckets + per-type lag window
 ]
 
 
