@@ -42,6 +42,7 @@ TS_QUERIES = [
     "q4m_chi_square", "q3i_top_paths", "q4o_kaplan_meier",
     "q4p_clamped_balance", "q4q_holt_forecast", "q3j_decayed_counts",
     "q4s_cusum", "q4t_interval_stabbing",
+    "q4u_autocorrelation", "q9l_incremental_batches",
 ]
 
 
