@@ -465,20 +465,10 @@ def q9k_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query(
-    "q9l_incremental_batches",
-    oracle="""
-    SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
-    """,
-)
-def q9l_incremental_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
+def _x4_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Events spooled as FOUR parquet files (shared by q9l/q9m): with
+    maxFilesPerTrigger=1, availableNow runs four micro-batches."""
     from fcs_etl_reactor_spark.io import load, source_fingerprint
-    from fcs_etl_reactor_spark.streaming.windows import (
-        read_events_stream,
-        to_memory_sink,
-    )
 
     key = sf_dir.rstrip("/")
     dest = os.path.join(
@@ -494,12 +484,86 @@ def q9l_incremental_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             os.rename(tmp, dest)
         except OSError:
-            import shutil
-
             shutil.rmtree(tmp, ignore_errors=True)
+    return dest
+
+
+@query(
+    "q9l_incremental_batches",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+    """,
+)
+def q9l_incremental_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.streaming.windows import (
+        read_events_stream,
+        to_memory_sink,
+    )
+
+    dest = _x4_stream_dir(spark, sf_dir)
     sink = _sink_name("q9l_sink", dest)
     stream = read_events_stream(spark, dest, max_files_per_trigger=1)
     counts = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     q = to_memory_sink(counts, sink, output_mode="complete")
     q.awaitTermination()
     return spark.table(sink).select("event_type", "n")
+
+
+# --------------------------------------------------------------------------
+# q9m — UPDATE output mode (the third output mode; append and
+# complete are covered by q9a/q98 and q9k/q9l). Same four-batch spool
+# as q9l, but the sink receives only the groups whose state CHANGED
+# in each micro-batch, captured with their batch id via foreachBatch.
+# Reassembly takes each key's LAST emission (argmax batch id) — if
+# update mode emitted per-batch increments instead of cumulative
+# state, or skipped a changed group's final update, the hash would
+# miss the plain GROUP BY answer. Batch-boundary-independent by the
+# same argument as q9l (non-windowed aggregation, monotone state).
+# --------------------------------------------------------------------------
+
+_UPDATE_ROOT = "/tmp/spark_graft_stream_update"
+
+
+@query(
+    "q9m_update_mode",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+    """,
+)
+def q9m_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from fcs_etl_reactor_spark.streaming.windows import read_events_stream
+
+    src = _x4_stream_dir(spark, sf_dir)
+    # pid-scoped scratch like q9e: the clean-slate rmtree must never
+    # race a concurrent process's in-flight run
+    dest = os.path.join(
+        _UPDATE_ROOT, f"{src.rsplit('/', 1)[-1]}_pid{os.getpid()}"
+    )
+    sink_dir = os.path.join(dest, "sink")
+    checkpoint = os.path.join(dest, "ckpt")
+    shutil.rmtree(dest, ignore_errors=True)
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    counts = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+    def _capture(batch_df, batch_id):
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(sink_dir)
+
+    q = (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(_capture)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.read.parquet(sink_dir)
+    w = Window.partitionBy("event_type").orderBy(F.col("batch_id").desc())
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "n")
+    )
