@@ -1007,3 +1007,178 @@ def q5y_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_neighbors",
         (F.col("n_neighbors") >= _DB_MINPTS).alias("is_core"),
     )
+
+
+# --------------------------------------------------------------------------
+# q8f — top-2 PCA by DEFLATED power iteration: after q8t's top
+# eigenvector (v1, λ1), deflate G' = G − λ1·v1·v1ᵀ (a pure per-cell
+# expression joining the 4096-cell Gram against the 64-row vector on
+# each index — dimension-bound) and power-iterate G' for the second
+# component. This is the multi-component PCA loop a feature-reduction
+# pipeline runs: one corpus pass builds the Gram, every later step is
+# O(D²) regardless of corpus size.
+#
+# Determinism: identical to q8t — every reduction (Gram cells,
+# matvecs, norms) is a scaled-long exact sum, so both engines iterate
+# on bit-identical doubles; the deflation arithmetic is per-cell
+# expression work on those identical doubles (no reduction), and the
+# second chain's signs/values can therefore never diverge.
+# --------------------------------------------------------------------------
+
+
+def _pca2_oracle(iters: int = _PI_ITERS) -> str:
+    def fs(expr: str) -> str:
+        return (
+            f"CAST(SUM(CAST(FLOOR(({expr}) * 1000000000.0) AS HUGEINT)) AS DOUBLE)"
+            " / 1000000000.0"
+        )
+
+    ctes = [
+        """x AS (
+      SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+             GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS i
+      FROM embeddings
+    )""",
+        """n AS (SELECT COUNT(*) AS nn FROM embeddings)""",
+        f"""g AS (
+      SELECT a.i AS i, b.i AS j,
+             {fs('a.v * b.v')} / MAX(nn) AS g
+      FROM x a JOIN x b USING (vec_id) CROSS JOIN n
+      GROUP BY a.i, b.i
+    )""",
+        f"""v0 AS (
+      SELECT CAST(d AS BIGINT) AS j, 1.0 / 8.0 AS vj
+      FROM RANGE(0, {_PI_DIM}) t(d)
+    )""",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""w{k} AS (
+      SELECT g.i AS i, {fs('g.g * v.vj')} AS wi
+      FROM g JOIN v{k - 1} v ON g.j = v.j
+      GROUP BY g.i
+    )"""
+        )
+        ctes.append(f"""n{k} AS (SELECT SQRT({fs('wi * wi')}) AS nrm FROM w{k})""")
+        ctes.append(
+            f"""v{k} AS (SELECT i AS j, wi / nrm AS vj FROM w{k} CROSS JOIN n{k})"""
+        )
+    # deflate with (v_iters, nrm_iters) then iterate the second chain
+    ctes.append(
+        f"""g2 AS (
+      SELECT g.i AS i, g.j AS j,
+             g.g - (SELECT nrm FROM n{iters}) * vi.vj * vj.vj AS g
+      FROM g
+      JOIN v{iters} vi ON vi.j = g.i
+      JOIN v{iters} vj ON vj.j = g.j
+    )"""
+    )
+    ctes.append(
+        f"""u0 AS (
+      SELECT CAST(d AS BIGINT) AS j,
+             CASE WHEN d % 2 = 0 THEN 1.0 / 8.0 ELSE -1.0 / 8.0 END AS vj
+      FROM RANGE(0, {_PI_DIM}) t(d)
+    )"""
+    )
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""uw{k} AS (
+      SELECT g2.i AS i, {fs('g2.g * v.vj')} AS wi
+      FROM g2 JOIN u{k - 1} v ON g2.j = v.j
+      GROUP BY g2.i
+    )"""
+        )
+        ctes.append(f"""un{k} AS (SELECT SQRT({fs('wi * wi')}) AS nrm FROM uw{k})""")
+        ctes.append(
+            f"""u{k} AS (SELECT i AS j, wi / nrm AS vj FROM uw{k} CROSS JOIN un{k})"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(a.j AS INTEGER) AS dim,
+           ROUND(a.vj, 9) AS comp1,
+           ROUND(b.vj, 9) AS comp2,
+           ROUND((SELECT nrm FROM n{iters}), 9) AS eigenvalue1,
+           ROUND((SELECT nrm FROM un{iters}), 9) AS eigenvalue2
+    FROM v{iters} a JOIN u{iters} b USING (j)"""
+    )
+
+
+@query("q8f_pca_deflation", oracle=_pca2_oracle())
+def q8f_pca_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id", F.posexplode("embedding").alias("i", "v")
+    ).select("vec_id", "i", F.col("v").cast("double").alias("v"))
+    n = e.agg(F.count(F.lit(1)).alias("nn"))
+    a, b = x.alias("a"), x.alias("b")
+    g = (
+        a.join(b, "vec_id")
+        .crossJoin(F.broadcast(n))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(
+            (
+                fsum(F.col("a.v") * F.col("b.v"), "s", scale=1e9).cast("double")
+                / F.max("nn")
+            ).alias("g")
+        )
+    )
+
+    def iterate(gram, v_init):
+        v, nrm = v_init, None
+        for _ in range(_PI_ITERS):
+            w = (
+                gram.join(v, "j")
+                .groupBy("i")
+                .agg(fsum(F.col("g") * F.col("vj"), "wi", scale=1e9))
+            )
+            nrm = w.agg(
+                F.sqrt(
+                    fsum(F.col("wi") * F.col("wi"), "s", scale=1e9).cast("double")
+                ).alias("nrm")
+            )
+            v = w.crossJoin(F.broadcast(nrm)).select(
+                F.col("i").alias("j"), (F.col("wi") / F.col("nrm")).alias("vj")
+            )
+        return v, nrm
+
+    v0 = spark.range(_PI_DIM).select(
+        F.col("id").alias("j"), F.lit(1.0 / 8.0).alias("vj")
+    )
+    v1, n1 = iterate(g, v0)
+    # deflate: g2[i,j] = g[i,j] − λ1·v1[i]·v1[j] (pure expression work)
+    g2 = (
+        g.join(
+            v1.select(F.col("j").alias("i"), F.col("vj").alias("v1i")), "i"
+        )
+        .join(v1.select("j", F.col("vj").alias("v1j")), "j")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "i",
+            "j",
+            (
+                F.col("g") - F.col("nrm") * F.col("v1i") * F.col("v1j")
+            ).alias("g"),
+        )
+    )
+    u0 = spark.range(_PI_DIM).select(
+        F.col("id").alias("j"),
+        F.when(F.col("id") % 2 == 0, F.lit(1.0 / 8.0))
+        .otherwise(F.lit(-1.0 / 8.0))
+        .alias("vj"),
+    )
+    v2, n2 = iterate(g2, u0)
+    return (
+        v1.select(F.col("j"), F.col("vj").alias("c1"))
+        .join(v2.select("j", F.col("vj").alias("c2")), "j")
+        .crossJoin(F.broadcast(n1.select(F.col("nrm").alias("l1"))))
+        .crossJoin(F.broadcast(n2.select(F.col("nrm").alias("l2"))))
+        .select(
+            F.col("j").cast("int").alias("dim"),
+            F.round("c1", 9).alias("comp1"),
+            F.round("c2", 9).alias("comp2"),
+            F.round("l1", 9).alias("eigenvalue1"),
+            F.round("l2", 9).alias("eigenvalue2"),
+        )
+    )
