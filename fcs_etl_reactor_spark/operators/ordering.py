@@ -2,29 +2,137 @@
 
 A global `row_number() OVER (ORDER BY ...)` funnels every row through
 ONE reducer — fine for a demo, fatal at 100 TB. The distributed form
-is the classic two-pass zipWithIndex:
+is the classic two-pass zipWithIndex: partition the key space into
+contiguous ranges, count (or sum) per range, prefix the range totals
+on the driver (≤ #buckets integers — never row data), then assign
+rank = bucket offset + local position inside the sorted bucket.
 
-1. range-partition by the sort key (each partition holds a contiguous
-   key range) and sort within partitions — a single shuffle;
-2. count rows per partition (a cheap scan), prefix-sum the counts on
-   the driver (≤ #partitions integers — never row data);
-3. rank = partition offset + local position, assigned by an
-   Arrow-batched cumulative counter per partition.
+DESIGN NOTE — why buckets, not `repartitionByRange` partition ids.
+The obvious implementation range-partitions once and keys the driver
+offsets by `spark_partition_id()`. That is WRONG under re-execution:
+the offsets job and the assignment job are separate actions, each
+re-plans the exchange, and RangePartitioner draws its boundary sample
+with an RDD-id-dependent seed — so whenever upstream partitions are
+larger than the reservoir (observed at sf0.1: 13k grouped rows in 32
+partitions), the two passes can pick DIFFERENT boundaries and the
+pid-keyed offsets silently misalign (caught by the q4v/q4w oracle
+differ as a constant cumulative shift mid-keyspace).
 
-The assigned ranks are a pure function of the TOTAL order (key,
-tiebreak), not of where the sampled range boundaries happen to fall —
-so the output is deterministic even though RangePartitioner picks
-boundaries from a sample.
+Here the bucket id is a PURE EXPRESSION of the row: boundaries are
+computed once (driver-side, approxQuantile over a monotone numeric
+surrogate of the first sort key) and embedded as literals. Both
+passes therefore agree on every row's bucket by construction, no
+matter how the physical partitioning falls. Hash-partitioning on the
+bucket id co-locates each bucket in one task; a task may hold several
+buckets, walked in (bucket, key) sort order. The assigned ranks are a
+pure function of the TOTAL order (key, tiebreak), so the output is
+deterministic — and partition-count invariant — even though boundary
+QUALITY (balance) depends on the quantile sketch.
+
+NaN sorts last and NULL sorts first, matching Spark's ordering;
+equal first-keys always share a bucket, so multi-column tiebreaks
+never straddle a boundary.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: buckets per shuffle partition: >1 so hash placement of whole
+#: buckets still balances tasks when one bucket lands with another.
+_BUCKETS_PER_PART = 2
+
+
+def _numeric_surrogate(df: DataFrame, key: Column) -> Column:
+    """A double-valued expression MONOTONE (non-strictly) in ``key``'s
+    sort order, used only to place bucket boundaries — collisions just
+    coarsen buckets, they never reorder rows. Strings ride their first
+    7 UTF-8 bytes (zero-padded so prefixes stay below extensions —
+    byte order == Spark's UTF8String comparison); temporals ride the
+    epoch; numerics cast (double rounding of wide BIGINTs is monotone
+    non-strict)."""
+    dtype = df.select(key.alias("_k")).schema[0].dataType
+    if isinstance(dtype, T.StringType):
+        padded = F.rpad(F.encode(key, "utf-8"), 7, F.lit(bytearray(b"\x00")))
+        return F.conv(F.hex(padded), 16, 10).cast("double")
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return F.unix_micros(key).cast("double")
+    if isinstance(dtype, T.DateType):
+        return F.datediff(key, F.lit("1970-01-01")).cast("double")
+    if isinstance(dtype, T.BooleanType):
+        return key.cast("int").cast("double")
+    return key.cast("double")
+
+
+
+def _normalize(order_by) -> list[tuple[Column, bool]]:
+    """Normalize order keys to (expression Column, is_desc). Descending
+    order is requested with a ("name"|Column, "desc") tuple — a raw
+    Column.desc() is a SortOrder, which cannot be re-wrapped into the
+    bucket expression, so it is rejected with a pointer to the tuple
+    form."""
+    out: list[tuple[Column, bool]] = []
+    for entry in order_by:
+        desc = False
+        if isinstance(entry, tuple):
+            entry, direction = entry
+            desc = str(direction).lower() == "desc"
+        col = F.col(entry) if isinstance(entry, str) else entry
+        rep = str(col)
+        if rep.endswith("NULLS FIRST'>") or rep.endswith("NULLS LAST'>"):
+            raise TypeError(
+                "pass (column, 'desc') instead of Column.desc() — a "
+                "SortOrder cannot be composed into the bucket expression"
+            )
+        out.append((col, desc))
+    return out
+
+
+def _bucket_expr(
+    df: DataFrame, key: Column, n_buckets: int, desc: bool = False
+) -> Column:
+    """0-based contiguous bucket id as a pure row expression: boundary
+    literals from one approxQuantile pass over the surrogate. NULL
+    surrogate → bucket 0 for ascending (nulls-first) and the top bucket
+    for descending (nulls-last), matching Spark's sort placement. NaN
+    lands in the top bucket (NaN-last) for ascending; descending float
+    keys containing NaN are not supported (NaN negates to itself)."""
+    skey = _numeric_surrogate(df, key)
+    if desc:
+        skey = -skey
+    probed = df.select(skey.alias("_bkey"))
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = probed.stat.approxQuantile("_bkey", probs, 1.0 / (4 * n_buckets))
+    # de-dup (sketch may repeat) and drop non-finite sentinels
+    uniq: list[float] = []
+    for b in bounds:
+        if b == b and b not in uniq:  # b==b filters NaN
+            uniq.append(b)
+    expr = F.lit(0)
+    for b in uniq:
+        expr = expr + F.when(skey > F.lit(b), 1).otherwise(0)
+    # NaN > literal is true in Spark SQL (NaN sorts/compares largest),
+    # so NaN rows already land in the top bucket; NULL comparisons take
+    # the otherwise(0) branch — bucket 0, nulls-first, for ascending.
+    # Descending keys sort nulls LAST, so override them to the top.
+    if desc:
+        expr = F.when(key.isNull(), F.lit(len(uniq))).otherwise(expr)
+    return expr.cast("int")
+
+
+def _prefix_offsets(totals: dict[int, int]) -> dict[int, int]:
+    offsets, acc = {}, 0
+    for b in sorted(totals):
+        offsets[b] = acc
+        acc += totals[b]
+    return offsets
 
 
 def global_rank(
@@ -34,42 +142,56 @@ def global_rank(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Append a 1-based dense global rank by ``order_by`` without a
-    single-reducer window. One shuffle (range repartition) + one
+    single-reducer window. One hash shuffle on the bucket id + one
     count-only job; ranks are exact and gap-free."""
-    n_parts = num_partitions or df.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "32"
+    n_parts = int(
+        num_partitions
+        or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    # include every sort column in the range partitioning so equal
-    # prefixes cannot straddle a boundary out of order
-    ordered = df.repartitionByRange(int(n_parts), *cols).sortWithinPartitions(*cols)
-
-    with_pid = ordered.withColumn("_pid", F.spark_partition_id())
-    # pass 1: per-partition counts -> prefix offsets (driver holds
-    # #partitions integers, never rows)
-    counts = dict(
-        with_pid.groupBy("_pid").count().collect()
+    keys = _normalize(order_by)
+    bucket = _bucket_expr(
+        df, keys[0][0], n_parts * _BUCKETS_PER_PART, desc=keys[0][1]
     )
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    with_b = df.withColumn("_bucket", bucket)
+    sort_cols = [c.desc() if d else c for c, d in keys]
 
-    out_schema = with_pid.drop("_pid").schema.add(rank_col, "long", False)
+    # pass 1: exact per-bucket counts -> prefix offsets (driver holds
+    # ≤ #buckets integers, never rows). Bucket membership is a pure
+    # expression, so this count and the assignment pass below agree on
+    # every row no matter how either job is physically partitioned.
+    counts = {
+        r["_bucket"]: r["cnt"]
+        for r in with_b.groupBy("_bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets = _prefix_offsets(counts)
+
+    ordered = with_b.repartition(n_parts, "_bucket").sortWithinPartitions(
+        "_bucket", *sort_cols
+    )
+    # copy the fields: StructType.add mutates, and df._schema is cached
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(rank_col, T.LongType(), False)]
+    )
 
     def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # batches arrive in partition order; the closure's counter is
-        # per-task state, carrying the local position across batches
-        local_pos = 0
+        # rows arrive sorted by (bucket, key); a task may hold several
+        # whole buckets, each contiguous — vectorized arange per bucket
+        # run, with (cur, pos) carrying a bucket split across batches
+        cur, pos = None, 0
         for pdf in batches:
-            pid = int(pdf["_pid"].iloc[0])
-            start = offsets[pid] + local_pos
-            local_pos += len(pdf)
-            out = pdf.drop(columns=["_pid"])
-            out[rank_col] = range(start + 1, start + 1 + len(pdf))
+            ranks = np.empty(len(pdf), dtype="int64")
+            i = 0
+            for b, m in zip(*np.unique(pdf["_bucket"].to_numpy(), return_counts=True)):
+                if b != cur:
+                    cur, pos = b, offsets[int(b)]
+                ranks[i : i + m] = np.arange(pos + 1, pos + m + 1)
+                pos += int(m)
+                i += int(m)
+            out = pdf.drop(columns=["_bucket"])
+            out[rank_col] = ranks
             yield out
 
-    return with_pid.mapInPandas(_assign, out_schema)
+    return ordered.mapInPandas(_assign, out_schema)
 
 
 def global_cumsum(
@@ -82,44 +204,56 @@ def global_cumsum(
 ) -> DataFrame:
     """Append the running total of integer ``value_col`` over the
     global ``order_by`` order — the distributed prefix sum (same
-    two-pass shape as :func:`global_rank`; a `SUM() OVER (ORDER BY
-    ...)` with no PARTITION BY funnels every row through one reducer).
+    bucket-keyed two-pass shape as :func:`global_rank`; a `SUM() OVER
+    (ORDER BY ...)` with no PARTITION BY funnels every row through one
+    reducer).
 
-    pass 1: per-partition value sums → prefix offsets on the driver
-    (≤ #partitions integers); pass 2: Arrow per-partition cumsum +
-    offset. ``exclusive=True`` yields the sum of STRICTLY PRECEDING
-    rows (the ROWS UNBOUNDED PRECEDING AND 1 PRECEDING frame used by
-    greedy packing). Values must be integral — exact at any partition
-    count; float prefix sums would be order-of-association dependent.
+    pass 1: exact per-bucket value sums → prefix offsets on the driver
+    (≤ #buckets integers); pass 2: per-bucket pandas cumsum + offset.
+    ``exclusive=True`` yields the sum of STRICTLY PRECEDING rows (the
+    ROWS UNBOUNDED PRECEDING AND 1 PRECEDING frame used by greedy
+    packing). Values must be integral — exact at any partition count;
+    float prefix sums would be order-of-association dependent.
     """
-    n_parts = num_partitions or df.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "32"
+    n_parts = int(
+        num_partitions
+        or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    ordered = df.repartitionByRange(int(n_parts), *cols).sortWithinPartitions(*cols)
-
-    with_pid = ordered.withColumn("_pid", F.spark_partition_id())
-    sums = dict(
-        with_pid.groupBy("_pid").agg(F.sum(value_col)).collect()
+    keys = _normalize(order_by)
+    bucket = _bucket_expr(
+        df, keys[0][0], n_parts * _BUCKETS_PER_PART, desc=keys[0][1]
     )
-    offsets, acc = {}, 0
-    for pid in sorted(sums):
-        offsets[pid] = acc
-        acc += int(sums[pid] or 0)
+    with_b = df.withColumn("_bucket", bucket)
+    sort_cols = [c.desc() if d else c for c, d in keys]
 
-    out_schema = with_pid.drop("_pid").schema.add(out_col, "long", False)
+    sums = {
+        r["_bucket"]: int(r["s"] or 0)
+        for r in with_b.groupBy("_bucket").agg(F.sum(value_col).alias("s")).collect()
+    }
+    offsets = _prefix_offsets(sums)
+
+    ordered = with_b.repartition(n_parts, "_bucket").sortWithinPartitions(
+        "_bucket", *sort_cols
+    )
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.LongType(), False)]
+    )
 
     def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        running = None  # per-task state across batches of one partition
+        cur, running = None, 0
         for pdf in batches:
-            pid = int(pdf["_pid"].iloc[0])
-            if running is None:
-                running = offsets[pid]
-            v = pdf[value_col].fillna(0).astype("int64")
-            cs = v.cumsum() + running
-            running = int(cs.iloc[-1]) if len(cs) else running
-            out = pdf.drop(columns=["_pid"])
-            out[out_col] = (cs - v) if exclusive else cs
+            v = pdf[value_col].fillna(0).astype("int64").to_numpy()
+            cs = np.empty(len(pdf), dtype="int64")
+            i = 0
+            for b, m in zip(*np.unique(pdf["_bucket"].to_numpy(), return_counts=True)):
+                if b != cur:
+                    cur, running = b, offsets[int(b)]
+                seg = v[i : i + m].cumsum() + running
+                cs[i : i + m] = (seg - v[i : i + m]) if exclusive else seg
+                running = int(seg[-1])
+                i += int(m)
+            out = pdf.drop(columns=["_bucket"])
+            out[out_col] = cs
             yield out
 
-    return with_pid.mapInPandas(_assign, out_schema)
+    return ordered.mapInPandas(_assign, out_schema)

@@ -648,7 +648,7 @@ def q6m_curriculum_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = global_cumsum(
         t,
-        [F.col("density_key").desc(), F.col("doc_id")],
+        [("density_key", "desc"), F.col("doc_id")],
         "n_tokens",
         out_col="tokens_before",
         exclusive=True,

@@ -305,6 +305,66 @@ class TestGlobalRank:
         )
         assert ranks == list(range(1, 101))
 
+    def test_large_input_beyond_reservoir(self, spark):
+        # Regression: with upstream partitions larger than the range
+        # sampler's reservoir (~60 rows/partition), the old pid-keyed
+        # offsets could misalign between the two passes (the offsets
+        # job and the assignment job re-plan the exchange and sample
+        # DIFFERENT boundaries). Bucket-keyed offsets are immune; this
+        # input is big enough that the old code failed it.
+        from pyspark.sql import Window
+
+        from fcs_etl_reactor_spark.operators.ordering import global_rank
+
+        df = spark.range(0, 40_000).select(
+            F.col("id"), ((F.col("id") * 37) % 9973).cast("double").alias("v")
+        )
+        got = {
+            r["id"]: r["rank"]
+            for r in global_rank(df, ["v", "id"], num_partitions=32).collect()
+        }
+        want = {
+            r["id"]: r["rn"]
+            for r in df.select(
+                "id", F.row_number().over(Window.orderBy("v", "id")).alias("rn")
+            ).collect()
+        }
+        assert got == want
+
+    def test_descending_key_tuple(self, spark):
+        from pyspark.sql import Window
+
+        from fcs_etl_reactor_spark.operators.ordering import global_rank
+
+        df = spark.range(0, 2_000).select(
+            F.col("id"), (F.col("id") % 211).cast("double").alias("v")
+        )
+        got = {
+            r["id"]: r["rank"]
+            for r in global_rank(
+                df, [("v", "desc"), "id"], num_partitions=8
+            ).collect()
+        }
+        want = {
+            r["id"]: r["rn"]
+            for r in df.select(
+                "id",
+                F.row_number()
+                .over(Window.orderBy(F.col("v").desc(), "id"))
+                .alias("rn"),
+            ).collect()
+        }
+        assert got == want
+
+    def test_sortorder_column_rejected(self, spark):
+        import pytest
+
+        from fcs_etl_reactor_spark.operators.ordering import global_rank
+
+        df = spark.range(0, 10).select(F.col("id"))
+        with pytest.raises(TypeError, match="desc"):
+            global_rank(df, [F.col("id").desc()], num_partitions=2)
+
 
 class TestSimilarity:
     def _vecs(self, spark):
