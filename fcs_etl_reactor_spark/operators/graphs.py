@@ -7,9 +7,10 @@ Both operators are built for oracle parity AND web scale:
 - ``pagerank``: fixed-point long ranks (scale 1e12) with floor
   arithmetic — every per-iteration op is an IEEE double op on
   integer-valued inputs below 2^53 followed by a floor, bit-identical
-  in any engine at any partitioning. Iterations unroll into one lazy
-  plan; out-degree rides with the edge rows so an iteration is one
-  join + one groupBy.
+  in any engine at any partitioning. Out-degree rides with the edge
+  rows so an iteration is one join + one groupBy. Iteration state is
+  MATERIALIZED each round via eager localCheckpoint (see
+  ``materialize``) — the MLlib-style checkpoint cadence.
 - ``triangle_count``: DEGREE-ORIENTED wedge join — each undirected
   edge directed from its lower-(deg, id) endpoint, so per-vertex wedge
   fanout is the out-degree, O(√m) on any graph (id orientation probed
@@ -23,6 +24,26 @@ from pyspark.sql import functions as F
 
 PR_SCALE = 1_000_000_000_000  # 1e12 fixed-point
 DAMP_NUM, DAMP_DEN = 85, 100  # d = 0.85 in exact integer arithmetic
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Eagerly localCheckpoint iteration state — the standard cadence
+    for iterative algorithms (MLlib checkpoints ALS/GraphX the same
+    way). Without it a k-iteration loop hands AQE one deep plan whose
+    stages materialize CONCURRENTLY: measured on a vanilla 1g
+    local[16] heap, three 3-iteration graph queries run back-to-back
+    die with a Java-heap OOM mid-materialization, while per-round
+    checkpointing runs each round as a small sequential job and the
+    same sequence completes. Also truncates lineage, so earlier
+    rounds' shuffle files become collectable instead of pinned by the
+    growing plan. Values are unchanged — the arithmetic is exact
+    fixed-point, so materialization cannot perturb results. Falls
+    back to the lazy plan where checkpointing is unavailable (e.g.
+    Spark Connect)."""
+    try:
+        return df.localCheckpoint(eager=True)
+    except Exception:
+        return df
 
 
 def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
@@ -49,6 +70,8 @@ def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
         "node",
         F.floor(F.lit(float(PR_SCALE)) / F.col("n_nodes")).cast("bigint").alias("r"),
     )
+    edges_w = materialize(edges_w)
+    nodes = materialize(nodes)
     for _ in range(iters):
         contribs = (
             edges_w.join(ranks, edges_w.src == ranks.node)
@@ -74,6 +97,7 @@ def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
                 ).alias("r"),
             )
         )
+        ranks = materialize(ranks)
     return ranks.select("node", F.col("r").alias("rank_scaled"))
 
 
@@ -175,9 +199,9 @@ def copurchase_pairs(lineitem: DataFrame, min_shared: int = 1) -> DataFrame:
 def bfs_hops(und: DataFrame, max_hops: int) -> DataFrame:
     """Single-source BFS hop distances (unweighted SSSP), Pregel
     style: each round expands the current distance set across the
-    edge list (one shuffle on the node id) and re-minimizes. The loop
-    unrolls `max_hops` rounds into one lazy plan — frontier-bounded,
-    no driver collect, iteration-capped by construction.
+    edge list (one shuffle on the node id) and re-minimizes, with the
+    round state materialized via ``materialize`` — frontier-bounded,
+    no driver collect of row data, iteration-capped by construction.
 
     `und` is the undirected edge list as (src, dst) with both
     directions present. The source is the smallest node id present —
@@ -188,6 +212,7 @@ def bfs_hops(und: DataFrame, max_hops: int) -> DataFrame:
     one |E| join partial-aggregated on dst. Distances are INTs; MIN
     over ints is order-independent, so the result is partition- and
     engine-invariant."""
+    und = materialize(und)
     dist = (
         und.agg(F.min("src").alias("node"))
         .withColumn("d", F.lit(0).cast("int"))
@@ -197,5 +222,7 @@ def bfs_hops(und: DataFrame, max_hops: int) -> DataFrame:
             dist.join(und, dist["node"] == und["src"])
             .select(F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
         )
-        dist = dist.unionAll(nxt).groupBy("node").agg(F.min("d").alias("d"))
+        dist = materialize(
+            dist.unionAll(nxt).groupBy("node").agg(F.min("d").alias("d"))
+        )
     return dist

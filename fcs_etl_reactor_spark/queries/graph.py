@@ -2,10 +2,13 @@
 
 PageRank is the canonical "iterative algorithm the engine must not
 fake": each iteration is edges ⋈ ranks (shuffle on src) followed by a
-groupBy(dst) — the textbook distributed formulation. The loop unrolls
-into ONE lazy plan (fixed iteration count), so Catalyst sees the whole
-chain and AQE re-plans each stage at runtime; no driver-side collect
-anywhere.
+groupBy(dst) — the textbook distributed formulation. Iteration state
+is materialized per round via eager localCheckpoint
+(operators/graphs.materialize — the MLlib checkpoint cadence): each
+round runs as a small sequential job instead of one deep plan whose
+stages AQE materializes concurrently (measured OOM on a vanilla 1g
+heap), and lineage truncation lets earlier rounds' shuffles be
+cleaned. No driver-side collect of row data anywhere.
 
 Determinism strategy (oracle parity): ranks are FIXED-POINT longs
 (scale 1e12). Every per-iteration op — FLOOR(r/outdeg) contribution,
@@ -32,6 +35,7 @@ from fcs_etl_reactor_spark.io import load
 from fcs_etl_reactor_spark.queries import query
 
 from fcs_etl_reactor_spark.operators.graphs import (
+    materialize,
     DAMP_DEN as _DAMP_DEN,
     DAMP_NUM as _DAMP_NUM,
     PR_SCALE as _PR_SCALE,
@@ -163,6 +167,7 @@ _TRI_MIN_SHARED = 2
 )
 def q5o_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fcs_etl_reactor_spark.operators.graphs import (
+    materialize,
         copurchase_pairs,
         triangle_count,
     )
@@ -462,6 +467,7 @@ def q5s_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b").alias("src"), F.col("a").alias("dst"), wcol.alias("w")
         )
     )
+    und = materialize(und)
     dist = (
         und.agg(F.min("src").alias("node"))
         .withColumn("d", F.lit(0).cast("int"))
@@ -470,7 +476,9 @@ def q5s_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt = dist.join(und, dist["node"] == und["src"]).select(
             F.col("dst").alias("node"), (F.col("d") + F.col("w")).alias("d")
         )
-        dist = dist.unionAll(nxt).groupBy("node").agg(F.min("d").alias("d"))
+        dist = materialize(
+            dist.unionAll(nxt).groupBy("node").agg(F.min("d").alias("d"))
+        )
     return dist.groupBy(F.col("d").cast("int").alias("dist")).agg(
         F.count(F.lit(1)).alias("n_nodes")
     )
@@ -750,6 +758,7 @@ def q5x_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    edges = materialize(edges)
     h = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "h", F.lit(s).cast("bigint")
     )
@@ -761,9 +770,11 @@ def q5x_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("h").alias("a"))
         )
         am = ar.agg(F.max("a").alias("am"))
-        a = ar.join(F.broadcast(am)).select(
-            F.col("dst").alias("node"),
-            F.expr(f"a * {s} div am").cast("bigint").alias("a"),
+        a = materialize(
+            ar.join(F.broadcast(am)).select(
+                F.col("dst").alias("node"),
+                F.expr(f"a * {s} div am").cast("bigint").alias("a"),
+            )
         )
         hr = (
             edges.join(a, edges["dst"] == a["node"])
@@ -771,9 +782,11 @@ def q5x_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("a").alias("hsum"))
         )
         hm = hr.agg(F.max("hsum").alias("hm"))
-        h = hr.join(F.broadcast(hm)).select(
-            F.col("src").alias("node"),
-            F.expr(f"hsum * {s} div hm").cast("bigint").alias("h"),
+        h = materialize(
+            hr.join(F.broadcast(hm)).select(
+                F.col("src").alias("node"),
+                F.expr(f"hsum * {s} div hm").cast("bigint").alias("h"),
+            )
         )
     topa = (
         a.orderBy(F.col("a").desc(), "node")
