@@ -368,3 +368,85 @@ def q9h_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     # drop the flush click (withheld by the engine anyway — belt and braces)
     return spark.table(sink).filter(F.col("c_event_id") >= 0)
+
+
+# --------------------------------------------------------------------------
+# q9n — stream-stream FULL OUTER interval join (the X20 family's last
+# member after inner q9g and left-outer q9h): click→purchase
+# attribution where BOTH unmatched sides must surface — clicks that
+# never converted AND purchases with no preceding click. Same flush
+# mechanics as q9h: the far-future flush purchase advances the right
+# watermark so unmatched clicks emit, and the flush CLICK advances
+# the LEFT watermark so unmatched purchases emit (full outer holds
+# right-side rows until the left watermark proves no future click can
+# match). Both flush rows share one timestamp, so p.ts > c.ts keeps
+# them from matching each other; the flush click is withheld by the
+# engine and both are filtered belt-and-braces. The result is exactly
+# the batch full interval join — stated directly as the oracle.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q9n_stream_stream_full_outer",
+    oracle="""
+    WITH c AS (
+      SELECT event_id AS c_event_id, user_id, ts
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT event_id AS p_event_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.c_event_id, p.p_event_id,
+           COALESCE(c.user_id, p.user_id) AS user_id
+    FROM c FULL JOIN p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def q9n_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.streaming.windows import (
+        read_events_stream,
+        to_memory_sink,
+    )
+
+    src = _events_stream_dir_flushed(spark, sf_dir)
+    sink = "q9n_sink_" + src.rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")
+
+    clicks = (
+        read_events_stream(spark, src)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, src)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "fullOuter",
+    ).select(
+        "c_event_id",
+        "p_event_id",
+        F.coalesce("user_id", "p_user_id").alias("user_id"),
+    )
+    q = to_memory_sink(joined, sink, output_mode="append")
+    q.awaitTermination()
+    return spark.table(sink).filter(
+        F.coalesce(F.col("c_event_id"), F.lit(0)) >= 0
+    ).filter(F.coalesce(F.col("p_event_id"), F.lit(0)) >= -1)

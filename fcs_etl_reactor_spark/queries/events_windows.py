@@ -1996,3 +1996,526 @@ def q4u_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_pairs"),
         F.round(num / F.nullif(den, F.lit(0.0)), 9).alias("acf"),
     )
+
+
+# --------------------------------------------------------------------------
+# q4v — Mann-Whitney U (Wilcoxon rank-sum) test: purchase vs view
+# event values. The nonparametric two-sample location test every
+# experimentation pipeline reaches for when values are skewed.
+# Average ranks with ties are computed WITHOUT a single-reducer
+# window: per distinct value the strictly-below count comes from the
+# distributed prefix sum (operators/ordering.global_cumsum — range
+# repartition + driver offsets of #partitions integers), and
+# 2·avg_rank = 2·below + c + 1 keeps the whole rank-sum in exact
+# BIGINT arithmetic (2R_A is integral even when ties make R_A a
+# half-integer). Only the final z expression touches doubles, shaped
+# identically on both engines. One groupBy(value) shuffle + one
+# range shuffle; the per-value table is |distinct values|, never
+# materialized on the driver.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q4v_mann_whitney",
+    oracle="""
+    WITH v AS (
+      SELECT value,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ca,
+             COUNT(*) AS c
+      FROM events WHERE event_type IN ('purchase', 'view')
+      GROUP BY value
+    ),
+    cum AS (
+      SELECT ca, c,
+             COALESCE(SUM(c) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM v
+    ),
+    s AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+             CAST(SUM(c - ca) AS BIGINT) AS n_b,
+             CAST(SUM(ca * (2 * below + c + 1)) AS BIGINT) AS two_ra
+      FROM cum
+    )
+    SELECT n_a, n_b,
+           (CAST(two_ra AS DOUBLE)
+            - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0)) / 2.0 AS u_a,
+           ROUND(((CAST(two_ra AS DOUBLE)
+                   - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0)) / 2.0
+                  - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+                 / SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                        * (CAST(n_a + n_b AS DOUBLE) + 1.0) / 12.0),
+                 9) AS z_score
+    FROM s
+    """,
+)
+def q4v_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.ordering import global_cumsum
+
+    e = load(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type").isin("purchase", "view"))
+        .groupBy("value")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("ca"),
+            F.count(F.lit(1)).alias("c"),
+        )
+    )
+    cum = global_cumsum(v, ["value"], "c", out_col="below", exclusive=True)
+    s = cum.agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum(F.col("c") - F.col("ca")).cast("bigint").alias("n_b"),
+        F.sum(
+            F.col("ca") * (F.lit(2) * F.col("below") + F.col("c") + F.lit(1))
+        )
+        .cast("bigint")
+        .alias("two_ra"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    u_a = (F.col("two_ra").cast("double") - na * (na + F.lit(1.0))) / F.lit(2.0)
+    z = (u_a - na * nb / F.lit(2.0)) / F.sqrt(
+        na * nb * ((F.col("n_a") + F.col("n_b")).cast("double") + F.lit(1.0))
+        / F.lit(12.0)
+    )
+    return s.select("n_a", "n_b", u_a.alias("u_a"), F.round(z, 9).alias("z_score"))
+
+
+# --------------------------------------------------------------------------
+# q4w — two-sample Kolmogorov-Smirnov statistic (purchase vs view):
+# D = max |ECDF_a − ECDF_b| over the pooled support, kept EXACT by
+# maximizing the integer numerator |cum_a·n_b − cum_b·n_a| instead of
+# the float ratio. Both running counts ride ONE distributed prefix
+# sum by packing (cum_a, cum_b) into a single long (cum_a·2^31 +
+# cum_b — exact while each side stays under 2^31 rows; beyond that,
+# run two prefix passes). The max of BIGINTs is order-independent, so
+# the statistic is partition-invariant by construction; the final
+# d_stat is one integer division, bit-identical on both engines.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q4w_ks_test",
+    oracle="""
+    WITH v AS (
+      SELECT value,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+      FROM events WHERE event_type IN ('purchase', 'view')
+      GROUP BY value
+    ),
+    cum AS (
+      SELECT SUM(ca) OVER (ORDER BY value) AS cum_a,
+             SUM(cb) OVER (ORDER BY value) AS cum_b
+      FROM v
+    ),
+    n AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+          FROM v)
+    SELECT n_a, n_b,
+           CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num,
+           CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS d_stat
+    FROM cum, n
+    GROUP BY n_a, n_b
+    """,
+)
+def q4w_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.ordering import global_cumsum
+
+    e = load(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type").isin("purchase", "view"))
+        .groupBy("value")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("ca"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+                "cb"
+            ),
+        )
+    )
+    pack = F.lit(2147483648)  # 2^31
+    packed = v.withColumn("packed", F.col("ca") * pack + F.col("cb"))
+    cum = global_cumsum(packed, ["value"], "packed", out_col="cum")
+    cum = cum.select(
+        F.floor(F.col("cum") / pack).cast("bigint").alias("cum_a"),
+        (F.col("cum") % pack).cast("bigint").alias("cum_b"),
+    )
+    n = v.agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(n))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.max(
+                F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+            )
+            .cast("bigint")
+            .alias("d_num")
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "d_num",
+            (
+                F.col("d_num").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("d_stat"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q4x — mutual information + marginal entropies of the event_type ×
+# ISO-dow contingency table (the feature-selection / drift-detection
+# companion to q4m's chi-square, same table topology: one groupBy for
+# the cells, broadcast 5- and 7-row margins, everything after the
+# first aggregation dimension-bounded). Each LN term is rounded to
+# 9 dp via the half-up scaled-long trick before summing, so the
+# 35-term (and 5-/7-term) reductions are order-independent and the
+# engines' last-ulp LN differences are absorbed.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q4x_mutual_information",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, CAST(EXTRACT(ISODOW FROM ts) AS INTEGER) AS dow,
+             COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    rows_ AS (SELECT event_type, SUM(o) AS rt FROM cells GROUP BY 1),
+    cols_ AS (SELECT dow, SUM(o) AS ct FROM cells GROUP BY 1),
+    n_ AS (SELECT SUM(o) AS n FROM cells),
+    mi AS (
+      SELECT CAST(SUM(CAST(FLOOR(
+               (CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+               * LN(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+                    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)))
+               * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000000.0 AS mi_nats
+      FROM cells JOIN rows_ USING (event_type) JOIN cols_ USING (dow), n_
+    ),
+    hr AS (
+      SELECT CAST(SUM(CAST(FLOOR(
+               -(CAST(rt AS DOUBLE) / CAST(n AS DOUBLE))
+               * LN(CAST(rt AS DOUBLE) / CAST(n AS DOUBLE))
+               * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000000.0 AS h_rows
+      FROM rows_, n_
+    ),
+    hc AS (
+      SELECT CAST(SUM(CAST(FLOOR(
+               -(CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+               * LN(CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+               * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000000.0 AS h_cols
+      FROM cols_, n_
+    )
+    SELECT mi_nats, h_rows, h_cols,
+           ROUND(mi_nats / LEAST(h_rows, h_cols), 9) AS nmi
+    FROM mi, hr, hc
+    """,
+)
+def q4x_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type", (F.weekday("ts") + 1).cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows_ = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    cols_ = cells.groupBy("dow").agg(F.sum("o").alias("ct"))
+    n_ = cells.agg(F.sum("o").alias("n"))
+
+    def rsum(term, name):
+        return (
+            F.sum(F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("bigint")).cast(
+                "double"
+            )
+            / F.lit(1e9)
+        ).alias(name)
+
+    nd = F.col("n").cast("double")
+    mi_term = (F.col("o").cast("double") / nd) * F.log(
+        F.col("o").cast("double") * nd
+        / (F.col("rt").cast("double") * F.col("ct").cast("double"))
+    )
+    mi = (
+        cells.join(F.broadcast(rows_), "event_type")
+        .join(F.broadcast(cols_), "dow")
+        .join(F.broadcast(n_))
+        .agg(rsum(mi_term, "mi_nats"))
+    )
+    hr_term = -(F.col("rt").cast("double") / nd) * F.log(
+        F.col("rt").cast("double") / nd
+    )
+    hr = rows_.join(F.broadcast(n_)).agg(rsum(hr_term, "h_rows"))
+    hc_term = -(F.col("ct").cast("double") / nd) * F.log(
+        F.col("ct").cast("double") / nd
+    )
+    hc = cols_.join(F.broadcast(n_)).agg(rsum(hc_term, "h_cols"))
+    return (
+        mi.join(F.broadcast(hr))
+        .join(F.broadcast(hc))
+        .select(
+            "mi_nats",
+            "h_rows",
+            "h_cols",
+            F.round(
+                F.col("mi_nats") / F.least(F.col("h_rows"), F.col("h_cols")), 9
+            ).alias("nmi"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q3k — MATCH_RECOGNIZE-style sequence pattern (CEP): count V-shapes
+# (a strictly-falling run of ≥2 steps immediately followed by a
+# strictly-rising run of ≥2 steps) in each user's value series. The
+# standard SQL MATCH_RECOGNIZE / Flink CEP `DOWN{2,} UP{2,}` pattern,
+# compiled to relational form: step direction via lag, gaps-and-
+# islands run encoding (change-flag prefix sum), then one lead over
+# the per-user RUN table (|runs| ≤ |events|, usually ≪). Everything
+# is integer; one shuffle on user_id, run compare is window-local.
+# Plateaus (equal consecutive values) form direction-0 runs and
+# break patterns on both engines identically.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q3k_pattern_vshape",
+    oracle="""
+    WITH steps AS (
+      SELECT user_id, ts, event_id,
+             CAST(SIGN(value - LAG(value) OVER w) AS INTEGER) AS d
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    flagged AS (
+      SELECT user_id, ts, event_id, d,
+             CASE WHEN d IS DISTINCT FROM LAG(d) OVER w2 THEN 1 ELSE 0 END AS chg
+      FROM steps WHERE d IS NOT NULL
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run_id,
+             d
+      FROM flagged
+    ),
+    run_tab AS (
+      SELECT user_id, run_id, MIN(d) AS dir, COUNT(*) AS len
+      FROM runs GROUP BY user_id, run_id
+    ),
+    paired AS (
+      SELECT user_id, dir, len,
+             LEAD(dir) OVER w3 AS dir2, LEAD(len) OVER w3 AS len2
+      FROM run_tab
+      WINDOW w3 AS (PARTITION BY user_id ORDER BY run_id)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_patterns,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM paired
+    WHERE dir = -1 AND len >= 2 AND dir2 = 1 AND len2 >= 2
+    """,
+)
+def q3k_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.signum(F.col("value") - F.lag("value").over(w)).cast("int").alias("d"),
+    ).filter(F.col("d").isNotNull())
+    flagged = steps.withColumn(
+        "chg",
+        F.when(
+            ~F.col("d").eqNullSafe(F.lag("d").over(w)), 1
+        ).otherwise(0),
+    )
+    runs = flagged.withColumn("run_id", F.sum("chg").over(w))
+    run_tab = runs.groupBy("user_id", "run_id").agg(
+        F.min("d").alias("dir"), F.count(F.lit(1)).alias("len")
+    )
+    w3 = Window.partitionBy("user_id").orderBy("run_id")
+    paired = run_tab.select(
+        "user_id",
+        "dir",
+        "len",
+        F.lead("dir").over(w3).alias("dir2"),
+        F.lead("len").over(w3).alias("len2"),
+    )
+    hit = paired.filter(
+        (F.col("dir") == -1)
+        & (F.col("len") >= 2)
+        & (F.col("dir2") == 1)
+        & (F.col("len2") >= 2)
+    )
+    return hit.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_patterns"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q4y — DFT power spectrum of the hourly event-count series at the
+# daily / half-daily / weekly periods: the periodicity probe a
+# seasonality detector runs before fitting (complements q4k's fixed
+# decomposition and q4u's ACF). One bucket agg builds the series;
+# each period's cos/sin projections are scaled-long sums of per-term
+# rounded products — the engines' last-ulp trig differences are
+# absorbed per term, so the reductions are order-independent — and
+# the power is arithmetic on those two identical doubles.
+# --------------------------------------------------------------------------
+
+_DFT_PERIODS = (24, 12, 168)
+
+
+@query(
+    "q4y_dft_spectrum",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS h, COUNT(*) AS c
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT CAST(h - (SELECT MIN(h) FROM hourly) AS DOUBLE) AS i,
+             CAST(c AS DOUBLE) AS c
+      FROM hourly
+    ),
+    terms AS (
+      SELECT p, c * COS(2.0 * PI() * i / CAST(p AS DOUBLE)) AS tc,
+                c * SIN(2.0 * PI() * i / CAST(p AS DOUBLE)) AS ts_
+      FROM idx CROSS JOIN (VALUES {", ".join(f"({p})" for p in _DFT_PERIODS)}) AS pt(p)
+    ),
+    sums AS (
+      SELECT CAST(p AS INTEGER) AS period_hours,
+             CAST(SUM(CAST(FLOOR(tc * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000000.0 AS cos_sum,
+             CAST(SUM(CAST(FLOOR(ts_ * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000000.0 AS sin_sum
+      FROM terms GROUP BY p
+    )
+    SELECT period_hours, cos_sum, sin_sum,
+           cos_sum * cos_sum + sin_sum * sin_sum AS power
+    FROM sums
+    """,
+)
+def q4y_dft_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    h0 = hourly.agg(F.min("h").alias("h0"))
+    periods = F.broadcast(
+        e.sparkSession.createDataFrame(
+            [(p,) for p in _DFT_PERIODS], "p int"
+        )
+    )
+    idx = hourly.crossJoin(F.broadcast(h0)).select(
+        (F.col("h") - F.col("h0")).cast("double").alias("i"),
+        F.col("c").cast("double").alias("c"),
+    )
+    theta = F.lit(2.0) * F.lit(math.pi) * F.col("i") / F.col("p").cast("double")
+
+    def rsum(term, name):
+        return (
+            F.sum(F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("bigint")).cast(
+                "double"
+            )
+            / F.lit(1e9)
+        ).alias(name)
+
+    sums = (
+        idx.crossJoin(periods)
+        .groupBy(F.col("p").cast("int").alias("period_hours"))
+        .agg(
+            rsum(F.col("c") * F.cos(theta), "cos_sum"),
+            rsum(F.col("c") * F.sin(theta), "sin_sum"),
+        )
+    )
+    return sums.select(
+        "period_hours",
+        "cos_sum",
+        "sin_sum",
+        (
+            F.col("cos_sum") * F.col("cos_sum")
+            + F.col("sin_sum") * F.col("sin_sum")
+        ).alias("power"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q4z — Theil-Sen robust trend of daily order revenue: the median of
+# all pairwise slopes, immune to the outlier days that wreck OLS. The
+# pair table is CALENDAR-bounded (D days → D(D−1)/2 pairs, never
+# |orders|²): the daily rollup collapses the fact table first, one
+# side of the pair join broadcasts, and the exact lower-median slope
+# is selected DISTRIBUTED via ordering.global_rank (bucket-keyed
+# two-pass — no single-reducer sort, no driver materialization of the
+# ~D²/2 slopes). Slopes are exact-dollar differences over integer day
+# gaps, so both engines rank identical doubles; equal-slope rank ties
+# can pick different rows but always the same VALUE.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q4z_theil_sen",
+    oracle=f"""
+    WITH d AS (
+      SELECT o_orderdate AS x, {o_dsum("o_totalprice", "y")}
+      FROM orders GROUP BY o_orderdate
+    ),
+    p AS (
+      SELECT (b.y - a.y) / CAST(DATEDIFF('day', a.x, b.x) AS DOUBLE) AS slope
+      FROM d a JOIN d b ON b.x > a.x
+    ),
+    n AS (SELECT COUNT(*) AS n_pairs FROM p),
+    ranked AS (
+      SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rk FROM p
+    )
+    SELECT (SELECT CAST(n_pairs AS BIGINT) FROM n) AS n_pairs,
+           slope AS median_slope
+    FROM ranked
+    WHERE rk = (SELECT CAST(FLOOR((n_pairs + 1) / 2.0) AS BIGINT) FROM n)
+    """,
+)
+def q4z_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.ordering import global_rank
+
+    o = load(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").alias("x")).agg(
+        dsum("o_totalprice", "y")
+    )
+    a = d.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = d.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    p = (
+        a.join(F.broadcast(b), F.col("xb") > F.col("xa"))
+        .select(
+            (
+                (F.col("yb") - F.col("ya"))
+                / F.datediff("xb", "xa").cast("double")
+            ).alias("slope")
+        )
+    )
+    n = p.agg(F.count(F.lit(1)).alias("n_pairs"))
+    k = n.select(
+        "n_pairs",
+        F.floor((F.col("n_pairs") + 1) / F.lit(2.0)).cast("bigint").alias("k"),
+    )
+    ranked = global_rank(p, ["slope"], rank_col="rk")
+    return (
+        ranked.join(F.broadcast(k), F.col("rk") == F.col("k"))
+        .select(
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.col("slope").alias("median_slope"),
+        )
+    )

@@ -783,3 +783,100 @@ def q6o_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("_g")
         .applyInPandas(ffd, schema="bin_id int, bin_load long, n_items long")
     )
+
+
+
+# --------------------------------------------------------------------------
+# q6p — cumulative gain chart (the decile lift table a targeting /
+# data-selection pipeline reads before spending budget): users scored
+# by total event value, responders = any high-value purchase, deciles
+# assigned by ceil(rank·10/n) over the DISTRIBUTED rank
+# (ordering.global_rank — no single-reducer NTILE window), then the
+# 10-row decile table carries cumulative responder counts through a
+# bounded window. All counts are exact integers; rank·10 ≤ 10n < 2^53
+# so the decile boundary division is exact where it matters, and the
+# gain ratios divide exact integers.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q6p_gain_chart",
+    oracle="""
+    WITH scored AS (
+      SELECT user_id,
+             SUM(value) AS raw_score,
+             CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS score_cents,
+             MAX(CASE WHEN event_type = 'purchase' AND value >= 150.0
+                      THEN 1 ELSE 0 END) AS resp
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT score_cents, resp,
+             ROW_NUMBER() OVER (ORDER BY score_cents DESC, user_id) AS rk,
+             COUNT(*) OVER () AS n
+      FROM scored
+    ),
+    deciles AS (
+      SELECT CAST(CEIL(rk * 10.0 / n) AS INTEGER) AS decile,
+             COUNT(*) AS n_users,
+             CAST(SUM(resp) AS BIGINT) AS responders
+      FROM ranked GROUP BY 1
+    )
+    SELECT decile, n_users, responders,
+           CAST(SUM(responders) OVER (ORDER BY decile) AS BIGINT)
+             AS cum_responders,
+           CAST(SUM(responders) OVER (ORDER BY decile) AS DOUBLE)
+             / CAST((SELECT SUM(resp) FROM scored) AS DOUBLE) AS gain
+    FROM deciles
+    """,
+)
+def q6p_gain_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from fcs_etl_reactor_spark.operators.ordering import global_rank
+
+    e = load(spark, sf_dir, "events")
+    scored = e.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("score_cents"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 150.0),
+                1,
+            ).otherwise(0)
+        ).alias("resp"),
+    )
+    ranked = global_rank(
+        scored, [("score_cents", "desc"), "user_id"], rank_col="rk"
+    )
+    n = scored.agg(F.count(F.lit(1)).alias("n"))
+    total = scored.agg(F.sum("resp").alias("total_resp"))
+    deciles = (
+        ranked.crossJoin(F.broadcast(n))
+        .groupBy(
+            F.ceil(F.col("rk") * F.lit(10.0) / F.col("n"))
+            .cast("int")
+            .alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("resp").cast("bigint").alias("responders"),
+        )
+    )
+    # the decile table is 10 rows — the cumulative window is bounded
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        deciles.crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_users",
+            "responders",
+            F.sum("responders").over(w).cast("bigint").alias("cum_responders"),
+            (
+                F.sum("responders").over(w).cast("double")
+                / F.col("total_resp").cast("double")
+            ).alias("gain"),
+        )
+    )

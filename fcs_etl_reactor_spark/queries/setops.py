@@ -774,3 +774,101 @@ def q7v_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((frac - bp) * (frac - bp), 9).alias("sq_dev"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q7x — population-stability-index drift audit (PSI): the standard
+# "did this feature's distribution move between two periods" monitor.
+# Events are split at the midpoint of their time span (a pure
+# expression against a broadcast 1-row bound table), `value` is
+# binned into 10 fixed-width bands, and PSI = Σ (p1−p2)·ln(p1/p2)
+# with Laplace-smoothed proportions (p = (c+1)/(n+10)) so an empty
+# band never produces ±inf. Counts are exact integers; each log term
+# is rounded half-up to 9 dp via the scaled-long trick before the
+# order-independent sum. One groupBy shuffle; the 10-band table and
+# the margins are broadcast-sized.
+# --------------------------------------------------------------------------
+
+_PSI_BINS = 10
+_PSI_WIDTH = 50.0  # value ∈ [0, 500) in the fixtures
+
+
+@query(
+    "q7x_psi_drift",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT EPOCH(MIN(ts)) AS lo, EPOCH(MAX(ts)) AS hi FROM events
+    ),
+    binned AS (
+      SELECT LEAST(CAST(FLOOR(value / {_PSI_WIDTH}) AS INTEGER), {_PSI_BINS - 1}) AS bin,
+             CASE WHEN EPOCH(ts) * 2 <= lo + hi THEN 0 ELSE 1 END AS half
+      FROM events, bounds
+    ),
+    cells AS (
+      SELECT bin,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c2
+      FROM binned GROUP BY bin
+    ),
+    n AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM cells),
+    terms AS (
+      SELECT ((CAST(c1 + 1 AS DOUBLE) / (CAST(n1 AS DOUBLE) + {_PSI_BINS}.0))
+              - (CAST(c2 + 1 AS DOUBLE) / (CAST(n2 AS DOUBLE) + {_PSI_BINS}.0)))
+             * LN((CAST(c1 + 1 AS DOUBLE) / (CAST(n1 AS DOUBLE) + {_PSI_BINS}.0))
+                  / (CAST(c2 + 1 AS DOUBLE) / (CAST(n2 AS DOUBLE) + {_PSI_BINS}.0)))
+             AS term
+      FROM cells, n
+    )
+    SELECT (SELECT CAST(n1 AS BIGINT) FROM n) AS n_first,
+           (SELECT CAST(n2 AS BIGINT) FROM n) AS n_second,
+           CAST(SUM(CAST(FLOOR(term * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000000.0 AS psi
+    FROM terms
+    """,
+)
+def q7x_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.unix_timestamp(F.min("ts")).alias("lo"),
+        F.unix_timestamp(F.max("ts")).alias("hi"),
+    )
+    binned = e.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(F.col("value") / _PSI_WIDTH).cast("int"),
+            F.lit(_PSI_BINS - 1),
+        ).alias("bin"),
+        F.when(
+            F.unix_timestamp("ts") * 2 <= F.col("lo") + F.col("hi"), 0
+        )
+        .otherwise(1)
+        .alias("half"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c2"),
+    )
+    n = cells.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    p1 = (F.col("c1") + 1).cast("double") / (
+        F.col("n1").cast("double") + F.lit(float(_PSI_BINS))
+    )
+    p2 = (F.col("c2") + 1).cast("double") / (
+        F.col("n2").cast("double") + F.lit(float(_PSI_BINS))
+    )
+    term = (p1 - p2) * F.log(p1 / p2)
+    psi = (
+        F.sum(F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("bigint")).cast("double")
+        / F.lit(1e9)
+    ).alias("psi")
+    return (
+        cells.crossJoin(F.broadcast(n))
+        .agg(psi)
+        .crossJoin(
+            F.broadcast(
+                n.select(
+                    F.col("n1").cast("bigint").alias("n_first"),
+                    F.col("n2").cast("bigint").alias("n_second"),
+                )
+            )
+        )
+        .select("n_first", "n_second", "psi")
+    )

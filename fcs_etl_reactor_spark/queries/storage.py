@@ -487,3 +487,87 @@ def q2g_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", "total_price", scale=100.0),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q2h — zone-map data skipping on a NON-partition column: the file-
+# level min/max pruning that Delta/Iceberg data skipping and parquet
+# row-group stats give a sorted layout. The layout pass range-sorts
+# events by `value` into N files (each covering a tight value band);
+# the zone map is #files (min,max) rows; a value-band query consults
+# the map driver-side (bounded: #files rows) and opens ONLY the
+# overlapping files. Distinct from q2b: partition pruning keys on a
+# directory column, zone maps exploit WITHIN-layout sort order — at
+# 100 TB this is the footer-stats path that turns a 10% band scan
+# into reading ~10% of files with no repartition-by-band needed.
+# Falls back to the plain filtered scan (same rows, no skipping) if
+# the layout or map build fails.
+# --------------------------------------------------------------------------
+
+_ZONE_FILES = 16
+_ZONE_LO, _ZONE_HI = 120.0, 160.0
+
+
+def _zone_sorted_events(spark: SparkSession, sf_dir: str) -> str:
+    """Events range-sorted by `value` into _ZONE_FILES files — built
+    once per source fingerprint with the atomic-rename discipline."""
+    fp = source_fingerprint(sf_dir, "events")
+    path = os.path.join(_LAYOUT_ROOT, "zonemap", f"events_{fp}_{_ZONE_FILES}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = f"{path}.build.{os.getpid()}"
+        (
+            load(spark, sf_dir, "events")
+            .repartitionByRange(_ZONE_FILES, F.col("value"))
+            .sortWithinPartitions("value")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        raise OSError(f"incomplete zone layout at {path}")
+    return path
+
+
+@query(
+    "q2h_zonemap_skip",
+    oracle=f"""
+    SELECT
+      event_type,
+      COUNT(*) AS n_events,
+      {o_dsum("value", "total_value")}
+    FROM events
+    WHERE value BETWEEN {_ZONE_LO} AND {_ZONE_HI}
+    GROUP BY event_type
+    """,
+)
+def q2h_zonemap_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    band = F.col("value").between(_ZONE_LO, _ZONE_HI)
+    agg_cols = [
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "total_value"),
+    ]
+    try:
+        path = _zone_sorted_events(spark, sf_dir)
+        # zone map: per-file (min,max) — at scale this comes from
+        # parquet footers / table-format stats, never a data scan; the
+        # collected map is #files rows on the driver, by construction
+        stats = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+            .collect()
+        )
+        keep = [
+            r["f"] for r in stats if r["lo"] <= _ZONE_HI and r["hi"] >= _ZONE_LO
+        ]
+        if not keep or len(keep) >= len(stats):
+            raise ValueError("zone map did not prune")
+        src = spark.read.parquet(*keep)
+    except Exception:
+        src = load(spark, sf_dir, "events")
+    return src.filter(band).groupBy("event_type").agg(*agg_cols)

@@ -1629,3 +1629,83 @@ def q5u_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("accuracy"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q5z — reciprocal-rank fusion (RRF) of two retrieval rankings: the
+# standard way a search stack merges lexical and secondary rankings
+# (RRF(d) = Σ_q 1/(k + rank_q(d)), k=60). Each query term's candidate
+# list is cut to a bounded top-N by (tf DESC, doc_id) BEFORE ranking,
+# so the fused table is |queries|·N rows — broadcastable — and the
+# full-outer fuse plus final top-20 never touch the corpus again.
+# The fused score is a fixed-order two-term expression on exact
+# integer ranks (no reduction), identical on both engines.
+# --------------------------------------------------------------------------
+
+_RRF_TERMS = ("hash", "join")
+_RRF_K = 60
+_RRF_TOPN = 100
+
+
+@query(
+    "q5z_rrf_fusion",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM toks WHERE term IN ('{_RRF_TERMS[0]}', '{_RRF_TERMS[1]}')
+      GROUP BY doc_id, term
+    ),
+    ranked AS (
+      SELECT doc_id, term,
+             ROW_NUMBER() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS r
+      FROM tf
+    ),
+    topn AS (SELECT * FROM ranked WHERE r <= {_RRF_TOPN}),
+    a AS (SELECT doc_id, r FROM topn WHERE term = '{_RRF_TERMS[0]}'),
+    b AS (SELECT doc_id, r FROM topn WHERE term = '{_RRF_TERMS[1]}'),
+    fused AS (
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             CAST(a.r AS BIGINT) AS rank_a,
+             CAST(b.r AS BIGINT) AS rank_b,
+             COALESCE(1.0 / ({_RRF_K} + a.r), 0.0)
+               + COALESCE(1.0 / ({_RRF_K} + b.r), 0.0) AS rrf
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    )
+    SELECT doc_id, rank_a, rank_b, rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+)
+def q5z_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*_RRF_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("term").orderBy(F.col("tf").desc(), "doc_id")
+    topn = tf.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= _RRF_TOPN
+    )
+    a = topn.filter(F.col("term") == _RRF_TERMS[0]).select(
+        F.col("doc_id").alias("da"), F.col("r").alias("ra")
+    )
+    b = topn.filter(F.col("term") == _RRF_TERMS[1]).select(
+        F.col("doc_id").alias("db"), F.col("r").alias("rb")
+    )
+    fused = a.join(b, F.col("da") == F.col("db"), "full_outer").select(
+        F.coalesce("da", "db").alias("doc_id"),
+        F.col("ra").cast("bigint").alias("rank_a"),
+        F.col("rb").cast("bigint").alias("rank_b"),
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("ra")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rb")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)

@@ -43,6 +43,9 @@ TS_QUERIES = [
     "q4p_clamped_balance", "q4q_holt_forecast", "q3j_decayed_counts",
     "q4s_cusum", "q4t_interval_stabbing",
     "q4u_autocorrelation", "q9l_incremental_batches",
+    # round-5 session additions (timestamp-touching):
+    "q3k_pattern_vshape", "q4x_mutual_information", "q4y_dft_spectrum",
+    "q4z_theil_sen",
 ]
 
 
