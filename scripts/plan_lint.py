@@ -94,6 +94,13 @@ ALLOW_CARTESIAN = {
     "q8t_power_iteration",      # 1-row corpus-size and norm broadcast crosses
     "q8u_perplexity",           # 1-row vocab-size broadcast cross
     "q6n_dataset_card",         # 1-row stat-frame broadcast combines
+    "q8f_pca_deflation",        # 1-row norm/size broadcast crosses per chain
+    "q4w_ks_test",              # 1-row (n_a, n_b) broadcast cross over cum rows
+    "q4x_mutual_information",   # 1-row n cross over 35 cells (q4m shape)
+    "q4y_dft_spectrum",         # 1-row min-hour + 3-row period broadcast crosses
+    "q4z_theil_sen",            # broadcast day-pair theta join (calendar-bounded)
+    "q7x_psi_drift",            # 1-row time-bounds + margins broadcast crosses
+    "q6p_gain_chart",           # 1-row n/total-responders broadcast crosses
 }
 # Python-eval nodes allowed: q5i IS the scalar-UDF surface; q5g IS the
 # UDTF surface (UDTF eval is row-generating Python by definition).
