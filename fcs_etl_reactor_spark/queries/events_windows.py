@@ -2519,3 +2519,85 @@ def q4z_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("slope").alias("median_slope"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q9o — DYNAMIC-GAP session windows (real stream): the gap depends on
+# the event (purchases hold a session open 60 min, everything else
+# 30 min) — Spark 4's expression-valued session_window gap, exercised
+# end-to-end through an availableNow stream in complete mode. The
+# batch-SQL twin replays the merge rule exactly: an event extends the
+# session iff its start is STRICTLY before the running max session
+# end (running MAX, not lag — with variable gaps an earlier event can
+# hold the session open longer than the latest one), all in integer
+# micros. Session end = max(event ts + its gap), Spark's definition.
+# --------------------------------------------------------------------------
+
+_DYN_GAP_US = "CASE WHEN event_type = 'purchase' THEN 3600000000 ELSE 1800000000 END"
+
+
+@query(
+    "q9o_dynamic_gap_sessions",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, ts, event_id, value,
+             EPOCH_US(ts) AS t_us,
+             EPOCH_US(ts) + {_DYN_GAP_US} AS end_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, t_us, end_us, value,
+        CASE WHEN MAX(end_us) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR t_us >= MAX(end_us) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS new_sess
+      FROM g
+    ),
+    sess AS (
+      SELECT user_id, ts, end_us, value,
+        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAKE_TIMESTAMP(MAX(end_us)) AS session_end,
+           COUNT(*) AS n_events,
+           {o_dsum("value", "session_value")}
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def q9o_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.functions.exact import dsum as _dsum
+    from fcs_etl_reactor_spark.streaming.windows import (
+        read_events_stream,
+        to_memory_sink,
+    )
+
+    src = _events_stream_dir(spark, sf_dir)
+    sink = "q9o_sink_" + src.rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")
+    stream = read_events_stream(spark, src)
+    gap = F.when(F.col("event_type") == "purchase", F.lit("60 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window(F.col("ts"), gap), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum("value", "session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+    q = to_memory_sink(agg, sink, "complete")
+    q.awaitTermination()
+    return spark.table(sink)

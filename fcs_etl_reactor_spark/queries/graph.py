@@ -167,8 +167,8 @@ _TRI_MIN_SHARED = 2
 )
 def q5o_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fcs_etl_reactor_spark.operators.graphs import (
-    materialize,
         copurchase_pairs,
+        materialize,  # noqa: F401 — shared family import pattern
         triangle_count,
     )
 
@@ -799,3 +799,96 @@ def q5x_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("hub").alias("kind"), "node", F.col("h").alias("score"))
     )
     return topa.unionAll(toph)
+
+
+# --------------------------------------------------------------------------
+# q1h — k-core peeling on the co-purchase graph: R rounds of "drop
+# every node with degree < k, then drop edges touching dropped
+# nodes" — the standard dense-subgraph/degeneracy primitive (3 fixed
+# rounds; the true k-core is this loop run to fixed point and a
+# 3-round peel is already a strict, useful filter at any scale). Each
+# round is one degree count over the surviving edge list + two semi
+# joins; round state is materialized (operators/graphs.materialize),
+# the same checkpoint cadence as the other iterative graph queries.
+# All arithmetic is integer counting — partition- and engine-
+# invariant by construction; the oracle unrolls the identical rounds
+# as a CTE chain.
+# --------------------------------------------------------------------------
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 3
+_KCORE_MIN_SHARED = 2
+
+
+def _kcore_oracle(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    ctes = [
+        f"""e0 AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_KCORE_MIN_SHARED}
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""d{r} AS (
+      SELECT node FROM (
+        SELECT a AS node FROM e{r - 1} UNION ALL SELECT b FROM e{r - 1}
+      ) GROUP BY node HAVING COUNT(*) >= {k}
+    )"""
+        )
+        ctes.append(
+            f"""e{r} AS (
+      SELECT a, b FROM e{r - 1}
+      WHERE a IN (SELECT node FROM d{r}) AND b IN (SELECT node FROM d{r})
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+         SELECT a AS node FROM e{rounds} UNION SELECT b FROM e{rounds}
+       )) AS n_core_nodes,
+      CAST(COUNT(*) AS BIGINT) AS n_core_edges
+    FROM e{rounds}"""
+    )
+
+
+@query("q1h_kcore_peel", oracle=_kcore_oracle())
+def q1h_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.graphs import (
+        copurchase_pairs,
+        materialize,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = materialize(
+        copurchase_pairs(li, min_shared=_KCORE_MIN_SHARED).select("a", "b")
+    )
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            edges.select(F.col("a").alias("node"))
+            .unionAll(edges.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select("node")
+        )
+        edges = materialize(
+            edges.join(deg.withColumnRenamed("node", "a"), "a", "leftsemi").join(
+                deg.withColumnRenamed("node", "b"), "b", "leftsemi"
+            )
+        )
+    nodes = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_core_nodes"))
+    )
+    return nodes.crossJoin(
+        F.broadcast(
+            edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_core_edges"))
+        )
+    ).select("n_core_nodes", "n_core_edges")

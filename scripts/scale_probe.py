@@ -89,6 +89,15 @@ PROBE_QUERIES = [  # all run on the replicated tables
     "q8e_gram_matrix",       # partition-local integer X^T X matmul
     "q5y_dbscan_core",       # eps-grid 3x3 candidate join
     "q4u_autocorrelation",   # hourly buckets + per-type lag window
+    # round-5 session additions:
+    "q4v_mann_whitney",      # bucket-keyed distributed rank-sum
+    "q4w_ks_test",           # packed-pair distributed prefix sum
+    "q3k_pattern_vshape",    # CEP run encoding (two window passes)
+    "q2h_zonemap_skip",      # file-skipping band scan (incl. layout write)
+    "q4z_theil_sen",         # calendar-bounded pair slopes + global_rank
+    "q5z_rrf_fusion",        # bounded top-N fuse
+    "q6p_gain_chart",        # distributed decile ranks
+    "q8f_pca_deflation",     # Gram + two dimension-bound power chains
 ]
 
 
