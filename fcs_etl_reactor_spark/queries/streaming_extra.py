@@ -567,3 +567,56 @@ def q9m_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_type", "n")
     )
+
+
+# --------------------------------------------------------------------------
+# q9p — STATE STORE introspection: drain a streaming aggregation with
+# an explicit checkpoint, then read the checkpoint's state store back
+# as a BATCH table (Spark's `statestore` reader — the ops/debugging
+# surface for "what does my streaming job believe right now") and
+# verify the recovered per-key aggregation buffers against the batch
+# oracle. availableNow drains everything, so the final state IS the
+# full-corpus aggregate — an exact, deterministic check that the
+# engine's durable state round-trips. Checkpoint is pid-scoped (the
+# streaming-sink discipline); re-running in-process is an idempotent
+# no-op drain over an already-consumed source.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q9p_state_store_read",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type
+    """,
+)
+def q9p_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from fcs_etl_reactor_spark.queries.events_windows import _events_stream_dir
+    from fcs_etl_reactor_spark.streaming.windows import read_events_stream
+
+    src = _events_stream_dir(spark, sf_dir)
+    ckpt = os.path.join(
+        "/tmp/spark_graft_state_ckpt",
+        src.rsplit("/", 1)[-1] + f"_{os.getpid()}",
+    )
+    counts = read_events_stream(spark, src).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    q = (
+        counts.writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.read.format("statestore").load(ckpt)
+    # the value struct's field layout is the aggregation buffer; the
+    # count buffer is its single bigint field — resolve by position so
+    # the query doesn't depend on Spark's internal buffer naming
+    vfield = state.schema["value"].dataType.names[0]
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col(f"value.{vfield}").cast("bigint").alias("n_events"),
+    )
