@@ -442,22 +442,89 @@ def q8d_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q8t — distributed power iteration: top eigenvector of the 64×64
 # second-moment (Gram/n) matrix of the embedding corpus — PCA's first
-# component (uncentered), computed entirely as relational ops. The
-# Gram build is the classic outer-product shuffle (explode → self-join
-# on vec_id → groupBy (i,j), map-side combinable; D² = 4096 cells
-# regardless of corpus size), and each of the 3 unrolled iterations is
-# a D²-row join against the 64-row vector + a groupBy — dimension-
-# bound, not corpus-bound, after the one corpus pass.
+# component (uncentered). The Gram rides the Arrow integer matmul
+# (_pi_gram → operators/density.gram_upper): one corpus pass of
+# per-partition X^T X over quantized components, #partitions × 2080
+# exact-integer partials shuffled — never a |corpus|·D² pair
+# explosion (the previous relational outer-product build did exactly
+# that: measured 50× slower at sf0.1 for identical downstream math).
+# Each of the 3 unrolled iterations is a D²-row join against the
+# 64-row vector + a groupBy — dimension-bound after the corpus pass.
 #
-# Determinism: every float reduction (Gram cells, matvec, norm) runs
-# through the scaled-long exact sum, so both engines iterate on
-# IDENTICAL doubles; division and sqrt are correctly-rounded IEEE.
+# Determinism: the Gram is exact-integer on both engines; every later
+# float reduction (matvec, norm) runs through the scaled-long exact
+# sum, so both engines iterate on IDENTICAL doubles; division and
+# sqrt are correctly-rounded IEEE.
 # Init v0 = 1/8 (unit, all-positive) — the fixture Gram is entrywise
 # positive, so Perron-Frobenius makes the sign stable too.
 # --------------------------------------------------------------------------
 
 _PI_DIM = 64
 _PI_ITERS = 3
+_PI_Q = 1_000_000  # component quantization for the Arrow-matmul Gram
+
+
+def _pi_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full symmetric Gram/n as (i, j, g) doubles — built on the
+    Arrow integer matmul (operators/density.gram_upper), the designed
+    scale path: quantize components once to BIGINT at _PI_Q, one
+    corpus pass of per-partition X^T X (never a |corpus|·D² pair
+    explosion — the previous relational outer-product build was 50×
+    slower at sf0.1 for identical downstream math), mirror the upper
+    triangle, then g = g_int / Q² / n. g_int is an exact integer on
+    both engines (DECIMAL(38,0) partials here, HUGEINT in the
+    oracle), so both iterate on bit-identical doubles."""
+    from fcs_etl_reactor_spark.operators.density import gram_upper
+
+    e = load(spark, sf_dir, "embeddings")
+    qv = e.select(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(float(_PI_Q))).cast(
+                "bigint"
+            ),
+        ).alias("q")
+    )
+    up = gram_upper(qv, "q", _PI_DIM)
+    full = up.unionAll(
+        up.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "gram"
+        )
+    )
+    n = e.agg(F.count(F.lit(1)).alias("nn"))
+    g = full.crossJoin(F.broadcast(n)).select(
+        F.col("i").cast("bigint").alias("i"),
+        F.col("j").cast("bigint").alias("j"),
+        (
+            F.col("gram").cast("double")
+            / F.lit(1e12)
+            / F.col("nn").cast("double")
+        ).alias("g"),
+    )
+    # materialize the 4096-row Gram once: the power chains reference
+    # it ~10 times and a lazy mapInPandas build would re-run the
+    # corpus matmul on every reference (measured 66 s vs 1.5 s at
+    # sf0.1 for the two-chain q8f)
+    try:
+        return g.localCheckpoint(eager=True)
+    except Exception:
+        return g
+
+
+_PI_GRAM_CTES = """x AS (
+      SELECT vec_id,
+             CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS q,
+             GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS i
+      FROM embeddings
+    ),
+    n AS (SELECT COUNT(*) AS nn FROM embeddings),
+    g AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST(CAST(SUM(a.q * b.q) AS BIGINT) AS DOUBLE)
+               / 1000000000000.0 / CAST(MAX(nn) AS DOUBLE) AS g
+      FROM x a JOIN x b USING (vec_id) CROSS JOIN n
+      GROUP BY a.i, b.i
+    )"""
 
 
 def _power_iteration_oracle(iters: int = _PI_ITERS) -> str:
@@ -468,18 +535,7 @@ def _power_iteration_oracle(iters: int = _PI_ITERS) -> str:
         )
 
     ctes = [
-        """x AS (
-      SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
-             GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS i
-      FROM embeddings
-    )""",
-        """n AS (SELECT COUNT(*) AS nn FROM embeddings)""",
-        f"""g AS (
-      SELECT a.i AS i, b.i AS j,
-             {fs('a.v * b.v')} / MAX(nn) AS g
-      FROM x a JOIN x b USING (vec_id) CROSS JOIN n
-      GROUP BY a.i, b.i
-    )""",
+        _PI_GRAM_CTES,
         f"""v0 AS (
       SELECT CAST(d AS BIGINT) AS j, 1.0 / 8.0 AS vj
       FROM RANGE(0, {_PI_DIM}) t(d)
@@ -516,23 +572,7 @@ def _power_iteration_oracle(iters: int = _PI_ITERS) -> str:
 
 @query("q8t_power_iteration", oracle=_power_iteration_oracle())
 def q8t_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
-    x = e.select(
-        "vec_id", F.posexplode("embedding").alias("i", "v")
-    ).select("vec_id", "i", F.col("v").cast("double").alias("v"))
-    n = e.agg(F.count(F.lit(1)).alias("nn"))
-    a, b = x.alias("a"), x.alias("b")
-    g = (
-        a.join(b, "vec_id")
-        .crossJoin(F.broadcast(n))
-        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
-        .agg(
-            (
-                fsum(F.col("a.v") * F.col("b.v"), "s", scale=1e9).cast("double")
-                / F.max("nn")
-            ).alias("g")
-        )
-    )
+    g = _pi_gram(spark, sf_dir)
     v = spark.range(_PI_DIM).select(
         F.col("id").alias("j"), F.lit(1.0 / 8.0).alias("vj")
     )
@@ -1015,8 +1055,9 @@ def q5y_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
 # expression joining the 4096-cell Gram against the 64-row vector on
 # each index — dimension-bound) and power-iterate G' for the second
 # component. This is the multi-component PCA loop a feature-reduction
-# pipeline runs: one corpus pass builds the Gram, every later step is
-# O(D²) regardless of corpus size.
+# pipeline runs: ONE corpus pass builds the Gram (the shared
+# Arrow-matmul _pi_gram), every later step is O(D²) regardless of
+# corpus size.
 #
 # Determinism: identical to q8t — every reduction (Gram cells,
 # matvecs, norms) is a scaled-long exact sum, so both engines iterate
@@ -1034,18 +1075,7 @@ def _pca2_oracle(iters: int = _PI_ITERS) -> str:
         )
 
     ctes = [
-        """x AS (
-      SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
-             GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS i
-      FROM embeddings
-    )""",
-        """n AS (SELECT COUNT(*) AS nn FROM embeddings)""",
-        f"""g AS (
-      SELECT a.i AS i, b.i AS j,
-             {fs('a.v * b.v')} / MAX(nn) AS g
-      FROM x a JOIN x b USING (vec_id) CROSS JOIN n
-      GROUP BY a.i, b.i
-    )""",
+        _PI_GRAM_CTES,
         f"""v0 AS (
       SELECT CAST(d AS BIGINT) AS j, 1.0 / 8.0 AS vj
       FROM RANGE(0, {_PI_DIM}) t(d)
@@ -1107,25 +1137,15 @@ def _pca2_oracle(iters: int = _PI_ITERS) -> str:
 
 @query("q8f_pca_deflation", oracle=_pca2_oracle())
 def q8f_pca_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
-    x = e.select(
-        "vec_id", F.posexplode("embedding").alias("i", "v")
-    ).select("vec_id", "i", F.col("v").cast("double").alias("v"))
-    n = e.agg(F.count(F.lit(1)).alias("nn"))
-    a, b = x.alias("a"), x.alias("b")
-    g = (
-        a.join(b, "vec_id")
-        .crossJoin(F.broadcast(n))
-        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
-        .agg(
-            (
-                fsum(F.col("a.v") * F.col("b.v"), "s", scale=1e9).cast("double")
-                / F.max("nn")
-            ).alias("g")
-        )
-    )
+    g = _pi_gram(spark, sf_dir)
+
+    from fcs_etl_reactor_spark.operators.graphs import materialize
 
     def iterate(gram, v_init):
+        # each round's (v, nrm) is referenced several times downstream
+        # (next round, deflation, final join) — materialize the 64-row
+        # state per round (the iterative-family checkpoint cadence) so
+        # later references never re-execute the whole chain
         v, nrm = v_init, None
         for _ in range(_PI_ITERS):
             w = (
@@ -1133,13 +1153,19 @@ def q8f_pca_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("i")
                 .agg(fsum(F.col("g") * F.col("vj"), "wi", scale=1e9))
             )
-            nrm = w.agg(
-                F.sqrt(
-                    fsum(F.col("wi") * F.col("wi"), "s", scale=1e9).cast("double")
-                ).alias("nrm")
+            nrm = materialize(
+                w.agg(
+                    F.sqrt(
+                        fsum(F.col("wi") * F.col("wi"), "s", scale=1e9).cast(
+                            "double"
+                        )
+                    ).alias("nrm")
+                )
             )
-            v = w.crossJoin(F.broadcast(nrm)).select(
-                F.col("i").alias("j"), (F.col("wi") / F.col("nrm")).alias("vj")
+            v = materialize(
+                w.crossJoin(F.broadcast(nrm)).select(
+                    F.col("i").alias("j"), (F.col("wi") / F.col("nrm")).alias("vj")
+                )
             )
         return v, nrm
 
