@@ -2601,3 +2601,53 @@ def q9o_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = to_memory_sink(agg, sink, "complete")
     q.awaitTermination()
     return spark.table(sink)
+
+
+# --------------------------------------------------------------------------
+# q3l — exact weighted median (order price weighted by line quantity):
+# the robust "typical dollar" statistic where every unit of quantity
+# votes. Weights are exact integers, so the crossing point — the
+# smallest price whose cumulative weight reaches half the total — is
+# found by the DISTRIBUTED prefix sum over the per-price weight table
+# (ordering.global_cumsum, bucket-keyed two-pass; never a
+# single-reducer cumulative window), then one bounded filter+min.
+# 2·cum ≥ W in integers avoids the W/2 float entirely.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q3l_weighted_median",
+    oracle="""
+    WITH v AS (
+      SELECT l_extendedprice AS price,
+             CAST(SUM(l_quantity) AS BIGINT) AS w
+      FROM lineitem GROUP BY l_extendedprice
+    ),
+    cum AS (
+      SELECT price, w,
+             SUM(w) OVER (ORDER BY price) AS cw
+      FROM v
+    ),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS wt FROM v)
+    SELECT (SELECT wt FROM tot) AS total_weight,
+           MIN(price) AS weighted_median
+    FROM cum, tot
+    WHERE 2 * cw >= wt
+    """,
+)
+def q3l_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.ordering import global_cumsum
+
+    li = load(spark, sf_dir, "lineitem")
+    v = li.groupBy(F.col("l_extendedprice").alias("price")).agg(
+        F.sum("l_quantity").cast("bigint").alias("w")
+    )
+    cum = global_cumsum(v, ["price"], "w", out_col="cw")
+    tot = v.agg(F.sum("w").cast("bigint").alias("wt"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.lit(2) * F.col("cw") >= F.col("wt"))
+        .groupBy("wt")
+        .agg(F.min("price").alias("weighted_median"))
+        .select(F.col("wt").alias("total_weight"), "weighted_median")
+    )
