@@ -880,3 +880,124 @@ def q6p_gain_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gain"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q6q — k-anonymity / l-diversity audit: before a corpus ships, every
+# quasi-identifier combination must hide each row among ≥ k peers,
+# and each group must carry ≥ l distinct sensitive values. QI here =
+# (lang, source); "sensitive" = the character-count band. One groupBy
+# builds the QI table (|groups| ≪ |rows|, map-side combinable); the
+# audit rollup is group-bounded. All integers — exact at any
+# partitioning.
+# --------------------------------------------------------------------------
+
+_KANON_K = 5
+_KANON_L = 2
+
+
+@query(
+    "q6q_k_anonymity",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang, source,
+             COUNT(*) AS n,
+             COUNT(DISTINCT CAST(FLOOR(n_chars / 500.0) AS INTEGER)) AS l_div
+      FROM documents GROUP BY lang, source
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS k_violating_groups,
+           CAST(SUM(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           CAST(MIN(n) AS BIGINT) AS min_group_size,
+           CAST(SUM(CASE WHEN l_div < {_KANON_L} THEN 1 ELSE 0 END) AS BIGINT)
+             AS l_violating_groups
+    FROM g
+    """,
+)
+def q6q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    g = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(
+            F.floor(F.col("n_chars") / 500.0).cast("int")
+        ).alias("l_div"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("n") < _KANON_K, 1).otherwise(0))
+        .cast("bigint")
+        .alias("k_violating_groups"),
+        F.sum(F.when(F.col("n") < _KANON_K, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        F.min("n").cast("bigint").alias("min_group_size"),
+        F.sum(F.when(F.col("l_div") < _KANON_L, 1).otherwise(0))
+        .cast("bigint")
+        .alias("l_violating_groups"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q6r — differentially-private release shape: per-type counts with
+# Laplace(b = 1/ε) noise drawn from a SEEDED md5-uniform (u ∈
+# (−1/2, 1/2) from the first 6 hex chars, noise = −b·sign(u)·
+# ln(1 − 2|u|) — the standard inverse-CDF draw). A production release
+# uses a real RNG; the seeded draw keeps the mechanism VERIFIABLE —
+# both engines derive the identical noise from the identical hash, so
+# the whole release is oracle-checked. Per-group expression work on a
+# map-side-combined count; the final ln is rounded to 6 dp to absorb
+# engine trig/log last-ulp differences.
+# --------------------------------------------------------------------------
+
+_DP_B = 20.0  # Laplace scale = 1/epsilon, epsilon = 0.05
+_DP_SEED = "dp-v1"
+
+
+@query(
+    "q6r_dp_noisy_counts",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+    ),
+    u AS (
+      SELECT event_type, n,
+             (CAST(('0x' || SUBSTR(MD5(event_type || '{_DP_SEED}'), 1, 6))
+                   AS BIGINT) + 0.5) / 16777216.0 - 0.5 AS u
+      FROM c
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS true_count,
+           ROUND(CAST(n AS DOUBLE)
+                 - {_DP_B} * SIGN(u) * LN(1.0 - 2.0 * ABS(u)), 6)
+             AS noisy_count
+    FROM u
+    """,
+)
+def q6r_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("event_type"), F.lit(_DP_SEED))), 1, 6
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            + F.lit(0.5)
+        )
+        / F.lit(16777216.0)
+        - F.lit(0.5)
+    )
+    noise = (
+        F.lit(-_DP_B)
+        * F.signum(u)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u))
+    )
+    return c.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("true_count"),
+        F.round(F.col("n").cast("double") + noise, 6).alias("noisy_count"),
+    )
