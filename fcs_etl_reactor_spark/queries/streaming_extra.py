@@ -620,3 +620,59 @@ def q9p_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key.event_type").alias("event_type"),
         F.col(f"value.{vfield}").cast("bigint").alias("n_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# q9q — RocksDB state store provider, end-to-end: the same windowed
+# aggregation the HDFS-backed default runs (q98's shape), executed
+# with spark.sql.streaming.stateStore.providerClass pointed at
+# RocksDB — the off-heap, incremental-checkpoint backend you actually
+# run at 100 TB state. availableNow drain + complete mode make the
+# final emission the exact batch aggregate, so correctness of the
+# provider swap is oracle-checked; the conf is restored afterwards so
+# later streaming queries keep their session default.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q9q_rocksdb_state_store",
+    oracle="""
+    SELECT
+      MAKE_TIMESTAMP(CAST(FLOOR(EPOCH(ts) / 600) * 600000000 AS BIGINT))
+        AS win_start,
+      event_type,
+      COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q9q_rocksdb_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.queries.events_windows import _events_stream_dir
+    from fcs_etl_reactor_spark.streaming.windows import (
+        read_events_stream,
+        to_memory_sink,
+        tumbling_counts,
+    )
+
+    src = _events_stream_dir(spark, sf_dir)
+    sink = "q9q_sink_" + src.rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, src)
+        q = to_memory_sink(
+            tumbling_counts(stream, width="10 minutes", watermark="1 hour"),
+            sink,
+            output_mode="complete",
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return spark.table(sink).select(F.col("win_start"), "event_type", "n")
