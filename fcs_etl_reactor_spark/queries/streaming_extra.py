@@ -676,3 +676,74 @@ def q9q_rocksdb_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set(key, prev)
     return spark.table(sink).select(F.col("win_start"), "event_type", "n")
+
+
+# --------------------------------------------------------------------------
+# q9r — CHAINED stateful window aggregations in one stream (Spark 4's
+# multiple-stateful-operator support): 10-minute tumbling counts per
+# type re-aggregated into hourly rollups via window_time() — the
+# continuous-aggregate cascade a metrics pipeline runs (fine windows
+# feed coarse ones without a second scan of the source). Chained
+# stateful operators require append mode, so at termination the sink
+# holds exactly the hours whose end the final watermark (max ts − 1 h)
+# passed — the same provably-withheld-tail semantics as q9a, stated
+# directly in the oracle's WHERE.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q9r_chained_window_aggs",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    fine AS (
+      SELECT CAST(FLOOR(EPOCH(ts) / 600) * 600 AS BIGINT) AS w10,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    hourly AS (
+      SELECT CAST(FLOOR(w10 / 3600) * 3600 AS BIGINT) AS h,
+             event_type,
+             CAST(SUM(n) AS BIGINT) AS n_events,
+             CAST(COUNT(*) AS BIGINT) AS n_windows
+      FROM fine GROUP BY 1, 2
+    )
+    SELECT MAKE_TIMESTAMP(h * 1000000) AS hour_start,
+           event_type, n_events, n_windows
+    FROM hourly, mx
+    WHERE h + 3600 <= EPOCH(mx.m) - 3600
+    """,
+)
+def q9r_chained_window_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.queries.events_windows import _events_stream_dir
+    from fcs_etl_reactor_spark.streaming.windows import (
+        read_events_stream,
+        to_memory_sink,
+    )
+
+    src = _events_stream_dir(spark, sf_dir)
+    sink = "q9r_sink_" + src.rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")
+    stream = read_events_stream(spark, src)
+    fine = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes").alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hourly = (
+        fine.groupBy(
+            F.window(F.window_time("win"), "60 minutes").alias("hwin"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        )
+        .select(
+            F.col("hwin.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "n_windows",
+        )
+    )
+    q = to_memory_sink(hourly, sink, output_mode="append")
+    q.awaitTermination()
+    return spark.table(sink)
