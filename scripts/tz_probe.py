@@ -45,7 +45,8 @@ TS_QUERIES = [
     "q4u_autocorrelation", "q9l_incremental_batches",
     # round-5 session additions (timestamp-touching):
     "q3k_pattern_vshape", "q4x_mutual_information", "q4y_dft_spectrum",
-    "q4z_theil_sen", "q9o_dynamic_gap_sessions",
+    "q4z_theil_sen", "q9o_dynamic_gap_sessions", "q9q_rocksdb_state_store",
+    "q9r_chained_window_aggs", "q7x_psi_drift",
 ]
 
 
