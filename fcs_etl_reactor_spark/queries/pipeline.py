@@ -1001,3 +1001,64 @@ def q6r_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("true_count"),
         F.round(F.col("n").cast("double") + noise, 6).alias("noisy_count"),
     )
+
+
+# --------------------------------------------------------------------------
+# q6s — feature hashing (the hashing trick): tokens mapped to a fixed
+# _FH_DIM-bucket space by a cross-engine hash (md5 prefix), the
+# featurization step that turns unbounded vocabulary into bounded
+# model input with no dictionary to ship. Reports the per-bucket mass
+# of the top buckets plus the collision profile (distinct terms per
+# bucket) — the quantity you audit before trusting hashed features.
+# One explode→groupBy pass, map-side combinable; the bucket table is
+# _FH_DIM rows regardless of corpus size.
+# --------------------------------------------------------------------------
+
+_FH_DIM = 1024
+
+
+@query(
+    "q6s_feature_hashing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+      FROM documents
+    ),
+    hashed AS (
+      SELECT CAST(('0x' || SUBSTR(MD5(term), 1, 8)) AS BIGINT) % {_FH_DIM}
+               AS bucket,
+             term
+      FROM toks WHERE term <> ''
+    ),
+    b AS (
+      SELECT bucket, COUNT(*) AS mass, COUNT(DISTINCT term) AS n_terms
+      FROM hashed GROUP BY bucket
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(mass AS BIGINT) AS mass,
+           CAST(n_terms AS BIGINT) AS n_terms
+    FROM b ORDER BY mass DESC, bucket LIMIT 20
+    """,
+)
+def q6s_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    bucket = (
+        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint")
+        % _FH_DIM
+    )
+    b = toks.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("mass"),
+        F.count_distinct("term").alias("n_terms"),
+    )
+    return (
+        b.select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("mass").cast("bigint").alias("mass"),
+            F.col("n_terms").cast("bigint").alias("n_terms"),
+        )
+        .orderBy(F.col("mass").desc(), "bucket")
+        .limit(20)
+    )
