@@ -10,7 +10,6 @@ from fcs_etl_reactor_spark.functions.exact import fsum
 from fcs_etl_reactor_spark.io import load
 from fcs_etl_reactor_spark.operators.similarity import (
     _dot_scaled,
-    cosine_topk_exact,
     cosine_topk_vectorized,
     ivf_topk,
     lsh_topk,
