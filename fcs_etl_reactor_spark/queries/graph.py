@@ -892,3 +892,270 @@ def q1h_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_core_edges"))
         )
     ).select("n_core_nodes", "n_core_edges")
+
+
+# --------------------------------------------------------------------------
+# q1i — nDCG@5 for the co-purchase recommender (completing the IR
+# eval pair with q1f's MRR): graded position discounting with ZERO
+# runtime transcendentals — the 1/log2(i+1) discounts and their ideal
+# prefix sums are precomputed as scaled-BIGINT literals shared by
+# both engines, so DCG and IDCG are exact integer sums and only the
+# final ratio and mean divide. Same bounded topology as q1f (recs =
+# items × 5, truth = test-order pair set).
+# --------------------------------------------------------------------------
+
+# floor(1/log2(i+1) * 1e15) for rank i = 1..5, and ideal prefix sums
+_NDCG_DS = (
+    1000000000000000, 630929753571457, 500000000000000,
+    430676558073393, 386852807234541,
+)
+_NDCG_CUM = (
+    1000000000000000, 1630929753571457, 2130929753571457,
+    2561606311644850, 2948459118879391,
+)
+
+
+def _ndcg_case_sql(col: str, vals) -> str:
+    arms = " ".join(f"WHEN {i + 1} THEN {v}" for i, v in enumerate(vals))
+    return f"CASE {col} {arms} ELSE 0 END"
+
+
+@query(
+    "q1i_ndcg",
+    oracle=f"""
+    WITH train AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+      WHERE l_orderkey % 5 <> 0
+    ),
+    test AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+      WHERE l_orderkey % 5 = 0
+    ),
+    pairs AS (
+      SELECT a.p AS p1, b.p AS p2, COUNT(*) AS cab
+      FROM train a JOIN train b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2
+    ),
+    sym AS (
+      SELECT p1 AS item, p2 AS other, cab FROM pairs
+      UNION ALL SELECT p2, p1, cab FROM pairs
+    ),
+    recs AS (
+      SELECT item, other, rn FROM (
+        SELECT item, other,
+               ROW_NUMBER() OVER (PARTITION BY item
+                                  ORDER BY cab DESC, other) AS rn
+        FROM sym
+      ) WHERE rn <= 5
+    ),
+    truth AS (
+      SELECT DISTINCT a.p AS item, b.p AS other
+      FROM test a JOIN test b ON a.o = b.o AND a.p <> b.p
+    ),
+    rel AS (SELECT item, COUNT(*) AS r FROM truth GROUP BY item),
+    dcg AS (
+      SELECT r.item,
+             CAST(SUM(CASE WHEN t.other IS NOT NULL
+                  THEN {_ndcg_case_sql("r.rn", _NDCG_DS)} ELSE 0 END)
+                  AS BIGINT) AS dcg_s
+      FROM recs r
+        JOIN part ON r.item = p_partkey AND p_size = 1
+        LEFT JOIN truth t ON r.item = t.item AND r.other = t.other
+      GROUP BY r.item
+    ),
+    scored AS (
+      SELECT d.item, d.dcg_s,
+             {_ndcg_case_sql("LEAST(rel.r, 5)", _NDCG_CUM)} AS idcg_s
+      FROM dcg d JOIN rel ON d.item = rel.item
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(FLOOR(CAST(dcg_s AS DOUBLE) / CAST(idcg_s AS DOUBLE)
+                                * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000000.0 / COUNT(*) AS mean_ndcg
+    FROM scored
+    """,
+)
+def q1i_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    l = load(spark, sf_dir, "lineitem")
+    p1slice = load(spark, sf_dir, "part").filter(F.col("p_size") == 1)
+    op = l.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    train = op.filter(F.col("o") % 5 != 0)
+    test = op.filter(F.col("o") % 5 == 0)
+    ta, tb = train.alias("ta"), train.alias("tb")
+    pairs = (
+        ta.join(
+            tb,
+            (F.col("ta.o") == F.col("tb.o")) & (F.col("ta.pk") < F.col("tb.pk")),
+        )
+        .groupBy(F.col("ta.pk").alias("a"), F.col("tb.pk").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cab"))
+    )
+    sym = pairs.selectExpr("a AS item", "b AS other", "cab").unionAll(
+        pairs.selectExpr("b AS item", "a AS other", "cab")
+    )
+    w = Window.partitionBy("item").orderBy(F.col("cab").desc(), F.col("other"))
+    recs = (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .join(F.broadcast(p1slice), F.col("item") == F.col("p_partkey"), "left_semi")
+        .select("item", "other", "rn")
+    )
+    ea, eb = test.alias("ea"), test.alias("eb")
+    truth = (
+        ea.join(
+            eb,
+            (F.col("ea.o") == F.col("eb.o")) & (F.col("ea.pk") != F.col("eb.pk")),
+        )
+        .select(F.col("ea.pk").alias("t_item"), F.col("eb.pk").alias("t_other"))
+        .distinct()
+    )
+    rel = truth.groupBy(F.col("t_item").alias("item")).agg(
+        F.count(F.lit(1)).alias("r")
+    )
+
+    def case_of(col, vals):
+        expr = F.lit(0).cast("bigint")
+        c = F.when(col == 1, F.lit(vals[0]))
+        for i, v in enumerate(vals[1:], start=2):
+            c = c.when(col == i, F.lit(v))
+        return c.otherwise(expr)
+
+    dcg = (
+        recs.join(
+            truth,
+            (F.col("item") == F.col("t_item")) & (F.col("other") == F.col("t_other")),
+            "left",
+        )
+        .groupBy("item")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("t_other").isNotNull(),
+                    case_of(F.col("rn"), _NDCG_DS),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("dcg_s")
+        )
+    )
+    scored = dcg.join(rel, "item").select(
+        "item",
+        "dcg_s",
+        case_of(F.least(F.col("r"), F.lit(5)), _NDCG_CUM).alias("idcg_s"),
+    )
+    nd = (
+        F.col("dcg_s").cast("double") / F.col("idcg_s").cast("double")
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        (
+            F.sum(F.floor(nd * F.lit(1e9) + F.lit(0.5)).cast("bigint")).cast(
+                "double"
+            )
+            / F.lit(1e9)
+            / F.count(F.lit(1))
+        ).alias("mean_ndcg"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q1j — graph modularity of the BRAND partition over the co-purchase
+# graph: do same-brand parts cluster in purchasing behaviour? Q =
+# Σ_c [e_c/m − (d_c/2m)²], assembled as ONE exact integer expression
+# (num = 4m·Σe_c − Σd_c², den = 4m²) so the only float is the final
+# division — engine- and partition-invariant by construction. Edge
+# table is the q1h co-purchase graph; degrees and per-community cells
+# are one groupBy each; everything after is community-bounded.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q1j_brand_modularity",
+    oracle=f"""
+    WITH e0 AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_KCORE_MIN_SHARED}
+    ),
+    comm AS (SELECT p_partkey AS node, p_brand AS c FROM part),
+    m_ AS (SELECT COUNT(*) AS m FROM e0),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0
+      ) GROUP BY node
+    ),
+    ec AS (
+      SELECT ca.c, COUNT(*) AS e_in
+      FROM e0 JOIN comm ca ON e0.a = ca.node
+              JOIN comm cb ON e0.b = cb.node
+      WHERE ca.c = cb.c GROUP BY ca.c
+    ),
+    dc AS (
+      SELECT comm.c, CAST(SUM(deg.d) AS BIGINT) AS d_sum
+      FROM deg JOIN comm ON deg.node = comm.node GROUP BY comm.c
+    ),
+    terms AS (
+      SELECT dc.c,
+             COALESCE(ec.e_in, 0) AS e_in,
+             dc.d_sum
+      FROM dc LEFT JOIN ec ON dc.c = ec.c
+    )
+    SELECT (SELECT CAST(m AS BIGINT) FROM m_) AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_communities,
+           CAST(SUM(4 * (SELECT m FROM m_) * e_in - d_sum * d_sum) AS DOUBLE)
+             / CAST(4 * (SELECT m FROM m_) * (SELECT m FROM m_) AS DOUBLE)
+             AS modularity
+    FROM terms
+    """,
+)
+def q1j_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.graphs import copurchase_pairs
+
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    edges = copurchase_pairs(li, min_shared=_KCORE_MIN_SHARED).select("a", "b")
+    comm = part.select(F.col("p_partkey").alias("node"), F.col("p_brand").alias("c"))
+    m_ = edges.agg(F.count(F.lit(1)).alias("m"))
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ec = (
+        edges.join(F.broadcast(comm).withColumnRenamed("node", "a_n"),
+                   F.col("a") == F.col("a_n"))
+        .withColumnRenamed("c", "ca")
+        .join(F.broadcast(comm).withColumnRenamed("node", "b_n"),
+              F.col("b") == F.col("b_n"))
+        .filter(F.col("ca") == F.col("c"))
+        .groupBy(F.col("ca").alias("comm_c"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    dc = (
+        deg.join(F.broadcast(comm), "node")
+        .groupBy("c")
+        .agg(F.sum("d").cast("bigint").alias("d_sum"))
+    )
+    terms = dc.join(ec, dc.c == ec.comm_c, "left").select(
+        "c", F.coalesce("e_in", F.lit(0)).alias("e_in"), "d_sum"
+    )
+    return (
+        terms.crossJoin(F.broadcast(m_))
+        .agg(
+            F.max("m").cast("bigint").alias("n_edges"),
+            F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+            (
+                F.sum(
+                    F.lit(4) * F.col("m") * F.col("e_in")
+                    - F.col("d_sum") * F.col("d_sum")
+                ).cast("double")
+                / (F.lit(4) * F.max("m") * F.max("m")).cast("double")
+            ).alias("modularity"),
+        )
+    )
