@@ -293,3 +293,34 @@ def test_aqe_splits_skewed_join(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_zone_map_prunes_files(spark):
+    """q2h's skipping must actually engage: the value-band predicate
+    selects a strict subset of the range-sorted layout's files (the
+    query falls back to a full filtered scan on any layout failure,
+    which would still pass the oracle — this pins the fast path)."""
+    from pyspark.sql import functions as F
+
+    from fcs_etl_reactor_spark.queries.storage import (
+        _ZONE_HI,
+        _ZONE_LO,
+        _zone_sorted_events,
+    )
+
+    path = _zone_sorted_events(spark, "/root/testdata/sf0.001")
+    stats = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    )
+    keep = [r for r in stats if r["lo"] <= _ZONE_HI and r["hi"] >= _ZONE_LO]
+    assert len(stats) > 4  # the layout really is multi-file
+    # a ~8% value band over a range-sorted layout must skip most files
+    assert 0 < len(keep) <= len(stats) // 2, (len(keep), len(stats))
+    # range partitioning ⇒ files are value-disjoint (ties co-located),
+    # the invariant that makes min/max skipping sound
+    spans = sorted((r["lo"], r["hi"]) for r in stats)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
