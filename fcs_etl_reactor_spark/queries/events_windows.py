@@ -2651,3 +2651,99 @@ def q3l_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("price").alias("weighted_median"))
         .select(F.col("wt").alias("total_weight"), "weighted_median")
     )
+
+
+# --------------------------------------------------------------------------
+# q3m — partial autocorrelation at lag 2 (PACF) via the Durbin-
+# Levinson closed form φ22 = (ρ2 − ρ1²)/(1 − ρ1²): the AR-order
+# diagnostic read next to q4u's ACF. ρ1/ρ2 are Pearson correlations
+# over exact BIGINT hourly-count sums (q4u's discipline — both
+# engines divide the same integers), ROUNDED to 9 dp first, so the
+# closed form is arithmetic on identical doubles and its result
+# rounds identically. One bucket shuffle + per-type lags; the φ
+# algebra runs on a 5-row table.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q3m_pacf",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS hr, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, c,
+             LAG(c, 1) OVER (PARTITION BY event_type ORDER BY hr) AS x1,
+             LAG(c, 2) OVER (PARTITION BY event_type ORDER BY hr) AS x2
+      FROM hourly
+    ),
+    pairs AS (
+      SELECT event_type, 1 AS lag, x1 AS x, c AS y FROM lagged WHERE x1 IS NOT NULL
+      UNION ALL
+      SELECT event_type, 2 AS lag, x2 AS x, c AS y FROM lagged WHERE x2 IS NOT NULL
+    ),
+    acf AS (
+      SELECT event_type, lag,
+             ROUND(
+               CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
+               / NULLIF(SQRT(CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE)
+                             * CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS DOUBLE)),
+                        0),
+               9) AS r
+      FROM pairs GROUP BY event_type, lag
+    ),
+    wide AS (
+      SELECT event_type,
+             MIN(CASE WHEN lag = 1 THEN r END) AS rho1,
+             MIN(CASE WHEN lag = 2 THEN r END) AS rho2
+      FROM acf GROUP BY event_type
+    )
+    SELECT event_type, rho1, rho2,
+           ROUND((rho2 - rho1 * rho1) / (1.0 - rho1 * rho1), 9) AS pacf2
+    FROM wide
+    """,
+)
+def q3m_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    lagged = hourly.select(
+        "event_type",
+        "c",
+        F.lag("c", 1).over(w).alias("x1"),
+        F.lag("c", 2).over(w).alias("x2"),
+    )
+    pairs = lagged.select(
+        "event_type",
+        "c",
+        F.expr("stack(2, 1, x1, 2, x2) AS (lag, x)"),
+    ).filter(F.col("x").isNotNull())
+    n = F.count(F.lit(1))
+    sx, sy = F.sum("x"), F.sum("c")
+    sxy = F.sum(F.col("x") * F.col("c"))
+    sxx = F.sum(F.col("x") * F.col("x"))
+    syy = F.sum(F.col("c") * F.col("c"))
+    num = (n * sxy - sx * sy).cast("double")
+    den = F.sqrt(
+        (n * sxx - sx * sx).cast("double") * (n * syy - sy * sy).cast("double")
+    )
+    acf = pairs.groupBy("event_type", "lag").agg(
+        F.round(num / F.nullif(den, F.lit(0.0)), 9).alias("r")
+    )
+    wide = acf.groupBy("event_type").agg(
+        F.min(F.when(F.col("lag") == 1, F.col("r"))).alias("rho1"),
+        F.min(F.when(F.col("lag") == 2, F.col("r"))).alias("rho2"),
+    )
+    return wide.select(
+        "event_type",
+        "rho1",
+        "rho2",
+        F.round(
+            (F.col("rho2") - F.col("rho1") * F.col("rho1"))
+            / (F.lit(1.0) - F.col("rho1") * F.col("rho1")),
+            9,
+        ).alias("pacf2"),
+    )
