@@ -1207,3 +1207,90 @@ def q8f_pca_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("l2", 9).alias("eigenvalue2"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q6t — SEMANTIC dedup for the training pipeline: the embedding-space
+# twin of q5b's text near-dup clustering. Cosine pairs at the q88
+# threshold → connected components (large-star/small-star, web-scale
+# contraction) → keep the cluster-minimum vec_id; reported as the
+# release summary a curation run records (clusters, drops, survivors).
+# The exact-quadratic pair arm is the correctness baseline by the q91
+# contract — at corpus scale the pair step swaps to the registered
+# sign-LSH/IVF candidates with identical downstream clustering.
+# The oracle replays the pair graph with exact scaled-integer dots and
+# closes it with a recursive CTE.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q6t_semantic_dedup",
+    oracle=f"""
+    WITH RECURSIVE x AS (
+      SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+             GENERATE_SUBSCRIPTS(embedding, 1) AS i
+      FROM embeddings
+    ), norms AS (
+      SELECT vec_id,
+             SQRT(CAST(SUM(CAST(FLOOR(v * v * 1000000000000.0) AS HUGEINT)) AS DOUBLE)
+                  / 1000000000000.0) AS norm
+      FROM x GROUP BY vec_id
+    ), dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(SUM(CAST(FLOOR(a.v * b.v * 1000000000000.0) AS HUGEINT)) AS DOUBLE)
+                  / 1000000000000.0 AS dot
+      FROM x a JOIN x b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    ), base AS (
+      SELECT d.id_a, d.id_b FROM dots d
+      JOIN norms na ON d.id_a = na.vec_id
+      JOIN norms nb ON d.id_b = nb.vec_id
+      WHERE d.dot / (na.norm * nb.norm) >= {_NEARDUP_T}
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM base
+      UNION SELECT id_b, id_a FROM base
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), assign AS (
+      SELECT a AS node, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+    ), n AS (SELECT COUNT(*) AS n_vecs FROM embeddings)
+    SELECT (SELECT CAST(n_vecs AS BIGINT) FROM n) AS n_vecs,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(SUM(CASE WHEN node <> cluster_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           (SELECT CAST(n_vecs AS BIGINT) FROM n)
+             - CAST(SUM(CASE WHEN node <> cluster_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM assign
+    """,
+)
+def q6t_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.dedup import dedup_clusters_star
+
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    a = a.withColumn("na", F.sqrt(_dot_scaled(F.col("va"), F.col("va"))))
+    b = b.withColumn("nb", F.sqrt(_dot_scaled(F.col("vb"), F.col("vb"))))
+    cos = _dot_scaled(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(cos >= _NEARDUP_T)
+        .select("id_a", "id_b")
+    )
+    assign = dedup_clusters_star(pairs, src="id_a", dst="id_b")
+    n = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    dropped = F.sum(
+        F.when(F.col("node") != F.col("cluster_id"), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        assign.crossJoin(F.broadcast(n))
+        .agg(
+            F.max("n_vecs").alias("n_vecs"),
+            F.count_distinct("cluster_id").cast("bigint").alias("n_clusters"),
+            dropped.alias("n_dropped"),
+            (F.max("n_vecs") - dropped).cast("bigint").alias("n_kept"),
+        )
+    )
