@@ -852,3 +852,57 @@ def q7w_doublet_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("singlet_qty_sum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q7y — batch-effect correction by median alignment: acquisition
+# batches (deterministic user_id % 4 stands in for the cytometer run)
+# drift in level; the standard first-line correction shifts each
+# batch so its median matches the global median. Per-batch exact
+# medians (QUANTILE_CONT ≡ Spark percentile) and the derived shifts
+# are the whole computation — one groupBy for batch medians, a 1-row
+# global broadcast, and the shifted-median identity
+# median(v + c) = median(v) + c makes the post-correction check
+# exact. Rounded to 6 dp on both engines (q23's discipline).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q7y_batch_effect",
+    oracle="""
+    WITH b AS (
+      SELECT user_id % 4 AS batch, value FROM events
+    ),
+    med AS (
+      SELECT batch, COUNT(*) AS n,
+             QUANTILE_CONT(value, 0.5) AS batch_median
+      FROM b GROUP BY batch
+    ),
+    g AS (SELECT QUANTILE_CONT(value, 0.5) AS global_median FROM b)
+    SELECT CAST(batch AS BIGINT) AS batch,
+           CAST(n AS BIGINT) AS n,
+           ROUND(batch_median, 6) AS batch_median,
+           ROUND(global_median - batch_median, 6) AS shift,
+           ROUND(batch_median + (global_median - batch_median), 6)
+             AS post_median
+    FROM med, g
+    """,
+)
+def q7y_batch_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    b = e.select((F.col("user_id") % 4).alias("batch"), "value")
+    med = b.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("value", F.lit(0.5)).alias("batch_median"),
+    )
+    g = b.agg(F.percentile("value", F.lit(0.5)).alias("global_median"))
+    return med.crossJoin(F.broadcast(g)).select(
+        F.col("batch").cast("bigint").alias("batch"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round("batch_median", 6).alias("batch_median"),
+        F.round(F.col("global_median") - F.col("batch_median"), 6).alias("shift"),
+        F.round(
+            F.col("batch_median") + (F.col("global_median") - F.col("batch_median")),
+            6,
+        ).alias("post_median"),
+    )

@@ -571,3 +571,99 @@ def q2h_zonemap_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         src = load(spark, sf_dir, "events")
     return src.filter(band).groupBy("event_type").agg(*agg_cols)
+
+
+# --------------------------------------------------------------------------
+# q2i — small-file compaction (the OPTIMIZE maintenance op): compact
+# the 16-file zone layout into 4 larger files while PRESERVING the
+# value sort order, so zone-map skipping keeps working after
+# compaction. The rewrite is one range repartition of the already-
+# sorted layout; the query then verifies the invariants that make the
+# compacted layout trustworthy — row count conserved, file count
+# reduced to the target, and the new files still value-disjoint
+# (max_stab = 1, checked across the ≤4-row stats table). At 100 TB
+# this is the nightly job that keeps file counts from exploding
+# without destroying clustering.
+# --------------------------------------------------------------------------
+
+_COMPACT_FILES = 4
+
+
+def _compacted_events(spark: SparkSession, sf_dir: str) -> str:
+    src = _zone_sorted_events(spark, sf_dir)
+    path = os.path.join(
+        _LAYOUT_ROOT, "compacted", f"events_{source_fingerprint(sf_dir, 'events')}_{_COMPACT_FILES}"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = f"{path}.build.{os.getpid()}"
+        (
+            spark.read.parquet(src)
+            .repartitionByRange(_COMPACT_FILES, F.col("value"))
+            .sortWithinPartitions("value")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        raise OSError(f"incomplete compacted layout at {path}")
+    return path
+
+
+@query(
+    "q2i_compaction",
+    oracle=f"""
+    SELECT CAST({_ZONE_FILES} AS BIGINT) AS files_before,
+           CAST({_COMPACT_FILES} AS BIGINT) AS files_after,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS still_disjoint
+    FROM events
+    """,
+)
+def q2i_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    before = _zone_sorted_events(spark, sf_dir)
+    after = _compacted_events(spark, sf_dir)
+    n_before = (
+        spark.read.parquet(before)
+        .select(F.input_file_name().alias("f"))
+        .agg(F.count_distinct("f").cast("bigint").alias("files_before"))
+    )
+    stats = (
+        spark.read.parquet(after)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            F.count(F.lit(1)).alias("c"),
+        )
+    )
+    # disjointness across the ≤4-row stats table: no file's range may
+    # start before a lower file ends (bounded self-join)
+    s1, s2 = stats.alias("s1"), stats.alias("s2")
+    overlaps = (
+        s1.join(
+            s2,
+            (F.col("s1.f") < F.col("s2.f"))
+            & (F.col("s1.lo") <= F.col("s2.hi"))
+            & (F.col("s2.lo") <= F.col("s1.hi")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    after_agg = stats.agg(
+        F.count(F.lit(1)).cast("bigint").alias("files_after"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+    )
+    return (
+        n_before.crossJoin(F.broadcast(after_agg))
+        .crossJoin(F.broadcast(overlaps))
+        .select(
+            "files_before",
+            "files_after",
+            "n_rows",
+            (F.col("n_overlap") == 0).alias("still_disjoint"),
+        )
+    )
