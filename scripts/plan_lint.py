@@ -101,6 +101,12 @@ ALLOW_CARTESIAN = {
     "q4z_theil_sen",            # broadcast day-pair theta join (calendar-bounded)
     "q7x_psi_drift",            # 1-row time-bounds + margins broadcast crosses
     "q6p_gain_chart",           # 1-row n/total-responders broadcast crosses
+    "q3l_weighted_median",      # 1-row total-weight broadcast cross
+    "q2i_compaction",           # ≤4-row file-stats overlap self-join + 1-row crosses
+    "q7y_batch_effect",         # 1-row global-median broadcast cross
+    "q6t_semantic_dedup",       # exact quadratic pair arm (q91/q88 contract)
+    "q1h_kcore_peel",           # 1-row core-edge-count broadcast cross
+    "q1j_brand_modularity",     # 1-row edge-count broadcast cross
 }
 # Python-eval nodes allowed: q5i IS the scalar-UDF surface; q5g IS the
 # UDTF surface (UDTF eval is row-generating Python by definition).
