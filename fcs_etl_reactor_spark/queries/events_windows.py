@@ -2747,3 +2747,72 @@ def q3m_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("pacf2"),
     )
+
+
+# --------------------------------------------------------------------------
+# q3n — inter-arrival statistics + burstiness: per event type, the
+# gap distribution between consecutive events (queueing/reliability
+# analysis) summarized as rate λ = 1/mean_gap and Goh-Barabási
+# burstiness B = (σ−μ)/(σ+μ) ∈ (−1, 1): B→0 for a Poisson process,
+# B→1 for bursty traffic. Gaps are exact integer micros from one
+# per-type lag; Σgap and Σgap² are exact BIGINT sums, so both engines
+# compute μ/σ from the same integers and only the final expressions
+# are floats, rounded at 9 dp. One shuffle, counts-bound after.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q3n_interarrival",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) AS g
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT event_type,
+             COUNT(g) AS n_gaps,
+             CAST(SUM(g) AS BIGINT) AS sg,
+             SUM(CAST(g AS HUGEINT) * g) AS sgg
+      FROM gaps WHERE g IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, CAST(n_gaps AS BIGINT) AS n_gaps,
+           ROUND(CAST(sg AS DOUBLE) / n_gaps / 1000000.0, 9) AS mean_gap_s,
+           ROUND(SQRT((CAST(sgg AS DOUBLE) / n_gaps
+                       - (CAST(sg AS DOUBLE) / n_gaps)
+                         * (CAST(sg AS DOUBLE) / n_gaps)))
+                 / 1000000.0, 9) AS std_gap_s,
+           ROUND((SQRT((CAST(sgg AS DOUBLE) / n_gaps
+                        - (CAST(sg AS DOUBLE) / n_gaps)
+                          * (CAST(sg AS DOUBLE) / n_gaps)))
+                  - CAST(sg AS DOUBLE) / n_gaps)
+                 / (SQRT((CAST(sgg AS DOUBLE) / n_gaps
+                          - (CAST(sg AS DOUBLE) / n_gaps)
+                            * (CAST(sg AS DOUBLE) / n_gaps)))
+                    + CAST(sg AS DOUBLE) / n_gaps), 9) AS burstiness
+    FROM s
+    """,
+)
+def q3n_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("g"),
+    ).filter(F.col("g").isNotNull())
+    s = gaps.groupBy("event_type").agg(
+        F.count("g").cast("bigint").alias("n_gaps"),
+        F.sum("g").cast("bigint").alias("sg"),
+        # g² overflows int64 for multi-hour gaps in micros — widen
+        F.sum(F.col("g").cast("decimal(38,0)") * F.col("g")).alias("sgg"),
+    )
+    mu = F.col("sg").cast("double") / F.col("n_gaps")
+    sd = F.sqrt(F.col("sgg").cast("double") / F.col("n_gaps") - mu * mu)
+    return s.select(
+        "event_type",
+        "n_gaps",
+        F.round(mu / F.lit(1e6), 9).alias("mean_gap_s"),
+        F.round(sd / F.lit(1e6), 9).alias("std_gap_s"),
+        F.round((sd - mu) / (sd + mu), 9).alias("burstiness"),
+    )
