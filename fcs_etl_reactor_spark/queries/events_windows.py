@@ -2816,3 +2816,64 @@ def q3n_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sd / F.lit(1e6), 9).alias("std_gap_s"),
         F.round((sd - mu) / (sd + mu), 9).alias("burstiness"),
     )
+
+
+# --------------------------------------------------------------------------
+# q3o — rolling activity metrics (DAU / 7-day WAU): the product-
+# analytics staple, computed with the SCALABLE rewrite for sliding
+# DISTINCT counts — a naive 7-day self-join re-scans the fact table
+# per offset, and a sliding window can't dedup users across frames.
+# Instead each (user, active-day) row is exploded into the ≤7 target
+# days it contributes to (a fixed ×7 fanout of the already-deduped
+# user-day table, NOT of raw events), then one groupBy(day) counts
+# distinct users. All integer days/counts; WAU days outside the
+# observed calendar are clipped so every reported day aggregates a
+# full in-range window.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q3o_rolling_wau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    cal AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM ud),
+    contrib AS (
+      SELECT ud.user_id, ud.d + CAST(o.o AS INTEGER) AS target
+      FROM ud CROSS JOIN (SELECT UNNEST(RANGE(0, 7)) AS o) o, cal
+      WHERE ud.d + CAST(o.o AS INTEGER) <= cal.hi
+    ),
+    wau AS (
+      SELECT target AS d, COUNT(DISTINCT user_id) AS wau
+      FROM contrib GROUP BY target
+    ),
+    dau AS (
+      SELECT d, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY d
+    )
+    SELECT dau.d AS day, CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+)
+def q3o_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    cal = ud.agg(F.max("d").alias("hi"))
+    contrib = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+            "d",
+        )
+        .select("user_id", F.date_add("d", F.col("o")).alias("target"))
+        .crossJoin(F.broadcast(cal))
+        .filter(F.col("target") <= F.col("hi"))
+    )
+    wau = contrib.groupBy(F.col("target").alias("day")).agg(
+        F.count_distinct("user_id").cast("bigint").alias("wau")
+    )
+    dau = ud.groupBy(F.col("d").alias("day")).agg(
+        F.count_distinct("user_id").cast("bigint").alias("dau")
+    )
+    return dau.join(wau, "day").select("day", "dau", "wau")
