@@ -2877,3 +2877,83 @@ def q3o_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").cast("bigint").alias("dau")
     )
     return dau.join(wau, "day").select("day", "dau", "wau")
+
+
+# --------------------------------------------------------------------------
+# q3p — distribution-free median CI by order statistics (the
+# sign-test / binomial-normal bounds): rank_lo = ⌊n/2 − z√n/2⌋,
+# rank_hi = ⌈n/2 + z√n/2⌉ + 1, clamped to [1, n]; the CI endpoints
+# are the values AT those ranks — no distributional assumption, the
+# uncertainty companion to every median we report. Ranks are selected
+# DISTRIBUTED via ordering.global_rank (bucket-keyed two-pass, no
+# single-reducer sort); the rank arithmetic is the identical
+# floor/ceil-of-double expression on both engines, and equal-value
+# rank ties cannot change the selected VALUE.
+# --------------------------------------------------------------------------
+
+_MCI_Z = 1.959963984540054  # two-sided 95%
+
+
+@query(
+    "q3p_median_ci",
+    oracle=f"""
+    WITH v AS (
+      SELECT value FROM events WHERE event_type = 'purchase'
+    ),
+    n_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    ks AS (
+      SELECT n,
+             GREATEST(CAST(1 AS BIGINT),
+               CAST(FLOOR(n / 2.0 - {_MCI_Z} * SQRT(CAST(n AS DOUBLE)) / 2.0)
+                    AS BIGINT)) AS k_lo,
+             LEAST(n,
+               CAST(CEIL(n / 2.0 + {_MCI_Z} * SQRT(CAST(n AS DOUBLE)) / 2.0)
+                    AS BIGINT) + 1) AS k_hi
+      FROM n_
+    ),
+    ranked AS (
+      SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rk FROM v
+    )
+    SELECT ks.n,
+           ROUND((SELECT QUANTILE_CONT(value, 0.5) FROM v), 6) AS median,
+           MIN(CASE WHEN rk = k_lo THEN value END) AS ci_lo,
+           MIN(CASE WHEN rk = k_hi THEN value END) AS ci_hi
+    FROM ranked, ks
+    GROUP BY ks.n
+    """,
+)
+def q3p_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.ordering import global_rank
+
+    e = load(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "purchase").select("value")
+    n_ = v.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    nd = F.col("n").cast("double")
+    ks = n_.select(
+        "n",
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.floor(nd / 2.0 - F.lit(_MCI_Z) * F.sqrt(nd) / 2.0).cast("bigint"),
+        ).alias("k_lo"),
+        F.least(
+            F.col("n"),
+            F.ceil(nd / 2.0 + F.lit(_MCI_Z) * F.sqrt(nd) / 2.0).cast("bigint")
+            + 1,
+        ).alias("k_hi"),
+    )
+    med = v.agg(F.round(F.percentile("value", F.lit(0.5)), 6).alias("median"))
+    ranked = global_rank(v, ["value"], rank_col="rk")
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy("n")
+        .agg(
+            F.min(F.when(F.col("rk") == F.col("k_lo"), F.col("value"))).alias(
+                "ci_lo"
+            ),
+            F.min(F.when(F.col("rk") == F.col("k_hi"), F.col("value"))).alias(
+                "ci_hi"
+            ),
+        )
+        .crossJoin(F.broadcast(med))
+        .select("n", "median", "ci_lo", "ci_hi")
+    )
