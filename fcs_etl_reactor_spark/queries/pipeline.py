@@ -1062,3 +1062,105 @@ def q6s_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("mass").desc(), "bucket")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# q6u — synthetic data by inverse-ECDF sampling: draw K synthetic
+# values from the EMPIRICAL distribution of purchase values by
+# mapping seeded md5 uniforms through the order statistics (rank =
+# 1 + ⌊u·n⌋, value = the rank-th smallest). Deterministic end to end
+# — the same draws on any engine — which is what makes a synthetic
+# corpus auditable; production swaps the seed stream for a real RNG
+# with the identical topology. Ranks are selected distributed
+# (ordering.global_rank); the K-row draw table broadcasts. Output
+# compares real vs synthetic moments (exact scaled sums).
+# --------------------------------------------------------------------------
+
+_SYN_K = 1000
+_SYN_SEED = "synth-v1"
+
+
+@query(
+    "q6u_synthetic_sample",
+    oracle=f"""
+    WITH v AS (SELECT value FROM events WHERE event_type = 'purchase'),
+    n_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    draws AS (
+      SELECT i,
+             (CAST(('0x' || SUBSTR(MD5(CAST(i AS VARCHAR) || '{_SYN_SEED}'), 1, 8))
+                   AS BIGINT) + 0.5) / 4294967296.0 AS u
+      FROM (SELECT UNNEST(RANGE(0, {_SYN_K})) AS i)
+    ),
+    ranks AS (
+      SELECT i, CAST(1 + FLOOR(u * n) AS BIGINT) AS rk
+      FROM draws, n_
+    ),
+    ranked AS (
+      SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rk FROM v
+    ),
+    synth AS (
+      SELECT ranks.i, ranked.value FROM ranks JOIN ranked USING (rk)
+    )
+    SELECT (SELECT n FROM n_) AS n_real,
+           CAST(COUNT(*) AS BIGINT) AS n_synth,
+           (SELECT CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 100.0 / COUNT(*) FROM v) AS mean_real,
+           CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 / COUNT(*) AS mean_synth,
+           MIN(value) AS min_synth,
+           MAX(value) AS max_synth
+    FROM synth
+    """,
+)
+def q6u_synthetic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.ordering import global_rank
+
+    e = load(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "purchase").select("value")
+    n_ = v.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    draws = spark.range(_SYN_K).select(
+        F.col("id").alias("i"),
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("id").cast("string"), F.lit(_SYN_SEED))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                + F.lit(0.5)
+            )
+            / F.lit(4294967296.0)
+        ).alias("u"),
+    )
+    ranks = draws.crossJoin(F.broadcast(n_)).select(
+        "i",
+        (F.lit(1) + F.floor(F.col("u") * F.col("n"))).cast("bigint").alias("rk"),
+    )
+    ranked = global_rank(v, ["value"], rank_col="rk")
+    synth = ranked.join(F.broadcast(ranks), "rk").select("i", "value")
+    cents = F.sum(F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("bigint"))
+    mean_real = v.agg(
+        (cents.cast("double") / F.lit(100.0) / F.count(F.lit(1))).alias(
+            "mean_real"
+        )
+    )
+    return (
+        synth.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_synth"),
+            (cents.cast("double") / F.lit(100.0) / F.count(F.lit(1))).alias(
+                "mean_synth"
+            ),
+            F.min("value").alias("min_synth"),
+            F.max("value").alias("max_synth"),
+        )
+        .crossJoin(F.broadcast(n_.select(F.col("n").alias("n_real"))))
+        .crossJoin(F.broadcast(mean_real))
+        .select(
+            "n_real", "n_synth", "mean_real", "mean_synth",
+            "min_synth", "max_synth",
+        )
+    )
