@@ -107,6 +107,9 @@ ALLOW_CARTESIAN = {
     "q6t_semantic_dedup",       # exact quadratic pair arm (q91/q88 contract)
     "q1h_kcore_peel",           # 1-row core-edge-count broadcast cross
     "q1j_brand_modularity",     # 1-row edge-count broadcast cross
+    "q3o_rolling_wau",          # 1-row calendar-bound broadcast cross
+    "q3p_median_ci",            # 1-row n/rank-bounds broadcast crosses
+    "q6u_synthetic_sample",     # 1-row n + K-row draw-table broadcast crosses
 }
 # Python-eval nodes allowed: q5i IS the scalar-UDF surface; q5g IS the
 # UDTF surface (UDTF eval is row-generating Python by definition).
