@@ -98,6 +98,12 @@ PROBE_QUERIES = [  # all run on the replicated tables
     "q5z_rrf_fusion",        # bounded top-N fuse
     "q6p_gain_chart",        # distributed decile ranks
     "q8f_pca_deflation",     # Gram + two dimension-bound power chains
+    "q3o_rolling_wau",       # contribute-explode sliding distinct (x7 fanout)
+    "q6s_feature_hashing",   # hashing-trick bucket mass (explode pass)
+    "q1h_kcore_peel",        # 3 peel rounds, materialized state
+    "q1j_brand_modularity",  # edge/degree integer rollup
+    "q3n_interarrival",      # per-type lag + exact gap moments
+    "q3l_weighted_median",   # bucket-keyed prefix sum crossing
 ]
 
 
