@@ -389,3 +389,80 @@ def q5q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_matches"),
         F.sum("lev").cast("bigint").alias("sum_lev"),
     )
+
+
+# --------------------------------------------------------------------------
+# q6v — containment near-dup (asymmetric Jaccard): C = |A∩B| / min
+# (|A|, |B|) catches SUBSET duplication — a document quoted or
+# embedded inside a larger one — which symmetric Jaccard dilutes
+# below any usable threshold. Same inverted-index candidate topology
+# as the Jaccard family (docs sharing no shingle are never paired);
+# the containment ratio divides exact integers, so the pair set and
+# values are engine-identical. Output is the bounded top-20 by
+# (containment DESC, pair id).
+# --------------------------------------------------------------------------
+
+_CONTAIN_T = 0.6
+
+
+@query(
+    "q6v_containment_neardup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM (SELECT doc_id, w, UNNEST(RANGE(1, GREATEST(LEN(w) - 2, 0) + 1)) AS i
+            FROM toks)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+             CAST(n_common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) AS containment
+      FROM pairs
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+    )
+    SELECT doc_a, doc_b, n_common, containment
+    FROM scored WHERE containment >= {_CONTAIN_T}
+    ORDER BY containment DESC, doc_a, doc_b LIMIT 20
+    """,
+)
+def q6v_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.dedup import shingles
+
+    d = load(spark, sf_dir, "documents")
+    sh = shingles(d, "doc_id", "text", 3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    containment = F.col("n_common").cast("double") / F.least(
+        F.col("n_a"), F.col("n_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            containment.alias("containment"),
+        )
+        .filter(F.col("containment") >= _CONTAIN_T)
+        .orderBy(F.col("containment").desc(), "doc_a", "doc_b")
+        .limit(20)
+    )

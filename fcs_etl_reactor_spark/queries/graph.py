@@ -1159,3 +1159,113 @@ def q1j_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("modularity"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q1k — average local clustering coefficient: per node, the fraction
+# of its neighbour pairs that are themselves connected — the
+# small-world diagnostic next to the global triangle count (q5o).
+# Triangles enumerate once via the canonical a<b<c triple join and
+# fan out to their 3 corners (an exact 3× explode of the TRIANGLE
+# table, not the edges); coefficients 2T_v/(d_v(d_v−1)) are exact
+# rationals, averaged with the half-up scaled-long so the mean is
+# order-independent. Scale note: the production orientation for the
+# triangle join is q5o's degree orientation; the id-canonical form
+# here keeps the per-corner bookkeeping simple at fixture scale.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q1k_clustering_coeff",
+    oracle=f"""
+    WITH e0 AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_KCORE_MIN_SHARED}
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e0 e1
+      JOIN e0 e2 ON e2.a = e1.b
+      JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    corners AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ),
+    tv AS (SELECT node, COUNT(*) AS t FROM corners GROUP BY node),
+    coeff AS (
+      SELECT deg.node, deg.d, COALESCE(tv.t, 0) AS t,
+             2.0 * COALESCE(tv.t, 0)
+               / (CAST(deg.d AS DOUBLE) * (deg.d - 1)) AS c
+      FROM deg LEFT JOIN tv ON deg.node = tv.node
+      WHERE deg.d >= 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles,
+           CAST(SUM(CAST(FLOOR(c * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000000.0 / COUNT(*) AS avg_clustering
+    FROM coeff
+    """,
+)
+def q1k_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.graphs import copurchase_pairs
+
+    li = load(spark, sf_dir, "lineitem")
+    e0 = copurchase_pairs(li, min_shared=_KCORE_MIN_SHARED).select("a", "b")
+    deg = (
+        e0.select(F.col("a").alias("node"))
+        .unionAll(e0.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1, e2, e3 = e0.alias("e1"), e0.alias("e2"), e0.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    corners = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    tv = corners.groupBy("node").agg(F.count(F.lit(1)).alias("t"))
+    coeff = (
+        deg.join(tv, "node", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            (
+                F.lit(2.0)
+                * F.coalesce(F.col("t"), F.lit(0))
+                / (F.col("d").cast("double") * (F.col("d") - 1))
+            ).alias("c")
+        )
+    )
+    n_tri = tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    return (
+        coeff.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            (
+                F.sum(F.floor(F.col("c") * F.lit(1e9) + F.lit(0.5)).cast("bigint"))
+                .cast("double")
+                / F.lit(1e9)
+                / F.count(F.lit(1))
+            ).alias("avg_clustering"),
+        )
+        .crossJoin(F.broadcast(n_tri))
+        .select("n_nodes", "n_triangles", "avg_clustering")
+    )
