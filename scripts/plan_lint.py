@@ -110,6 +110,7 @@ ALLOW_CARTESIAN = {
     "q3o_rolling_wau",          # 1-row calendar-bound broadcast cross
     "q3p_median_ci",            # 1-row n/rank-bounds broadcast crosses
     "q6u_synthetic_sample",     # 1-row n + K-row draw-table broadcast crosses
+    "q1k_clustering_coeff",     # 1-row triangle-count broadcast cross
 }
 # Python-eval nodes allowed: q5i IS the scalar-UDF surface; q5g IS the
 # UDTF surface (UDTF eval is row-generating Python by definition).
