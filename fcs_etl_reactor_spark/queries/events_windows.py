@@ -2957,3 +2957,76 @@ def q3p_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(med))
         .select("n", "median", "ci_lo", "ci_hi")
     )
+
+
+# --------------------------------------------------------------------------
+# q3q — calendar anomaly flags via day-of-week-adjusted z-scores: a
+# raw daily-count threshold fires every weekend; the operational
+# anomaly page compares each day against ITS OWN weekday's
+# distribution. Daily counts are exact integers; per-dow mean and
+# variance come from exact Σc/Σc² (leave-one-out so a day is never
+# compared against itself); the z expression is the only float,
+# rounded at 9 dp. Two map-side-combinable aggregations + a 7-row
+# broadcast join.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q3q_dow_anomalies",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(EXTRACT(ISODOW FROM ts) AS INTEGER) AS dow,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    dows AS (
+      SELECT dow, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS sc,
+             CAST(SUM(c * c) AS BIGINT) AS scc
+      FROM daily GROUP BY dow
+    ),
+    z AS (
+      SELECT d, daily.dow, c,
+             (CAST(c AS DOUBLE)
+              - CAST(sc - c AS DOUBLE) / (n - 1))
+             / NULLIF(SQRT(CAST(scc - c * c AS DOUBLE) / (n - 1)
+                           - (CAST(sc - c AS DOUBLE) / (n - 1))
+                             * (CAST(sc - c AS DOUBLE) / (n - 1))), 0) AS zs
+      FROM daily JOIN dows ON daily.dow = dows.dow
+      WHERE n > 2
+    )
+    SELECT d AS day, dow, CAST(c AS BIGINT) AS n_events,
+           ROUND(zs, 9) AS z_score
+    FROM z WHERE ABS(ROUND(zs, 9)) >= 1.5
+    """,
+)
+def q3q_dow_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date("ts").alias("d"),
+        (F.weekday("ts") + 1).cast("int").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    dows = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("scc"),
+    )
+    # leave-one-out mean/std of the day's own weekday
+    loo_mean = (F.col("sc") - F.col("c")).cast("double") / (F.col("n") - 1)
+    loo_var = (F.col("scc") - F.col("c") * F.col("c")).cast("double") / (
+        F.col("n") - 1
+    ) - loo_mean * loo_mean
+    zs = (F.col("c").cast("double") - loo_mean) / F.nullif(
+        F.sqrt(loo_var), F.lit(0.0)
+    )
+    return (
+        daily.join(F.broadcast(dows), "dow")
+        .filter(F.col("n") > 2)
+        .select(
+            F.col("d").alias("day"),
+            "dow",
+            F.col("c").cast("bigint").alias("n_events"),
+            F.round(zs, 9).alias("z_score"),
+        )
+        .filter(F.abs(F.col("z_score")) >= 1.5)
+    )
