@@ -906,3 +906,104 @@ def q7y_batch_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("post_median"),
     )
+
+
+# --------------------------------------------------------------------------
+# q7z — Levey-Jennings / Westgard QC rules on a control series: the
+# rule engine a clinical/cytometry lab runs over nightly control
+# measurements. Control series = mean purchase value per day (stand-in
+# for the bead-control channel); limits from the series' own exact
+# integer sums; rules evaluated on the 9-dp-ROUNDED z so thresholds
+# can never straddle an engine ulp: 1_3s (|z| > 3) and 2_2s (two
+# consecutive beyond 2σ on the same side, via one lag). One bucket
+# agg + one ordered window over the day series (calendar-bounded).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q7z_westgard_rules",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sc,
+             COUNT(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    series AS (
+      SELECT d, CAST(sc AS DOUBLE) / 100.0 / n AS m FROM daily
+    ),
+    stats AS (
+      SELECT COUNT(*) AS k,
+             CAST(SUM(CAST(FLOOR(m * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS sm,
+             CAST(SUM(CAST(FLOOR(m * m * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS smm
+      FROM series
+    ),
+    z AS (
+      SELECT d,
+             ROUND((m - sm / k)
+                   / NULLIF(SQRT(smm / k - (sm / k) * (sm / k)), 0), 9) AS zs
+      FROM series, stats
+    ),
+    flagged AS (
+      SELECT d, zs, LAG(zs) OVER (ORDER BY d) AS prev
+      FROM z
+    )
+    SELECT d AS day, zs AS z_score,
+           CASE WHEN ABS(zs) > 3.0 THEN '1_3s'
+                WHEN zs > 2.0 AND prev > 2.0 THEN '2_2s'
+                WHEN zs < -2.0 AND prev < -2.0 THEN '2_2s'
+           END AS rule
+    FROM flagged
+    WHERE ABS(zs) > 3.0
+       OR (zs > 2.0 AND prev > 2.0)
+       OR (zs < -2.0 AND prev < -2.0)
+    """,
+)
+def q7z_westgard_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    daily = e.filter(F.col("event_type") == "purchase").groupBy(
+        F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("sc"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    series = daily.select(
+        "d", (F.col("sc").cast("double") / F.lit(100.0) / F.col("n")).alias("m")
+    )
+
+    def rsum(term, name):
+        return (
+            F.sum(F.floor(term * F.lit(1e6) + F.lit(0.5)).cast("bigint")).cast(
+                "double"
+            )
+            / F.lit(1e6)
+        ).alias(name)
+
+    stats = series.agg(
+        F.count(F.lit(1)).alias("k"),
+        rsum(F.col("m"), "sm"),
+        rsum(F.col("m") * F.col("m"), "smm"),
+    )
+    mu = F.col("sm") / F.col("k")
+    sd = F.sqrt(F.col("smm") / F.col("k") - mu * mu)
+    z = series.crossJoin(F.broadcast(stats)).select(
+        "d", F.round((F.col("m") - mu) / F.nullif(sd, F.lit(0.0)), 9).alias("zs")
+    )
+    w = Window.orderBy("d")  # calendar-bounded series (≤ #days rows)
+    flagged = z.select("d", "zs", F.lag("zs").over(w).alias("prev"))
+    rule = (
+        F.when(F.abs(F.col("zs")) > 3.0, "1_3s")
+        .when((F.col("zs") > 2.0) & (F.col("prev") > 2.0), "2_2s")
+        .when((F.col("zs") < -2.0) & (F.col("prev") < -2.0), "2_2s")
+    )
+    return (
+        flagged.select(F.col("d").alias("day"), F.col("zs").alias("z_score"), rule.alias("rule"))
+        .filter(F.col("rule").isNotNull())
+    )

@@ -1164,3 +1164,80 @@ def q6u_synthetic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_synth", "max_synth",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q6x — mixture reweighting to a target distribution: given the
+# DECLARED target share per source (the training-mix spec), compute
+# each source's importance weight w = target/current and the
+# effective sample size (Σn·w)²/Σn·w² — the number that tells you
+# whether reweighting is viable or the corpus must be re-collected
+# (complements q6f's acceptance-sampling mixer). Current shares are
+# exact integer counts; targets are shared literals; every ratio is
+# the identical expression on both engines, rounded at 9 dp.
+# --------------------------------------------------------------------------
+
+_MIX_TARGET = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+
+
+def _mix_case(col: str) -> str:
+    arms = " ".join(
+        f"WHEN '{k}' THEN CAST({v} AS DOUBLE)" for k, v in _MIX_TARGET.items()
+    )
+    return f"CASE {col} {arms} ELSE CAST(0.0 AS DOUBLE) END"
+
+
+@query(
+    "q6x_mixture_reweight",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c),
+    w AS (
+      SELECT source, CAST(n AS BIGINT) AS n,
+             CAST(n AS DOUBLE) / t AS share,
+             {_mix_case("source")} AS target,
+             {_mix_case("source")} / (CAST(n AS DOUBLE) / t) AS wt
+      FROM c, tot
+    )
+    SELECT source, n, ROUND(share, 9) AS share, target,
+           ROUND(wt, 9) AS weight,
+           ROUND((SELECT (SUM(n * wt) * SUM(n * wt)) / SUM(n * wt * wt)
+                  FROM w), 3) AS effective_n
+    FROM w
+    """,
+)
+def q6x_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(F.sum("n").cast("bigint").alias("t"))
+    target = F.lit(0.0)
+    tcase = F.when(F.col("source") == list(_MIX_TARGET)[0], F.lit(_MIX_TARGET[list(_MIX_TARGET)[0]]))
+    for k, v in list(_MIX_TARGET.items())[1:]:
+        tcase = tcase.when(F.col("source") == k, F.lit(v))
+    tcase = tcase.otherwise(target)
+    w = c.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n").cast("double") / F.col("t")).alias("share"),
+        tcase.alias("target"),
+        (tcase / (F.col("n").cast("double") / F.col("t"))).alias("wt"),
+    )
+    ess = w.agg(
+        (
+            (F.sum(F.col("n") * F.col("wt")) * F.sum(F.col("n") * F.col("wt")))
+            / F.sum(F.col("n") * F.col("wt") * F.col("wt"))
+        ).alias("e")
+    )
+    return (
+        w.crossJoin(F.broadcast(ess))
+        .select(
+            "source",
+            "n",
+            F.round("share", 9).alias("share"),
+            "target",
+            F.round("wt", 9).alias("weight"),
+            F.round("e", 3).alias("effective_n"),
+        )
+    )

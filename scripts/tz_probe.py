@@ -47,7 +47,7 @@ TS_QUERIES = [
     "q3k_pattern_vshape", "q4x_mutual_information", "q4y_dft_spectrum",
     "q4z_theil_sen", "q9o_dynamic_gap_sessions", "q9q_rocksdb_state_store",
     "q9r_chained_window_aggs", "q7x_psi_drift", "q3m_pacf",
-    "q3n_interarrival", "q3o_rolling_wau", "q3q_dow_anomalies",
+    "q3n_interarrival", "q3o_rolling_wau", "q3q_dow_anomalies", "q7z_westgard_rules",
 ]
 
 
