@@ -466,3 +466,76 @@ def q6v_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("containment").desc(), "doc_a", "doc_b")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# q6z — dedup threshold sensitivity curve: how many near-dup pairs
+# (and affected docs) each candidate Jaccard threshold would flag —
+# the curve a curation team reads BEFORE fixing the dedup cutoff,
+# computed in ONE pass over the exact pair table (bucket the
+# similarity, then a 10-row cumulative). Jaccard ratios divide exact
+# integers; bucketing floors the identical double on both engines;
+# the cumulative window runs over ≤10 rows.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q6z_threshold_curve",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM (SELECT doc_id, w, UNNEST(RANGE(1, GREATEST(LEN(w) - 2, 0) + 1)) AS i
+            FROM toks)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT CAST(FLOOR(CAST(n_common AS DOUBLE)
+                        / (sa.n_sh + sb.n_sh - n_common) * 10.0) AS INTEGER)
+               AS bucket
+      FROM pairs
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+    ),
+    hist AS (
+      SELECT LEAST(bucket, 9) AS bucket, COUNT(*) AS n_pairs
+      FROM j GROUP BY 1
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(bucket / 10.0 AS DOUBLE) AS threshold,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(SUM(n_pairs) OVER (ORDER BY bucket DESC) AS BIGINT)
+             AS pairs_at_or_above
+    FROM hist
+    """,
+)
+def q6z_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from fcs_etl_reactor_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2)
+    hist = pairs.groupBy(
+        F.least(
+            F.floor(F.col("jaccard") * 10.0).cast("int"), F.lit(9)
+        ).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+    # ≤10-row cumulative — bounded window, no scale concern
+    w = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return hist.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        (F.col("bucket") / F.lit(10.0)).cast("double").alias("threshold"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.sum("n_pairs").over(w).cast("bigint").alias("pairs_at_or_above"),
+    )

@@ -1269,3 +1269,83 @@ def q1k_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_tri))
         .select("n_nodes", "n_triangles", "avg_clustering")
     )
+
+
+# --------------------------------------------------------------------------
+# q1l — degree assortativity: the Pearson correlation of endpoint
+# degrees over every edge (both orientations) — do hubs link to hubs?
+# The third structural metric beside modularity (q1j) and clustering
+# (q1k). Degrees are integers, so every Pearson input (Σx, Σxy, Σx²
+# over the directed edge list) is an exact BIGINT sum; both engines
+# divide the same integers and the final ratio rounds at 9 dp.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q1l_assortativity",
+    oracle=f"""
+    WITH e0 AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_KCORE_MIN_SHARED}
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0
+      ) GROUP BY node
+    ),
+    dir_edges AS (
+      SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0
+    ),
+    pairs AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM dir_edges
+      JOIN deg du ON dir_edges.u = du.node
+      JOIN deg dv ON dir_edges.v = dv.node
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_endpoints,
+           ROUND(
+             CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
+             / NULLIF(SQRT(CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE)
+                           * CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS DOUBLE)),
+                      0),
+             9) AS assortativity
+    FROM pairs
+    """,
+)
+def q1l_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.graphs import copurchase_pairs
+
+    li = load(spark, sf_dir, "lineitem")
+    e0 = copurchase_pairs(li, min_shared=_KCORE_MIN_SHARED).select("a", "b")
+    deg = (
+        e0.select(F.col("a").alias("node"))
+        .unionAll(e0.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dir_edges = e0.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e0.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    pairs = (
+        dir_edges.join(deg.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("d", "x")
+        .join(
+            deg.withColumnRenamed("node", "v").withColumnRenamed("d", "y"), "v"
+        )
+        .select("x", "y")
+    )
+    n = F.count(F.lit(1))
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy = F.sum(F.col("x") * F.col("y"))
+    sxx = F.sum(F.col("x") * F.col("x"))
+    syy = F.sum(F.col("y") * F.col("y"))
+    num = (n * sxy - sx * sy).cast("double")
+    den = F.sqrt(
+        (n * sxx - sx * sx).cast("double") * (n * syy - sy * sy).cast("double")
+    )
+    return pairs.agg(
+        n.cast("bigint").alias("n_endpoints"),
+        F.round(num / F.nullif(den, F.lit(0.0)), 9).alias("assortativity"),
+    )
