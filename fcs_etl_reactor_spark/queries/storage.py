@@ -667,3 +667,46 @@ def q2i_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_overlap") == 0).alias("still_disjoint"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q2j — ANALYZE TABLE statistics collection (the CBO feed): register
+# orders as a catalog table, run ANALYZE ... COMPUTE STATISTICS (and
+# per-column stats for the join key), then read the row count back
+# from the catalog and verify it against the actual scan. At 100 TB
+# accurate catalog stats are what let the cost-based optimizer choose
+# broadcast sides and join orders without runtime sampling; this
+# entry proves the collection round-trips. Stats parse from DESCRIBE
+# EXTENDED (the public surface); the table is session-scoped.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q2j_analyze_stats",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_actual,
+           CAST(COUNT(*) AS BIGINT) AS n_rows_stats,
+           TRUE AS stats_match
+    FROM orders
+    """,
+)
+def q2j_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = source_fingerprint(sf_dir, "orders")
+    tbl = f"fcs_stats_orders_{fp}_{os.getpid()}"
+    if not spark.catalog.tableExists(tbl):
+        load(spark, sf_dir, "orders").write.saveAsTable(tbl)
+        spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")
+        spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS o_orderkey")
+    rows = spark.sql(f"DESCRIBE EXTENDED {tbl}").collect()
+    stats_line = next(
+        (r["data_type"] for r in rows if r["col_name"] == "Statistics"), ""
+    )
+    import re
+
+    m = re.search(r"(\d+) rows", stats_line)
+    n_stats = int(m.group(1)) if m else -1
+    actual = spark.table(tbl).count()  # bounded: one count for the audit
+    return spark.createDataFrame(
+        [(actual, n_stats, actual == n_stats)],
+        "n_rows_actual bigint, n_rows_stats bigint, stats_match boolean",
+    )

@@ -747,3 +747,60 @@ def q9r_chained_window_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = to_memory_sink(hourly, sink, output_mode="append")
     q.awaitTermination()
     return spark.table(sink)
+
+
+# --------------------------------------------------------------------------
+# q9s — exactly-once ACROSS A RESTART, oracle-checked: the stream is
+# started, drained over the first half of the source, STOPPED, the
+# second half arrives, and a brand-new query (same checkpoint) drains
+# the rest. The checkpoint's offset log makes run 2 skip everything
+# run 1 committed, so the parquet sink holds every event exactly once
+# — the recovery contract a 100 TB pipeline actually depends on,
+# proven against the plain batch oracle. All scratch dirs pid-scoped;
+# re-running in-process is an idempotent no-op drain.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q9s_restart_exactly_once",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    """,
+)
+def q9s_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from fcs_etl_reactor_spark.streaming.windows import (
+        read_events_stream,
+        to_foreach_batch_parquet,
+    )
+
+    split = _split_stream_dir(spark, sf_dir)  # 00_recent / 01_late
+    base = os.path.join(
+        "/tmp/spark_graft_restart",
+        split.rsplit("/", 1)[-1] + f"_{os.getpid()}",
+    )
+    src = os.path.join(base, "src")
+    sink = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+    done = os.path.join(base, "_COMPLETE")
+    if not os.path.exists(done):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(src, exist_ok=True)
+        files = sorted(
+            f for f in os.listdir(split) if f.endswith(".parquet")
+        )
+        # run 1: only the first file is visible
+        shutil.copy(os.path.join(split, files[0]), os.path.join(src, files[0]))
+        q1 = to_foreach_batch_parquet(read_events_stream(spark, src), sink, ckpt)
+        q1.awaitTermination()
+        # the second half arrives; a NEW query resumes from the SAME
+        # checkpoint and must process only the unseen file
+        shutil.copy(os.path.join(split, files[1]), os.path.join(src, files[1]))
+        q2 = to_foreach_batch_parquet(read_events_stream(spark, src), sink, ckpt)
+        q2.awaitTermination()
+        open(done, "w").close()
+    return spark.read.parquet(sink).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
