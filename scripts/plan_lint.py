@@ -111,6 +111,8 @@ ALLOW_CARTESIAN = {
     "q3p_median_ci",            # 1-row n/rank-bounds broadcast crosses
     "q6u_synthetic_sample",     # 1-row n + K-row draw-table broadcast crosses
     "q1k_clustering_coeff",     # 1-row triangle-count broadcast cross
+    "q7z_westgard_rules",       # 1-row control-limits broadcast cross
+    "q6x_mixture_reweight",     # 1-row total + 1-row ESS broadcast crosses
 }
 # Python-eval nodes allowed: q5i IS the scalar-UDF surface; q5g IS the
 # UDTF surface (UDTF eval is row-generating Python by definition).
