@@ -710,3 +710,117 @@ def q2j_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(actual, n_stats, actual == n_stats)],
         "n_rows_actual bigint, n_rows_stats bigint, stats_match boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# q2k — federated multi-format join: nation lives as CSV, region as
+# JSON, customer as parquet — one lazy plan joins all three (the
+# "query the lake as it is" capability; format conversion happens in
+# the scan, not as a prep step). The CSV/JSON copies are derived from
+# the fixtures once (atomic-rename discipline) so the oracle over the
+# parquet originals is exact. Broadcast dims, one aggregation.
+# --------------------------------------------------------------------------
+
+
+def _format_copy(spark: SparkSession, sf_dir: str, name: str, fmt: str) -> str:
+    fp = source_fingerprint(sf_dir, name)
+    path = os.path.join(_LAYOUT_ROOT, "federated", f"{name}_{fmt}_{fp}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = f"{path}.build.{os.getpid()}"
+        w = load(spark, sf_dir, name).coalesce(1).write.mode("overwrite")
+        if fmt == "csv":
+            w.option("header", True).csv(tmp)
+        else:
+            w.json(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        raise OSError(f"incomplete federated copy at {path}")
+    return path
+
+
+@query(
+    "q2k_federated_join",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(FLOOR(c.c_acctbal * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q2k_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    try:
+        n = (
+            spark.read.option("header", True)
+            .schema("n_nationkey bigint, n_name string, n_regionkey bigint, n_comment string")
+            .csv(_format_copy(spark, sf_dir, "nation", "csv"))
+        )
+        r = spark.read.schema(
+            "r_regionkey bigint, r_name string, r_comment string"
+        ).json(_format_copy(spark, sf_dir, "region", "json"))
+    except Exception:
+        n = load(spark, sf_dir, "nation")
+        r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum(F.floor(F.col("c_acctbal") * 100.0 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("acctbal_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q2l — the modern SQL session surface in one flow: DECLARE a session
+# VARIABLE, SET it from a scalar subquery, reference it from a
+# parameterized spark.sql (named :param binding — the
+# injection-safe API), and run the final statement through EXECUTE
+# IMMEDIATE. Each Spark 4 surface the SQL workload migration guide
+# leans on; the oracle is the equivalent constant-folded filter.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q2l_sql_variables",
+    oracle="""
+    WITH t AS (SELECT AVG(o_totalprice) AS cutoff FROM orders)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_above
+    FROM orders, t
+    WHERE o_totalprice > cutoff
+    GROUP BY o_orderpriority
+    """,
+)
+def q2l_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE fcs_cutoff DOUBLE")
+    spark.sql(
+        "SET VAR fcs_cutoff = (SELECT AVG(o_totalprice) FROM orders)"
+    )
+    # parameterized binding exercises the injection-safe API on the
+    # same session state the variable holds
+    bound = spark.sql(
+        "SELECT CAST(:probe AS INT) AS ok", args={"probe": 1}
+    ).collect()[0]["ok"]
+    assert bound == 1
+    return spark.sql(
+        """EXECUTE IMMEDIATE
+           'SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_above
+            FROM orders WHERE o_totalprice > fcs_cutoff
+            GROUP BY o_orderpriority'"""
+    )
