@@ -26,6 +26,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def clamped_balance(
@@ -38,8 +39,16 @@ def clamped_balance(
     (pre-scaled). Returns one row per key:
     (key, final_scaled, max_scaled, n_clamps)."""
 
-    out_schema = (
-        f"{key_col} int, final_scaled long, max_scaled long, n_clamps long"
+    # key field type derived from the input schema — a bigint/string/
+    # date key must survive the applyInPandas boundary unchanged, not
+    # be coerced through a hardcoded int
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, df.schema[key_col].dataType, True),
+            T.StructField("final_scaled", T.LongType(), True),
+            T.StructField("max_scaled", T.LongType(), True),
+            T.StructField("n_clamps", T.LongType(), True),
+        ]
     )
 
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -664,7 +664,7 @@ def q4h_ntile_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q4r_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from fcs_etl_reactor_spark.operators.ordering import global_rank
 
     o = load(spark, sf_dir, "orders")
     r = o.groupBy("o_custkey").agg(
@@ -672,10 +672,10 @@ def q4r_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("long")
         ).alias("rev")
     )
-    ranked = r.select(
-        "rev",
-        F.row_number().over(Window.orderBy("rev", "o_custkey")).alias("i"),
-    )
+    # distributed rank (bucket-partitioned two-pass), NOT a global
+    # no-partition row_number() window — the single-reducer sort that
+    # would serialize every customer through one task at scale.
+    ranked = global_rank(r, ["rev", "o_custkey"], rank_col="i").select("rev", "i")
     return ranked.agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("rev").cast("bigint").alias("total_rev_scaled"),

@@ -1594,7 +1594,7 @@ def q4n_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
              GREATEST(bal.maxb, GREATEST(CAST(0 AS BIGINT), bal.b + d.delta))
       FROM bal JOIN d ON d.user_id = bal.user_id AND d.rn = bal.rn + 1
     )
-    SELECT CAST(b.user_id AS INTEGER) AS user_id,
+    SELECT CAST(b.user_id AS BIGINT) AS user_id,
            CAST(b.b AS BIGINT) AS final_scaled,
            CAST(b.maxb AS BIGINT) AS max_scaled,
            CAST(b.clamps AS BIGINT) AS n_clamps

@@ -214,9 +214,16 @@ def q39_bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q7a — order-independent table fingerprint (pipeline integrity
 # verification): per-row 60-bit digest from md5 over a canonicalized
 # column string, folded with TWO order/partition-independent
-# aggregates — bit_xor and an exact decimal sum. Verifying a 100 TB
-# copy is one scan + a 1-row-per-group exchange; the float column
-# enters via exact scaling so both engines digest identical strings.
+# aggregates — bit_xor and an exact sum reduced modulo 2^62 so the
+# emitted cell stays inside int64 (a modular sum is still order- and
+# partition-independent). The sum is widened through DECIMAL(38,0)
+# internally (values reach ~2.9e21 at sf0.01) but NEVER emitted as a
+# >int64 decimal: round-5 proved the driver's value-hash
+# canonicalizes >64-bit decimals differently per engine (q7a
+# hash-fail with byte-identical values; same class as q75's r02
+# HUGEINT stringification). Verifying a 100 TB copy is one scan + a
+# 1-row-per-group exchange; the float column enters via exact
+# scaling so both engines digest identical strings.
 # --------------------------------------------------------------------------
 
 
@@ -234,7 +241,7 @@ def q39_bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderstatus, COUNT(*) AS n_rows,
            BIT_XOR(d) AS xor_fp,
-           CAST(SUM(d) AS DECIMAL(38,0)) AS sum_fp
+           CAST(SUM(d) % 4611686018427387904 AS BIGINT) AS sum_fp
     FROM h GROUP BY o_orderstatus
     """,
 )
@@ -255,7 +262,12 @@ def q7a_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.bit_xor("d").alias("xor_fp"),
-            F.sum(F.col("d").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sum_fp"),
+            (
+                F.sum(F.col("d").cast("decimal(38,0)"))
+                % F.lit(4611686018427387904).cast("decimal(38,0)")
+            )
+            .cast("bigint")
+            .alias("sum_fp"),
         )
     )
 

@@ -692,20 +692,29 @@ def q2i_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q2j_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = source_fingerprint(sf_dir, "orders")
+    # pid suffix keeps concurrent drivers from racing on saveAsTable;
+    # the table is dropped (with its warehouse files) once the stats
+    # are read back, so spark-warehouse never accumulates one full
+    # orders copy per process.
     tbl = f"fcs_stats_orders_{fp}_{os.getpid()}"
-    if not spark.catalog.tableExists(tbl):
-        load(spark, sf_dir, "orders").write.saveAsTable(tbl)
-        spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")
-        spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS o_orderkey")
-    rows = spark.sql(f"DESCRIBE EXTENDED {tbl}").collect()
-    stats_line = next(
-        (r["data_type"] for r in rows if r["col_name"] == "Statistics"), ""
-    )
-    import re
+    try:
+        if not spark.catalog.tableExists(tbl):
+            load(spark, sf_dir, "orders").write.saveAsTable(tbl)
+            spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")
+            spark.sql(
+                f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS o_orderkey"
+            )
+        rows = spark.sql(f"DESCRIBE EXTENDED {tbl}").collect()
+        stats_line = next(
+            (r["data_type"] for r in rows if r["col_name"] == "Statistics"), ""
+        )
+        import re
 
-    m = re.search(r"(\d+) rows", stats_line)
-    n_stats = int(m.group(1)) if m else -1
-    actual = spark.table(tbl).count()  # bounded: one count for the audit
+        m = re.search(r"(\d+) rows", stats_line)
+        n_stats = int(m.group(1)) if m else -1
+        actual = spark.table(tbl).count()  # bounded: one count for the audit
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     return spark.createDataFrame(
         [(actual, n_stats, actual == n_stats)],
         "n_rows_actual bigint, n_rows_stats bigint, stats_match boolean",

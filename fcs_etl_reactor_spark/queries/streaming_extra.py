@@ -485,6 +485,18 @@ def _x4_stream_dir(spark: SparkSession, sf_dir: str) -> str:
             os.rename(tmp, dest)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
+    # Same guard as io._relayout / storage.py layout builders: the
+    # rename can lose the race to a COMPLETE copy — but dest can also
+    # hold a partial spool from a crashed build, and serving it would
+    # make the 4-batch streaming queries read fewer rows than the
+    # batch oracle. Only a _SUCCESS-marked dir may be served; else
+    # rebuild into a process-private dir (no second rename race).
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        private = f"{dest}.pid{os.getpid()}"
+        if not os.path.exists(os.path.join(private, "_SUCCESS")):
+            e = load(spark, sf_dir, "events")
+            e.repartition(4).write.mode("overwrite").parquet(private)
+        return private
     return dest
 
 

@@ -706,6 +706,16 @@ def q8v_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # transcendental in the decision. This is the canonical distributed
 # GD topology: per-step cost is one scan + an 8-cell reduction, the
 # weight state is a 1-row broadcast.
+#
+# LIBM CAVEAT (triage note): unlike kmeans/pagerank, whose fixed-
+# point claims use only IEEE-exact ops (+, *, floor), the gradient
+# here quantizes AFTER applying exp() — and EXP is not correctly
+# rounded, so the JVM's and DuckDB's libm can differ in the last ulp.
+# A residual landing exactly on a 1e-9 floor boundary could then
+# diverge the weight trajectory and flip the oracle hash ON ANOTHER
+# PLATFORM. Green on this box at all 3 SFs; if this query alone
+# hash-fails on a different platform, triage it as this expected
+# libm divergence, not a regression.
 # --------------------------------------------------------------------------
 
 _LR_DIMS = 8

@@ -36,6 +36,67 @@ def test_no_complex_toplevel_output_types(spark):
     )
 
 
+def test_output_types_in_driver_safe_envelope(spark):
+    """Round-5 class fix (q7a): the driver's order-insensitive value
+    hash canonicalizes >64-bit integers differently per engine —
+    DuckDB HUGEINT stringified as "65745.0" vs Spark BIGINT "65745"
+    (q75, r02), and a DECIMAL(38,0) cell at ~2.9e21 hash-failed with
+    byte-identical values on both sides (q7a, r05). Enforce
+    mechanically that every registered query's output schema stays
+    inside the proven-safe envelope: atomic types whose values are
+    exactly representable in int64 or double on BOTH engines.
+    DecimalType is allowed only when precision <= 18 (unscaled value
+    provably < 10^18 < 2^63). Analysis-time only — no execution."""
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        DateType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    safe_atomic = (
+        StringType,
+        BooleanType,
+        ByteType,
+        ShortType,
+        IntegerType,
+        LongType,
+        FloatType,
+        DoubleType,
+        DateType,
+        TimestampType,
+        TimestampNTZType,
+    )
+    bad = {}
+    for name, fn in QUERIES.items():
+        schema = fn(spark, SF_SMALL).schema
+        for f in schema.fields:
+            dt = f.dataType
+            if isinstance(dt, DecimalType):
+                if dt.precision > 18:
+                    bad.setdefault(name, []).append(
+                        f"{f.name}: {dt.simpleString()} (precision>18 "
+                        "can exceed int64 — fold to BIGINT, e.g. modular "
+                        "sum, or cast to double)"
+                    )
+            elif not isinstance(dt, safe_atomic):
+                bad.setdefault(name, []).append(
+                    f"{f.name}: {dt.simpleString()}"
+                )
+    assert not bad, (
+        "output columns outside the driver-safe type envelope "
+        f"(the q75/q7a hash-canonicalization class): {bad}"
+    )
+
+
 def test_oracle_types_congruent_with_spark_schema(spark):
     """Round-2 class fix: the driver compares DuckDB↔Spark dtypes
     (TIMESTAMPTZ≠TIMESTAMP, HUGEINT≠BIGINT, DECIMAL≠DOUBLE). Prepare
