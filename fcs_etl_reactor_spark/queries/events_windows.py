@@ -2754,11 +2754,25 @@ def q3m_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gap distribution between consecutive events (queueing/reliability
 # analysis) summarized as rate λ = 1/mean_gap and Goh-Barabási
 # burstiness B = (σ−μ)/(σ+μ) ∈ (−1, 1): B→0 for a Poisson process,
-# B→1 for bursty traffic. Gaps are exact integer micros from one
-# per-type lag; Σgap and Σgap² are exact BIGINT sums, so both engines
-# compute μ/σ from the same integers and only the final expressions
-# are floats, rounded at 9 dp. One shuffle, counts-bound after.
+# B→1 for bursty traffic. Gaps are exact integer micros; Σgap and
+# Σgap² are exact sums, so both engines compute μ/σ from the same
+# integers and only the final expressions are floats, rounded 9 dp.
+#
+# SCALE REWRITE (round 6; the 10× probe showed 6.1× when the lag
+# window partitioned by the 5-value event_type — 5 effective tasks
+# serialize the sort): gaps are now computed with BUCKET-LOCAL lag
+# windows — partition (event_type, hour-bucket), parallelism = types
+# × hours, each sort is one hour of one type — and the boundary gap
+# between consecutive non-empty buckets is restored from a per-bucket
+# (first_us, last_us) summary via a lag over buckets (counts-bound:
+# #buckets rows per type, never event rows). Identical multiset of
+# gaps as the single sorted pass: bucket boundaries split the per-
+# type sequence, cross-gaps reattach exactly the severed consecutive
+# pairs (ties can't straddle buckets — equal ts ⇒ equal bucket), and
+# Σ(n_b−1) + (#buckets−1) = N−1 gaps. ✓ oracle unchanged.
 # --------------------------------------------------------------------------
+
+_Q3N_BUCKET_US = 3_600_000_000  # 1 hour of micros per lag bucket
 
 
 @query(
@@ -2796,16 +2810,53 @@ def q3m_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q3n_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    gaps = e.select(
+    us = F.unix_micros("ts")
+    rows = e.select(
         "event_type",
-        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("g"),
-    ).filter(F.col("g").isNotNull())
-    s = gaps.groupBy("event_type").agg(
-        F.count("g").cast("bigint").alias("n_gaps"),
-        F.sum("g").cast("bigint").alias("sg"),
+        "event_id",
+        "ts",
+        us.alias("us"),
+        F.floor(us / F.lit(_Q3N_BUCKET_US)).alias("b"),
+    )
+    # in-bucket gaps: parallelism = #types × #hour-buckets
+    w_in = Window.partitionBy("event_type", "b").orderBy("ts", "event_id")
+    g_in = rows.select(
+        "event_type",
+        "b",
+        "us",
+        (F.col("us") - F.lag("us").over(w_in)).alias("g"),
+    )
+    per_bucket = g_in.groupBy("event_type", "b").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("g").alias("n_in"),
+        F.sum("g").alias("sg_in"),
         # g² overflows int64 for multi-hour gaps in micros — widen
-        F.sum(F.col("g").cast("decimal(38,0)") * F.col("g")).alias("sgg"),
+        F.sum(F.col("g").cast("decimal(38,0)") * F.col("g")).alias("sgg_in"),
+        F.min("us").alias("first_us"),
+        F.max("us").alias("last_us"),
+    )
+    # boundary gaps between consecutive NON-EMPTY buckets: a lag over
+    # the per-bucket summary — #buckets rows per type, counts-bound
+    w_b = Window.partitionBy("event_type").orderBy("b")
+    with_cross = per_bucket.select(
+        "event_type",
+        "n_in",
+        "sg_in",
+        "sgg_in",
+        (F.col("first_us") - F.lag("last_us").over(w_b)).alias("g_cross"),
+    )
+    s = with_cross.groupBy("event_type").agg(
+        (F.sum("n_in") + F.count("g_cross")).cast("bigint").alias("n_gaps"),
+        (F.coalesce(F.sum("sg_in"), F.lit(0)) + F.coalesce(F.sum("g_cross"), F.lit(0)))
+        .cast("bigint")
+        .alias("sg"),
+        (
+            F.coalesce(F.sum("sgg_in"), F.lit(0).cast("decimal(38,0)"))
+            + F.coalesce(
+                F.sum(F.col("g_cross").cast("decimal(38,0)") * F.col("g_cross")),
+                F.lit(0).cast("decimal(38,0)"),
+            )
+        ).alias("sgg"),
     )
     mu = F.col("sg").cast("double") / F.col("n_gaps")
     sd = F.sqrt(F.col("sgg").cast("double") / F.col("n_gaps") - mu * mu)
