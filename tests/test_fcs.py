@@ -279,6 +279,44 @@ class TestFcsStreamSource:
             q.stop()
 
 
+class TestFcsStreamLegacyOffsets:
+    def test_legacy_count_offset_upgrades_to_name_set(self, tmp_path):
+        """Back-compat path: a pre-fix checkpoint stored {"n": count}
+        over a sorted listing. Restarting from it must (a) translate
+        without re-reading the committed prefix, (b) upgrade the next
+        committed offset to the name-set scheme, and (c) afterwards
+        read a lexicographically-early late arrival exactly once —
+        including on the readBetweenOffsets recovery replay."""
+        import numpy as np
+
+        from fcs_etl_reactor_spark.sources.fcs_datasource import FCSStreamReader
+
+        d = tmp_path / "legacy_spool"
+        d.mkdir()
+        mat = np.arange(4, dtype=float).reshape(2, 2)
+        (d / "b.fcs").write_bytes(make_fcs_bytes(["FSC-A", "SSC-A"], mat))
+        (d / "z.fcs").write_bytes(make_fcs_bytes(["FSC-A", "SSC-A"], mat))
+
+        reader = FCSStreamReader({"path": str(d)})
+
+        # restart from a legacy offset covering both committed files
+        legacy = {"n": 2}
+        rows, upgraded = reader.read(legacy)
+        assert list(rows) == []  # nothing re-read
+        assert upgraded == {"files": ["b.fcs", "z.fcs"]}  # name-set now
+
+        # a file sorting BEFORE every committed name arrives late
+        (d / "a.fcs").write_bytes(make_fcs_bytes(["FSC-A", "SSC-A"], mat))
+        rows2, end2 = reader.read(upgraded)
+        got = list(rows2)
+        assert {r[0] for r in got} == {"a.fcs"} and len(got) == 4
+        assert end2 == {"files": ["a.fcs", "b.fcs", "z.fcs"]}
+
+        # recovery replay of that exact batch pair: a.fcs exactly once
+        replay = list(reader.readBetweenOffsets(upgraded, end2))
+        assert {r[0] for r in replay} == {"a.fcs"} and len(replay) == 4
+
+
 class TestBadFileTolerance:
     def test_on_error_skip_drops_corrupt_files(self, spark, tmp_path):
         import numpy as np
