@@ -1709,3 +1709,126 @@ def q5z_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
+
+
+# --------------------------------------------------------------------------
+# q6w — intra-document repetition filter (the Gopher/Dolma repetition
+# rules the length/stopword gates in q83 do NOT cover): per doc, the
+# mass of the most frequent bigram and the total mass of duplicated
+# bigrams, as fractions of all bigrams. Highly repetitive docs
+# (boilerplate, keyword stuffing, generation loops) fail the gate.
+# Shape: bigrams are built JVM-side as zip_with(slice, slice) — no
+# UDF, no explode of anything bigger than the token stream — then two
+# doc-keyed aggregations (combine-friendly, doc_id is a wide key, so
+# nothing serializes at corpus scale). Pass flags are PURE INTEGER
+# comparisons (100·max_c ≤ 8·n etc.), so no float boundary can flip
+# between engines; the reported fractions are single exact-int
+# divisions, IEEE-identical cross-engine.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q6w_repetition_filter",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, toks, UNNEST(RANGE(1, LENGTH(toks))) AS g FROM t
+    ),
+    bg AS (
+      SELECT doc_id, toks[g] || ' ' || toks[g+1] AS bg FROM idx
+    ),
+    c AS (
+      SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac,
+           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c)
+             AS dup_bigram_frac,
+           CASE WHEN 100 * MAX(c) <= 8 * SUM(c)
+                 AND 10 * SUM(CASE WHEN c > 1 THEN c ELSE 0 END) <= SUM(c)
+                THEN 1 ELSE 0 END AS repetition_pass
+    FROM c GROUP BY doc_id
+    """,
+)
+def q6w_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = d.select("doc_id", F.explode(bigrams).alias("bg"))
+    c = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    dup_mass = F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+    return c.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        (F.max("c").cast("double") / F.sum("c")).alias("top_bigram_frac"),
+        (dup_mass.cast("double") / F.sum("c")).alias("dup_bigram_frac"),
+        F.when(
+            (F.lit(100) * F.max("c") <= F.lit(8) * F.sum("c"))
+            & (F.lit(10) * dup_mass <= F.sum("c")),
+            1,
+        )
+        .otherwise(0)
+        .alias("repetition_pass"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q6y — lexical diversity profile: type-token ratio, Gini-Simpson
+# diversity 1 − Σc²/n², and hapax fraction per doc. The
+# log-free counterpart of unigram entropy — Σc² is an exact BIGINT,
+# so unlike a Shannon-entropy Σ c·ln c (order-dependent float sum +
+# libm parity risk, see the q5v caveat) every reported value is a
+# single division of exact integers, bit-identical across engines
+# and partitionings. Same scale shape as q6w: explode → two
+# doc-keyed combine-friendly aggregations.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q6y_lexical_diversity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+    ),
+    c AS (
+      SELECT doc_id, term, COUNT(*) AS c FROM toks WHERE term <> ''
+      GROUP BY doc_id, term
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(COUNT(*) AS DOUBLE) / SUM(c) AS type_token_ratio,
+           1.0 - CAST(SUM(c * c) AS DOUBLE) / (SUM(c) * SUM(c)) AS simpson,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS hapax_frac
+    FROM c GROUP BY doc_id
+    """,
+)
+def q6y_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    c = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    return c.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        (F.count(F.lit(1)).cast("double") / F.sum("c")).alias("type_token_ratio"),
+        (
+            F.lit(1.0)
+            - F.sum(F.col("c") * F.col("c")).cast("double")
+            / (F.sum("c") * F.sum("c"))
+        ).alias("simpson"),
+        (
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("hapax_frac"),
+    )
