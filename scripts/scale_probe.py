@@ -102,8 +102,11 @@ PROBE_QUERIES = [  # all run on the replicated tables
     "q6s_feature_hashing",   # hashing-trick bucket mass (explode pass)
     "q1h_kcore_peel",        # 3 peel rounds, materialized state
     "q1j_brand_modularity",  # edge/degree integer rollup
-    "q3n_interarrival",      # per-type lag + exact gap moments
+    "q3n_interarrival",      # bucket-local lag + boundary reattach (r6 rewrite)
     "q3l_weighted_median",   # bucket-keyed prefix sum crossing
+    # round-6 additions:
+    "q6w_repetition_filter",  # zip_with bigrams + doc-keyed aggs
+    "q6y_lexical_diversity",  # explode + two combine-friendly aggs
 ]
 
 
