@@ -555,3 +555,50 @@ def q4t_interval_stabbing(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.join(grid, cum["m"] == grid["t"], "left_semi")
         .select(F.col("m").alias("t"), F.col("n_open").cast("bigint"))
     )
+
+
+# --------------------------------------------------------------------------
+# q1m — fuzzy (edit-distance ≤ 1) self-join via SymSpell deletion-
+# neighborhood blocking: the published scale path for approximate
+# string joins. A naive fuzzy join is O(n²) levenshtein calls; here
+# each name emits itself + its |name| single-deletion variants
+# (built JVM-side with transform/substr — no UDF), candidates come
+# from an equi-join on the shared variant, and only candidates pay a
+# levenshtein verify. The blocking is LOSSLESS for distance ≤ 1
+# (substitution at i ⇒ both share delete(·,i); insertion/deletion ⇒
+# the shorter string is itself a deletion variant of the longer), so
+# the oracle — the plain exact O(n²) levenshtein pair set — hash-
+# matching PROVES zero loss, the same contract as q5p's prefix
+# filter. Posting lists per variant are alphabet-bounded (≤ |Σ| names
+# regenerate one variant), so no skewed key blows up the join at
+# corpus scale.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q1m_fuzzy_join",
+    oracle="""
+    WITH c AS (SELECT DISTINCT c_name AS name FROM customer)
+    SELECT a.name AS name_a, b.name AS name_b
+    FROM c a JOIN c b ON a.name < b.name AND levenshtein(a.name, b.name) = 1
+    """,
+)
+def q1m_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_name").alias("name")).distinct()
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length("name")),
+        lambda i: F.concat(
+            F.col("name").substr(F.lit(1), i - F.lit(1)),
+            F.col("name").substr(i + F.lit(1), F.length("name")),
+        ),
+    )
+    variants = F.array_distinct(F.concat(F.array(F.col("name")), dels))
+    v = c.select("name", F.explode(variants).alias("v"))
+    cand = (
+        v.alias("a")
+        .join(v.alias("b"), "v")
+        .select(F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"))
+        .filter(F.col("name_a") < F.col("name_b"))
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("name_a", "name_b") == 1)
