@@ -3081,3 +3081,88 @@ def q3q_dow_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.abs(F.col("z_score")) >= 1.5)
     )
+
+
+# --------------------------------------------------------------------------
+# q3r — strict ordered funnel with per-step timeout (the product-
+# analytics staple q3g/q3i do NOT cover: q3g attributes revenue to
+# touches, q3i mines free-form paths; this demands view → click →
+# purchase IN ORDER, each step within 24h of the previous step's
+# FIRST qualifying event). Sequential dependence is expressed as a
+# chain of per-user MIN aggregations joined forward — every join is
+# on user_id (wide key, shuffle-safe), each stage's state is one
+# timestamp per surviving user, and no window ever sorts a low-
+# cardinality key. Conversion rates are single divisions of exact
+# COUNT(DISTINCT)-free integers (each stage is already one row per
+# user), IEEE-identical across engines.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q3r_funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts >= s1.t1 AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts >= s2.t2 AND e.ts <= s2.t2 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_click,
+           CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_purchase,
+           CAST((SELECT COUNT(*) FROM s2) AS DOUBLE)
+             / (SELECT COUNT(*) FROM s1) AS conv_click,
+           CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+             / (SELECT COUNT(*) FROM s2) AS conv_purchase
+    """,
+)
+def q3r_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    day = F.expr("INTERVAL 24 HOURS")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") >= F.col("t1")) & (F.col("ts") <= F.col("t1") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") >= F.col("t2")) & (F.col("ts") <= F.col("t2") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1 = s1.agg(F.count(F.lit(1)).cast("bigint").alias("n_view"))
+    n2 = s2.agg(F.count(F.lit(1)).cast("bigint").alias("n_click"))
+    n3 = s3.agg(F.count(F.lit(1)).cast("bigint").alias("n_purchase"))
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(n3))
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            (F.col("n_click").cast("double") / F.col("n_view")).alias("conv_click"),
+            (F.col("n_purchase").cast("double") / F.col("n_click")).alias(
+                "conv_purchase"
+            ),
+        )
+    )

@@ -113,6 +113,7 @@ ALLOW_CARTESIAN = {
     "q1k_clustering_coeff",     # 1-row triangle-count broadcast cross
     "q7z_westgard_rules",       # 1-row control-limits broadcast cross
     "q6x_mixture_reweight",     # 1-row total + 1-row ESS broadcast crosses
+    "q3r_funnel_conversion",    # three 1-row step-count broadcast crosses
 }
 # Python-eval nodes allowed: q5i IS the scalar-UDF surface; q5g IS the
 # UDTF surface (UDTF eval is row-generating Python by definition).
