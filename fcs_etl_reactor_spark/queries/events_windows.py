@@ -3084,11 +3084,14 @@ def q3q_dow_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q3r — strict ordered funnel with per-step timeout (the product-
-# analytics staple q3g/q3i do NOT cover: q3g attributes revenue to
+# q3r — strict ordered funnel with per-step timeout. Distinct from
+# its q3 siblings: q3a's funnel is two stages via conditional MIN
+# aggregates with NO step deadline, q3g attributes revenue to
 # touches, q3i mines free-form paths; this demands view → click →
-# purchase IN ORDER, each step within 24h of the previous step's
-# FIRST qualifying event). Sequential dependence is expressed as a
+# purchase IN ORDER with each step within 24h of the previous step's
+# FIRST qualifying event — a sequential dependence a single
+# conditional aggregation cannot express (step k's filter needs step
+# k-1's result). Sequential dependence is expressed as a
 # chain of per-user MIN aggregations joined forward — every join is
 # on user_id (wide key, shuffle-safe), each stage's state is one
 # timestamp per surviving user, and no window ever sorts a low-
