@@ -884,3 +884,82 @@ def q7x_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_first", "n_second", "psi")
     )
+
+
+# --------------------------------------------------------------------------
+# q7o — CDC changelog apply (the Debezium/ordered-upsert op q7b's
+# single-batch merge does NOT cover: here a log of I/U/D operations
+# with per-key sequence numbers must collapse to latest-wins state,
+# deletes removing the key entirely). Latest-wins is one aggregation —
+# max of a (lsn, op, payload) struct per key (lsn is unique per key,
+# so the struct max IS argmax-by-lsn; no window, no sort) — followed
+# by a delete filter. At 100 TB this is the hourly CDC-apply job: one
+# shuffle on the key, state one row per key, deletes are free. The
+# changelog is derived deterministically from orders (every key
+# inserts at lsn 1; keys ≡0 mod 3 update at lsn 2; keys ≡0 mod 7
+# delete at lsn 3) so both engines replay the identical log.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q7o_cdc_apply",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS pc
+      FROM orders
+    ),
+    log AS (
+      SELECT k, 1 AS lsn, 'I' AS op, st, pc FROM base
+      UNION ALL
+      SELECT k, 2 AS lsn, 'U' AS op, 'U' AS st, pc + 100000 AS pc
+      FROM base WHERE k % 3 = 0
+      UNION ALL
+      SELECT k, 3 AS lsn, 'D' AS op, st, pc FROM base WHERE k % 7 = 0
+    ),
+    latest AS (
+      SELECT k, ARG_MAX(op, lsn) AS op, ARG_MAX(st, lsn) AS st,
+             ARG_MAX(pc, lsn) AS pc
+      FROM log GROUP BY k
+    )
+    SELECT st AS o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(pc) AS BIGINT) AS price_cents
+    FROM latest WHERE op <> 'D' GROUP BY st
+    """,
+)
+def q7o_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint").alias("pc"),
+    )
+    log = (
+        base.select("k", F.lit(1).alias("lsn"), F.lit("I").alias("op"), "st", "pc")
+        .unionAll(
+            base.filter(F.col("k") % 3 == 0).select(
+                "k",
+                F.lit(2).alias("lsn"),
+                F.lit("U").alias("op"),
+                F.lit("U").alias("st"),
+                (F.col("pc") + 100000).alias("pc"),
+            )
+        )
+        .unionAll(
+            base.filter(F.col("k") % 7 == 0).select(
+                "k", F.lit(3).alias("lsn"), F.lit("D").alias("op"), "st", "pc"
+            )
+        )
+    )
+    latest = log.groupBy("k").agg(
+        F.max(F.struct("lsn", "op", "st", "pc")).alias("m")
+    )
+    return (
+        latest.filter(F.col("m.op") != "D")
+        .groupBy(F.col("m.st").alias("o_orderstatus"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("m.pc").cast("bigint").alias("price_cents"),
+        )
+    )

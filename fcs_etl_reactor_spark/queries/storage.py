@@ -833,3 +833,44 @@ def q2l_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM orders WHERE o_totalprice > fcs_cutoff
             GROUP BY o_orderpriority'"""
     )
+
+
+# --------------------------------------------------------------------------
+# q2m — SQL pipe syntax (Spark 4's |> operator surface, the other
+# half of the modern-SQL migration story q2l starts): the same
+# logical plan a nested SELECT builds, written as a linear FROM |>
+# WHERE |> AGGREGATE ... |> ORDER BY flow. The pipe parser lowers to
+# the identical Catalyst plan (same pushdown, same partial
+# aggregation), so this is a parser-surface row with a plain-SQL
+# oracle — proving a user can migrate pipe-syntax workloads verbatim.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q2m_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS qty_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q2m_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |> AGGREGATE
+             CAST(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS qty_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, qty_cents, n_rows
+        """
+    )
