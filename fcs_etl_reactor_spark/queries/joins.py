@@ -602,3 +602,65 @@ def q1m_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return cand.filter(F.levenshtein("name_a", "name_b") == 1)
+
+
+# --------------------------------------------------------------------------
+# q1n — Pareto frontier / skyline (min price, min size over part):
+# the multi-criteria shortlist every procurement/ranking pipeline
+# ends with. The naive definition is the O(n²) NOT-EXISTS domination
+# anti-join — that stays as the ORACLE (an algorithm-independent
+# ground truth); the Spark plan is the scalable sweep decomposition:
+# (1) per-x group-min of y (combine-friendly, x = exact price cents),
+# (2) an EXCLUSIVE prefix-min over the per-x summary — a window over
+# #distinct-x rows, bounded by price granularity (cents), never raw
+# rows; the same counts-bound-summary pattern as q3n's boundary
+# pass — and (3) one equi-join back on x. keep ⟺ y == groupmin(x)
+# AND y < prefixmin(<x): exactly ¬∃ dominator, duplicates kept on
+# both sides (equal points don't strictly dominate).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q1n_pareto_frontier",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey,
+             CAST(FLOOR(p_retailprice * 100.0 + 0.5) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS size
+      FROM part
+    )
+    SELECT a.p_partkey, a.price_cents, a.size
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE (b.price_cents < a.price_cents AND b.size <= a.size)
+         OR (b.price_cents <= a.price_cents AND b.size < a.size)
+    )
+    """,
+)
+def q1n_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100.0 + 0.5)
+        .cast("bigint")
+        .alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    g = p.groupBy("price_cents").agg(F.min("size").alias("gmin"))
+    # exclusive prefix-min over the per-price summary (#distinct
+    # prices rows — granularity-bounded, not data-bounded)
+    w = (
+        Window.orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g = g.select(
+        "price_cents", "gmin", F.min("gmin").over(w).alias("pmin")
+    )
+    return (
+        p.join(g, "price_cents")
+        .filter(
+            (F.col("size") == F.col("gmin"))
+            & (F.col("pmin").isNull() | (F.col("size") < F.col("pmin")))
+        )
+        .select("p_partkey", "price_cents", "size")
+    )
