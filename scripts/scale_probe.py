@@ -107,6 +107,9 @@ PROBE_QUERIES = [  # all run on the replicated tables
     # round-6 additions:
     "q6w_repetition_filter",  # zip_with bigrams + doc-keyed aggs
     "q6y_lexical_diversity",  # explode + two combine-friendly aggs
+    "q7o_cdc_apply",          # latest-wins struct-max per key
+    "q3r_funnel_conversion",  # chained per-user MIN stages
+    "q2m_pipe_syntax",        # pipe parser -> same plan as SQL twin
 ]
 
 
