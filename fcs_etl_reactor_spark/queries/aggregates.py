@@ -688,3 +688,96 @@ def q4r_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("gini"),
     )
+
+# --------------------------------------------------------------------------
+# q1o — Spearman rank correlation (the rank-based complement of q28's
+# Pearson corr/covar — robust to monotone transforms and outliers).
+# Average ranks with exact tie handling: per distinct value,
+# 2·rank_avg = 2·(count of preceding rows) + count + 1 — an INTEGER,
+# so ranks are carried DOUBLED and every aggregate is exact (widened
+# through DECIMAL(38,0); rank² sums pass int64 around 1e9 rows). The
+# preceding-count prefix sum runs through operators/
+# ordering.global_cumsum — price-cents cardinality is DATA-bounded,
+# so a bare SUM() OVER (ORDER BY v) on the value summary would funnel
+# it through one reducer (the q4r lesson). ρ is one expression over
+# six exact sums: doubles enter at the last step only (both engines
+# round the same exact integers to nearest double), SQRT is IEEE-
+# correctly-rounded (unlike exp/ln), output rounded 9 dp.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q1o_spearman",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    rx AS (
+      SELECT x, 2 * (SUM(COUNT(*)) OVER (ORDER BY x) - COUNT(*))
+                + COUNT(*) + 1 AS r2x
+      FROM v GROUP BY x
+    ),
+    ry AS (
+      SELECT y, 2 * (SUM(COUNT(*)) OVER (ORDER BY y) - COUNT(*))
+                + COUNT(*) + 1 AS r2y
+      FROM v GROUP BY y
+    ),
+    j AS (
+      SELECT rx.r2x AS a, ry.r2y AS b FROM v JOIN rx USING(x) JOIN ry USING(y)
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(a AS HUGEINT)) AS sa, SUM(CAST(b AS HUGEINT)) AS sb,
+             SUM(CAST(a AS HUGEINT) * b) AS sab,
+             SUM(CAST(a AS HUGEINT) * a) AS saa,
+             SUM(CAST(b AS HUGEINT) * b) AS sbb
+      FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           ROUND((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                  - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                 / SQRT((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                         - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                           - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 9)
+             AS spearman_rho
+    FROM s
+    """,
+)
+def q1o_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.ordering import global_cumsum
+
+    l = load(spark, sf_dir, "lineitem")
+    v = l.select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("bigint").alias("y"),
+    )
+
+    def doubled_ranks(col: str, out: str) -> DataFrame:
+        g = v.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        g = global_cumsum(g, [col], "c", out_col="prev", exclusive=True)
+        return g.select(
+            col, (F.lit(2) * F.col("prev") + F.col("c") + F.lit(1)).alias(out)
+        )
+
+    j = v.join(doubled_ranks("x", "a"), "x").join(doubled_ranks("y", "b"), "y")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("a")).alias("sa"),
+        F.sum(dec("b")).alias("sb"),
+        F.sum(dec("a") * F.col("b")).alias("sab"),
+        F.sum(dec("a") * F.col("a")).alias("saa"),
+        F.sum(dec("b") * F.col("b")).alias("sbb"),
+    )
+    nd = F.col("n").cast("double")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    rho = (nd * d("sab") - d("sa") * d("sb")) / F.sqrt(
+        (nd * d("saa") - d("sa") * d("sa")) * (nd * d("sbb") - d("sb") * d("sb"))
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(rho, 9).alias("spearman_rho"),
+    )
