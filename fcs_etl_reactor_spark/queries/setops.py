@@ -963,3 +963,43 @@ def q7o_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("m.pc").cast("bigint").alias("price_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q1p — bag-semantics set operations (INTERSECT ALL / EXCEPT ALL),
+# the multiset complement of q52/q53's set-semantics pair. Spark
+# lowers intersectAll/exceptAll to a count-per-row aggregate plus a
+# replicate generator — one shuffle on the row key with map-side
+# partial counts, never a row-by-row comparison — so the plan is
+# combine-friendly and scales with distinct keys, not raw rows.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q1p_bag_setops",
+    oracle="""
+    SELECT 'intersect_all' AS op, nationkey FROM (
+      SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+      INTERSECT ALL
+      SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+    )
+    UNION ALL
+    SELECT 'except_all' AS op, nationkey FROM (
+      SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+      EXCEPT ALL
+      SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+    )
+    """,
+)
+def q1p_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("bigint").alias("nationkey")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("bigint").alias("nationkey")
+    )
+    ia = c.intersectAll(s).select(
+        F.lit("intersect_all").alias("op"), "nationkey"
+    )
+    ea = c.exceptAll(s).select(F.lit("except_all").alias("op"), "nationkey")
+    return ia.unionAll(ea)

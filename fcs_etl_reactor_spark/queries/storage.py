@@ -874,3 +874,54 @@ def q2m_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT l_returnflag, l_linestatus, qty_cents, n_rows
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q2n — LATERAL correlated-subquery join (the third modern-SQL
+# surface after q2l variables and q2m pipes): "for each region, the
+# top-2 orders by price among its customers", written as
+# `region, LATERAL (SELECT ... WHERE correlated ORDER BY ... LIMIT 2)`.
+# Catalyst decorrelates the LIMIT-in-correlated-subquery into a
+# partitioned row_number window over one shuffled join — no
+# per-outer-row re-execution — so the lateral surface costs the same
+# plan a hand-written top-k-per-group (q44) does. Deterministic
+# tie-break (price DESC, orderkey) keeps both engines exact.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q2n_lateral_join",
+    oracle="""
+    SELECT r.r_name, t.o_orderkey, t.price_cents
+    FROM region r, LATERAL (
+      SELECT o.o_orderkey,
+             CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE n.n_regionkey = r.r_regionkey
+      ORDER BY o.o_totalprice DESC, o.o_orderkey
+      LIMIT 2
+    ) t
+    """,
+)
+def q2n_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r.r_name, t.o_orderkey, t.price_cents
+        FROM region r, LATERAL (
+          SELECT o.o_orderkey,
+                 CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)
+                   AS price_cents
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          ORDER BY o.o_totalprice DESC, o.o_orderkey
+          LIMIT 2
+        ) t
+        """
+    )
