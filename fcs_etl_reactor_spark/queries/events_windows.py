@@ -3169,3 +3169,218 @@ def q3r_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q3s — Benjamini-Hochberg FDR correction: the multiple-testing layer
+# every per-segment anomaly scan (q3q, q4m, q4n) needs before acting
+# on its per-group "significant" flags. Per (event_type, isodow)
+# group, a one-sample location test of the group's mean value against
+# the corpus mean using the CHEBYSHEV p-bound p = min(1, sigma^2 /
+# (n*dev^2)) — distribution-free and, unlike a normal/chi-square
+# tail, exactly computable in both engines (no erfc/gamma in either
+# SQL dialect). BH then sorts the m p-values ascending and rejects
+# ranks 1..k* where k* = max{k : p_(k) <= k*alpha/m}.
+#
+# Determinism: group sums are exact integers (micros via floor-scale,
+# squared micros in a decimal(38,0)/HUGEINT accumulator — micros^2
+# ~6e16 per row overflows int64 at ~100 rows); every double is then
+# produced by the same left-associated sequence of correctly-rounded
+# IEEE ops in both engines, so p is bit-identical and the rank/
+# threshold comparisons agree. Scale: the raw-data pass is one
+# combine-friendly groupBy; the rank window runs over m = |types|x7
+# rows — granularity-bounded, never data-bounded (same contract as
+# q1n's summary sweep).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q3s_bh_fdr",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(EXTRACT(ISODOW FROM ts) AS INTEGER) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS s,
+             SUM(CAST(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS HUGEINT)
+                 * CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS ssq
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(s) AS BIGINT) AS ss,
+             SUM(ssq) AS sssq, CAST(COUNT(*) AS BIGINT) AS m
+      FROM b
+    ),
+    p AS (
+      SELECT b.event_type, b.dow, b.n, g.m,
+             CASE WHEN CAST(b.s AS DOUBLE) / b.n - CAST(g.ss AS DOUBLE) / g.nn = 0
+                  THEN 1.0
+                  ELSE LEAST(1.0,
+                    (CAST(g.sssq AS DOUBLE) / g.nn
+                     - (CAST(g.ss AS DOUBLE) / g.nn)
+                       * (CAST(g.ss AS DOUBLE) / g.nn))
+                    / (CAST(b.n AS DOUBLE)
+                       * (CAST(b.s AS DOUBLE) / b.n - CAST(g.ss AS DOUBLE) / g.nn)
+                       * (CAST(b.s AS DOUBLE) / b.n - CAST(g.ss AS DOUBLE) / g.nn)))
+             END AS p
+      FROM b, g
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY p, event_type, dow) AS rk FROM p
+    ),
+    k AS (
+      SELECT MAX(CASE WHEN p <= CAST(rk AS DOUBLE) * 0.05 / m THEN rk ELSE 0 END)
+               AS kstar
+      FROM r
+    )
+    SELECT event_type, dow, n, ROUND(p, 9) AS p_chebyshev,
+           CAST(rk AS BIGINT) AS p_rank, rk <= kstar AS rejected
+    FROM r, k
+    """,
+)
+def q3s_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    mic = F.floor(F.col("value") * 1000000.0 + 0.5).cast("long")
+    b = e.groupBy(
+        "event_type", (F.weekday("ts") + 1).cast("int").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(mic).cast("bigint").alias("s"),
+        F.sum(mic.cast("decimal(38,0)") * mic).alias("ssq"),
+    )
+    g = b.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("s").cast("bigint").alias("ss"),
+        F.sum("ssq").alias("sssq"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    x = b.crossJoin(F.broadcast(g))
+    dev = F.col("s").cast("double") / F.col("n") - F.col("ss").cast(
+        "double"
+    ) / F.col("nn")
+    gvar = F.col("sssq").cast("double") / F.col("nn") - (
+        F.col("ss").cast("double") / F.col("nn")
+    ) * (F.col("ss").cast("double") / F.col("nn"))
+    p = F.when(dev == 0, F.lit(1.0)).otherwise(
+        F.least(F.lit(1.0), gvar / (F.col("n").cast("double") * dev * dev))
+    )
+    # rank window over m = |types|x7 rows — granularity-bounded
+    wr = Window.orderBy("p", "event_type", "dow")
+    wall = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = x.select(
+        "event_type", "dow", "n", "m", p.alias("p")
+    ).withColumn("rk", F.row_number().over(wr))
+    kstar = F.max(
+        F.when(
+            F.col("p")
+            <= F.col("rk").cast("double") * F.lit(0.05) / F.col("m"),
+            F.col("rk"),
+        ).otherwise(F.lit(0))
+    ).over(wall)
+    return ranked.select(
+        "event_type",
+        "dow",
+        "n",
+        F.round("p", 9).alias("p_chebyshev"),
+        F.col("rk").cast("bigint").alias("p_rank"),
+        (F.col("rk") <= kstar).alias("rejected"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q3t — isotonic regression (monotone calibration curve): the
+# weighted least-squares monotone fit of mean value vs hour-of-day,
+# per event_type. Instead of the sequential PAV algorithm (driver-
+# side, order-dependent), both engines evaluate the closed-form
+# min-max characterization ŷ_k = max_{i<=k} min_{j>=k} avg(y_i..y_j)
+# over the per-(type,hour) summary: the raw-data pass is one
+# combine-friendly groupBy; the (i,k,j) triple join runs over 24-row
+# per-type summaries — granularity-bounded (<= |types|*24^3 rows),
+# never data-bounded. Every candidate average is a SINGLE division of
+# exact integer micros sums (prefix sums over 24 rows), so each
+# double is correctly rounded and identical across engines, and
+# min/max over identical doubles is order-independent → the fit is
+# bit-identical with no tolerance needed.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q3t_isotonic",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INTEGER) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS s
+      FROM events GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, h, n, s,
+             CAST(SUM(n) OVER w AS BIGINT) AS cn,
+             CAST(SUM(s) OVER w AS BIGINT) AS cs
+      FROM b WINDOW w AS (PARTITION BY event_type ORDER BY h)
+    ),
+    mins AS (
+      SELECT k.event_type, k.h AS hk, k.n AS n, i.h AS hi,
+             MIN(CAST(j.cs - i.cs + i.s AS DOUBLE)
+                 / CAST(j.cn - i.cn + i.n AS DOUBLE)) AS mn
+      FROM c i
+      JOIN c k ON i.event_type = k.event_type AND i.h <= k.h
+      JOIN c j ON j.event_type = k.event_type AND j.h >= k.h
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT event_type, hk AS hour, n, MAX(mn) / 1000000.0 AS iso_fit
+    FROM mins GROUP BY 1, 2, 3
+    """,
+)
+def q3t_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    mic = F.floor(F.col("value") * 1000000.0 + 0.5).cast("long")
+    b = e.groupBy("event_type", F.hour("ts").cast("int").alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(mic).cast("bigint").alias("s"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = b.select(
+        "event_type",
+        "h",
+        "n",
+        "s",
+        F.sum("n").over(w).cast("bigint").alias("cn"),
+        F.sum("s").over(w).cast("bigint").alias("cs"),
+    )
+    i, k, j = c.alias("i"), c.alias("k"), c.alias("j")
+    avg = (
+        F.col("j.cs") - F.col("i.cs") + F.col("i.s")
+    ).cast("double") / (
+        F.col("j.cn") - F.col("i.cn") + F.col("i.n")
+    ).cast("double")
+    mins = (
+        i.join(
+            k,
+            (F.col("i.event_type") == F.col("k.event_type"))
+            & (F.col("i.h") <= F.col("k.h")),
+        )
+        .join(
+            j,
+            (F.col("j.event_type") == F.col("k.event_type"))
+            & (F.col("j.h") >= F.col("k.h")),
+        )
+        .groupBy(
+            F.col("k.event_type").alias("event_type"),
+            F.col("k.h").alias("hk"),
+            F.col("k.n").alias("n"),
+            F.col("i.h").alias("hi"),
+        )
+        .agg(F.min(avg).alias("mn"))
+    )
+    return mins.groupBy("event_type", F.col("hk").alias("hour"), "n").agg(
+        (F.max("mn") / F.lit(1000000.0)).alias("iso_fit")
+    )
