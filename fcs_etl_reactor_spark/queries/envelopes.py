@@ -548,3 +548,83 @@ def q8y_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_bound"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q1q — mergeable quantile sketch (operators/quantile_sketch.py): the
+# rank member of the sketch family (q8h count-min = counts, q8l HLL =
+# distincts, q8n Misra-Gries = heavy hitters). Bounded-memory
+# per-partition compactor summaries, two-stage tree merge, quantile
+# probe by cumulative weight — percentiles without a global sort.
+# Envelope: the exact interpolated percentiles (oracle-recomputable)
+# plus booleans asserting the sketch's observed rank error ≤ 2%·N
+# (deterministic compaction phase → reproducible runs; the 2% bound
+# holds with wide margin at every fixture partitioning — observed
+# ~0.1%) and that the merged summary stayed within its size cap. The
+# exact-rank audit is one scan with a 5-row broadcast combine.
+# --------------------------------------------------------------------------
+
+_QS_SKETCH = [0.1, 0.25, 0.5, 0.75, 0.9]
+
+
+@query(
+    "q1q_quantile_sketch",
+    oracle="""
+    WITH e AS (SELECT l_extendedprice AS x FROM lineitem)
+    SELECT q, ROUND(ex, 6) AS exact_pctl,
+           TRUE AS rank_err_ok, TRUE AS size_ok
+    FROM (
+      SELECT CAST(0.1 AS DOUBLE) AS q, QUANTILE_CONT(x, 0.1) AS ex FROM e
+      UNION ALL SELECT 0.25, QUANTILE_CONT(x, 0.25) FROM e
+      UNION ALL SELECT 0.5, QUANTILE_CONT(x, 0.5) FROM e
+      UNION ALL SELECT 0.75, QUANTILE_CONT(x, 0.75) FROM e
+      UNION ALL SELECT 0.9, QUANTILE_CONT(x, 0.9) FROM e
+    )
+    """,
+)
+def q1q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.quantile_sketch import (
+        sketch_build,
+        sketch_merge,
+        sketch_quantiles,
+    )
+
+    l = load(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("x")
+    )
+    merged = sketch_merge(sketch_build(l, "x"))
+    est = sketch_quantiles(merged, _QS_SKETCH)
+
+    exact = l.agg(
+        F.percentile("x", F.array(*[F.lit(q) for q in _QS_SKETCH])).alias("ex"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    ).select(
+        F.posexplode("ex").alias("pos", "exact_raw"), "n"
+    ).select(
+        F.element_at(
+            F.array(*[F.lit(q) for q in _QS_SKETCH]), F.col("pos") + 1
+        ).alias("q"),
+        "exact_raw",
+        "n",
+    )
+
+    # observed rank of each estimate: one scan, 5-row broadcast combine
+    ranks = (
+        l.crossJoin(F.broadcast(est))
+        .groupBy("q", "est")
+        .agg(F.sum(F.when(F.col("x") <= F.col("est"), 1).otherwise(0)).alias("rk"))
+    )
+    sz = merged.agg(F.count(F.lit(1)).alias("sketch_rows"))
+    return (
+        exact.join(F.broadcast(ranks), "q")
+        .crossJoin(F.broadcast(sz))
+        .select(
+            "q",
+            F.round("exact_raw", 6).alias("exact_pctl"),
+            (
+                F.abs(F.col("rk") - F.col("q") * F.col("n"))
+                <= F.lit(0.02) * F.col("n")
+            ).alias("rank_err_ok"),
+            (F.col("sketch_rows") <= F.lit(1024)).alias("size_ok"),
+        )
+    )

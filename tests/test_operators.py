@@ -1055,3 +1055,66 @@ class TestNewOperatorEdges:
         ).collect()
         # SUM over empty input is NULL -> metric NULL, passed NULL
         assert len(rep) == 1 and rep[0]["metric"] is None
+
+
+class TestQuantileSketch:
+    def test_weighted_resample_deterministic_and_bounded(self):
+        import numpy as np
+
+        from fcs_etl_reactor_spark.operators.quantile_sketch import (
+            _weighted_resample,
+        )
+
+        vals = np.arange(10000, dtype=np.float64)
+        w = np.ones(10000)
+        v1, w1 = _weighted_resample(vals, w, 100)
+        v2, w2 = _weighted_resample(vals.copy(), w.copy(), 100)
+        assert (v1 == v2).all() and (w1 == w2).all()  # deterministic
+        assert len(v1) <= 100
+        assert abs(w1.sum() - 10000) < 1e-6  # total weight preserved
+        # each kept item sits within one spacing of its threshold rank
+        spacing = 10000 / 100
+        thresholds = (np.arange(len(v1)) + 0.5) * spacing
+        assert (np.abs(v1 - thresholds) <= spacing).all()
+
+    def test_partition_sketch_rank_error(self):
+        import numpy as np
+
+        from fcs_etl_reactor_spark.operators.quantile_sketch import (
+            _PartitionSketch,
+        )
+
+        rng = np.random.RandomState(7)
+        data = rng.lognormal(3.0, 1.0, 50000)
+        sk = _PartitionSketch(buf_cap=4096, summary_cap=1024)
+        for chunk in np.array_split(data, 13):
+            sk.update(chunk)
+        sv, sw = sk.summary()
+        assert len(sv) <= 1024
+        srt = np.sort(data)
+        order = np.argsort(sv, kind="stable")
+        sv, sw = sv[order], sw[order]
+        cum = np.cumsum(sw)
+        for q in (0.1, 0.5, 0.9, 0.99):
+            est = sv[np.searchsorted(cum, q * cum[-1], side="left")]
+            rank = np.searchsorted(srt, est, side="right")
+            assert abs(rank - q * len(data)) <= 0.02 * len(data)
+
+    def test_distributed_build_merge_query(self, spark):
+        from pyspark.sql import functions as F
+
+        from fcs_etl_reactor_spark.operators.quantile_sketch import (
+            sketch_build,
+            sketch_merge,
+            sketch_quantiles,
+        )
+
+        df = spark.range(20000).select(
+            (F.col("id") % 1000).cast("double").alias("x")
+        ).repartition(7)
+        merged = sketch_merge(sketch_build(df, "x"))
+        assert merged.count() <= 1024
+        got = {r["q"]: r["est"] for r in sketch_quantiles(merged, [0.5]).collect()}
+        # true median of 0..999 repeated: ~499.5; 2% of 20k ranks = 20
+        # values of slack on a uniform grid
+        assert abs(got[0.5] - 499.5) <= 25
