@@ -110,6 +110,12 @@ PROBE_QUERIES = [  # all run on the replicated tables
     "q7o_cdc_apply",          # latest-wins struct-max per key
     "q3r_funnel_conversion",  # chained per-user MIN stages
     "q2m_pipe_syntax",        # pipe parser -> same plan as SQL twin
+    # round-6 session additions:
+    "q1p_bag_setops",         # count-replicate multiset ops
+    "q2n_lateral_join",       # decorrelated LATERAL top-k
+    "q3s_bh_fdr",             # groupBy moments + 35-row BH rank pass
+    "q3t_isotonic",           # granularity-bounded min-max triple join
+    "q1q_quantile_sketch",    # compactor build + tree merge + probe
 ]
 
 

@@ -48,6 +48,8 @@ TS_QUERIES = [
     "q4z_theil_sen", "q9o_dynamic_gap_sessions", "q9q_rocksdb_state_store",
     "q9r_chained_window_aggs", "q7x_psi_drift", "q3m_pacf",
     "q3n_interarrival", "q3o_rolling_wau", "q3q_dow_anomalies", "q7z_westgard_rules",
+    # round-6 session additions (timestamp-touching):
+    "q3r_funnel_conversion", "q3s_bh_fdr", "q3t_isotonic",
 ]
 
 
