@@ -671,3 +671,42 @@ def q5t_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(m["n_rows"]), float(m["total_price"]), int(m["n_urgent"]))],
         "n_rows long, total_price double, n_urgent long",
     )
+
+
+# --------------------------------------------------------------------------
+# q1r — Jaro-Winkler similarity (functions/strsim.py): the fuzzy-
+# match scorer q68's levenshtein can't substitute (JW weighs shared
+# prefixes and tolerates transpositions — the name-matching staple).
+# Scores every part name against a probe phrase plus the name/type
+# cross-field pair, through the vectorized Arrow UDF; semantics are
+# bit-exact vs DuckDB's vendored rapidfuzz implementation (boost only
+# above 0.7 Jaro, prefix cap 4), so no rounding tolerance is needed.
+# Top-50 by (similarity DESC, key) keeps the output stable.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q1r_jaro_winkler",
+    oracle="""
+    SELECT p_partkey,
+           jaro_winkler_similarity(p_name,
+             'goldenrod lavender spring chocolate lace') AS jw_probe
+    FROM part
+    ORDER BY jw_probe DESC, p_partkey
+    LIMIT 50
+    """,
+)
+def q1r_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.functions.strsim import jaro_winkler_udf
+
+    jw = jaro_winkler_udf()
+    p = load(spark, sf_dir, "part")
+    probe = F.lit("goldenrod lavender spring chocolate lace")
+    return (
+        p.select(
+            "p_partkey",
+            jw(F.col("p_name"), probe).alias("jw_probe"),
+        )
+        .orderBy(F.col("jw_probe").desc(), "p_partkey")
+        .limit(50)
+    )

@@ -70,3 +70,47 @@ def test_sql_udf_is_inlined_into_codegen(spark):
     # the body is inlined: the discount arithmetic appears directly in
     # the partial aggregate (AQE hides codegen stars pre-execution)
     assert "partial_sum(FLOOR" in plan, plan
+
+
+class TestJaroWinkler:
+    def test_reference_values(self):
+        from fcs_etl_reactor_spark.functions.strsim import jaro_winkler
+
+        assert abs(jaro_winkler("martha", "marhta") - 0.9611111111111111) < 1e-15
+        assert jaro_winkler("same", "same") == 1.0
+        assert jaro_winkler("abc", "xyz") == 0.0
+        assert jaro_winkler("", "x") == 0.0
+        # boost applies only above 0.7 Jaro
+        assert jaro_winkler("a", "ab") > 0.7
+
+    def test_matches_duckdb_exactly(self):
+        import duckdb
+
+        from fcs_etl_reactor_spark.functions.strsim import jaro_winkler
+
+        con = duckdb.connect()
+        pairs = [
+            ("dwayne", "duane"),
+            ("dixon", "dicksonx"),
+            ("goldenrod lace", "goldenrod lavender"),
+            ("STANDARD POLISHED TIN", "SMALL PLATED COPPER"),
+            ("aaaa", "aaaa aaaa"),
+        ]
+        for a, b in pairs:
+            d = con.execute(
+                "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+            ).fetchone()[0]
+            assert jaro_winkler(a, b) == d, (a, b)
+
+    def test_udf_null_passthrough(self, spark):
+        from pyspark.sql import functions as F
+
+        from fcs_etl_reactor_spark.functions.strsim import jaro_winkler_udf
+
+        jw = jaro_winkler_udf()
+        df = spark.createDataFrame(
+            [("abc", "abd"), (None, "x"), ("y", None)], "a string, b string"
+        )
+        rows = df.select(jw("a", "b").alias("s")).collect()
+        assert rows[0]["s"] is not None
+        assert rows[1]["s"] is None and rows[2]["s"] is None
