@@ -3384,3 +3384,104 @@ def q3t_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mins.groupBy("event_type", F.col("hk").alias("hour"), "n").agg(
         (F.max("mn") / F.lit(1000000.0)).alias("iso_fit")
     )
+
+
+# --------------------------------------------------------------------------
+# q1s — interval union / coverage: each event opens a fixed 5-minute
+# activity interval [ts, ts+300s); per user, merge overlapping
+# intervals and report the island count and total covered seconds.
+# Distinct from q97's sessionization (gap threshold between POINT
+# events — a session never knows how long activity lasted) and q17's
+# pair overlaps (which enumerates pairs, not coverage): this is the
+# "minutes of activity" / machine-uptime measure.
+# Classic gaps-and-islands: prev running MAX(end) over the per-user
+# order detects island starts; a running SUM of starts numbers the
+# islands; per-island coverage = MAX(end) − MIN(start). All windows
+# partition on user_id (wide key), all arithmetic integer epoch
+# seconds — exact in both engines.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q1s_interval_union",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id,
+             CAST(EPOCH_US(ts) AS BIGINT) AS s,
+             CAST(EPOCH_US(ts) AS BIGINT) + 300000000 AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) >= s
+                  THEN 0 ELSE 1 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS island_id
+      FROM flagged
+    ),
+    per_island AS (
+      SELECT user_id, island_id,
+             MIN(s) AS island_start, MAX(e) AS island_end
+      FROM islands GROUP BY user_id, island_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(CAST(SUM(island_end - island_start) AS BIGINT) // 1000000
+                AS BIGINT) AS covered_seconds
+    FROM per_island GROUP BY user_id
+    """,
+)
+def q1s_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.unix_micros("ts").cast("bigint").alias("s"),
+        (F.unix_micros("ts").cast("bigint") + 300000000).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(F.max("e").over(w_prev) >= F.col("s"), 0)
+        .otherwise(1)
+        .alias("new_island"),
+    )
+    islands = flagged.select(
+        "user_id", "s", "e", F.sum("new_island").over(w_run).alias("island_id")
+    )
+    per_island = islands.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("island_start"), F.max("e").alias("island_end")
+    )
+    return (
+        per_island.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+            F.sum(F.col("island_end") - F.col("island_start"))
+            .cast("bigint")
+            .alias("covered_us"),
+        )
+        .select(
+            "user_id",
+            "n_islands",
+            F.expr("CAST(covered_us DIV 1000000 AS BIGINT)").alias(
+                "covered_seconds"
+            ),
+        )
+    )

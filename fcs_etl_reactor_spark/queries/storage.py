@@ -925,3 +925,42 @@ def q2n_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q2o — GROUP BY ALL / ORDER BY ALL (the fourth modern-SQL surface
+# after q2l/q2m/q2n): every non-aggregate select item groups
+# implicitly, the full select list orders implicitly. Pure parser
+# sugar — Catalyst resolves to the identical aggregate the explicit
+# GROUP BY builds (same partial aggregation, same pushdown) — so the
+# oracle is the explicit-SQL twin.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q2o_group_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority, n, price_cents
+    """,
+)
+def q2o_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS price_cents
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )

@@ -116,6 +116,7 @@ PROBE_QUERIES = [  # all run on the replicated tables
     "q3s_bh_fdr",             # groupBy moments + 35-row BH rank pass
     "q3t_isotonic",           # granularity-bounded min-max triple join
     "q1q_quantile_sketch",    # compactor build + tree merge + probe
+    "q1s_interval_union",     # gaps-and-islands coverage (wide-key windows)
 ]
 
 
