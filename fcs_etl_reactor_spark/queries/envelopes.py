@@ -608,11 +608,17 @@ def q1q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
     )
 
-    # observed rank of each estimate: one scan, 5-row broadcast combine
+    # observed rank of each estimate: one scan, 5-row broadcast
+    # combine. With ties the estimate's rank is the INTERVAL
+    # [count(x<est), count(x<=est)]; the guarantee is that the
+    # interval comes within eps*N of q*N.
     ranks = (
         l.crossJoin(F.broadcast(est))
         .groupBy("q", "est")
-        .agg(F.sum(F.when(F.col("x") <= F.col("est"), 1).otherwise(0)).alias("rk"))
+        .agg(
+            F.sum(F.when(F.col("x") < F.col("est"), 1).otherwise(0)).alias("rk_lo"),
+            F.sum(F.when(F.col("x") <= F.col("est"), 1).otherwise(0)).alias("rk_hi"),
+        )
     )
     sz = merged.agg(F.count(F.lit(1)).alias("sketch_rows"))
     return (
@@ -622,8 +628,10 @@ def q1q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q",
             F.round("exact_raw", 6).alias("exact_pctl"),
             (
-                F.abs(F.col("rk") - F.col("q") * F.col("n"))
-                <= F.lit(0.02) * F.col("n")
+                (F.col("rk_lo") - F.lit(0.02) * F.col("n")
+                 <= F.col("q") * F.col("n"))
+                & (F.col("q") * F.col("n")
+                   <= F.col("rk_hi") + F.lit(0.02) * F.col("n"))
             ).alias("rank_err_ok"),
             (F.col("sketch_rows") <= F.lit(1024)).alias("size_ok"),
         )

@@ -655,3 +655,124 @@ class TestDensityOperators:
             assert len(got) == dim * (dim + 1) // 2, nparts
             for (i, j), g in got.items():
                 assert i <= j and g == want[i][j], (nparts, i, j, g, want[i][j])
+
+
+# ---- round-6 session additions ------------------------------------------
+
+
+@given(
+    cells=st.lists(
+        st.tuples(st.integers(1, 50), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=24,
+    )
+)
+@settings(deadline=None, max_examples=60)
+def test_isotonic_minmax_equals_pava(cells):
+    """The min-max characterization q3t evaluates must equal the
+    sequential PAV algorithm exactly (checked in rationals, so no
+    float tolerance hides a logic error)."""
+    ws = [w for w, _ in cells]
+    ys = [Fraction(y) for _, y in cells]
+
+    # reference: pool-adjacent-violators
+    blocks = [[Fraction(w), Fraction(w) * y] for w, y in zip(ws, ys)]
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i][1] / blocks[i][0] > blocks[i + 1][1] / blocks[i + 1][0]:
+            blocks[i][0] += blocks[i + 1][0]
+            blocks[i][1] += blocks[i + 1][1]
+            del blocks[i + 1]
+            if i > 0:
+                i -= 1
+        else:
+            i += 1
+    # per-index fits: walk cells through the pooled blocks (each block
+    # holds an exact run of consecutive cell weights)
+    fits = []
+    bi, consumed = 0, Fraction(0)
+    for w in ws:
+        fits.append(blocks[bi][1] / blocks[bi][0])
+        consumed += w
+        if consumed == blocks[bi][0]:
+            consumed = Fraction(0)
+            bi += 1
+
+    # min-max formula over prefix sums
+    cw = [Fraction(0)]
+    cs = [Fraction(0)]
+    for w, y in zip(ws, ys):
+        cw.append(cw[-1] + w)
+        cs.append(cs[-1] + w * y)
+    n = len(ws)
+    minmax = []
+    for k in range(n):
+        best = None
+        for i in range(k + 1):
+            worst = None
+            for j in range(k, n):
+                avg = (cs[j + 1] - cs[i]) / (cw[j + 1] - cw[i])
+                worst = avg if worst is None else min(worst, avg)
+            best = worst if best is None else max(best, worst)
+        minmax.append(best)
+
+    assert minmax == fits
+    # and the fit is monotone non-decreasing
+    assert all(a <= b for a, b in zip(minmax, minmax[1:]))
+
+
+@given(
+    a=st.text(alphabet="abcdef #0123", min_size=0, max_size=20),
+    b=st.text(alphabet="abcdef #0123", min_size=0, max_size=20),
+)
+@settings(deadline=None, max_examples=200)
+def test_jaro_winkler_metric_properties(a, b):
+    from fcs_etl_reactor_spark.functions.strsim import jaro_winkler
+
+    s = jaro_winkler(a, b)
+    assert 0.0 <= s <= 1.0
+    assert jaro_winkler(b, a) == s  # symmetric
+    assert jaro_winkler(a, a) == (1.0 if True else None)
+
+
+@given(
+    data=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False), min_size=200, max_size=4000
+    ),
+    n_chunks=st.integers(1, 7),
+)
+@settings(deadline=None, max_examples=25)
+def test_quantile_sketch_rank_error_any_chunking(data, n_chunks):
+    import numpy as np
+
+    from fcs_etl_reactor_spark.operators.quantile_sketch import (
+        _PartitionSketch,
+        _weighted_resample,
+    )
+
+    arr = np.array(data, dtype=np.float64)
+    # simulate n_chunks "partitions" then one merge re-compaction
+    parts = np.array_split(arr, n_chunks)
+    vs, ws = [], []
+    for pdata in parts:
+        sk = _PartitionSketch(buf_cap=512, summary_cap=256)
+        sk.update(pdata)
+        sv, sw = sk.summary()
+        vs.append(sv)
+        ws.append(sw)
+    v = np.concatenate(vs)
+    w = np.concatenate(ws)
+    v, w = _weighted_resample(v, w, 256)
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    cum = np.cumsum(w)
+    srt = np.sort(arr)
+    n = len(arr)
+    for q in (0.1, 0.5, 0.9):
+        est = v[min(np.searchsorted(cum, q * cum[-1], side="left"), len(v) - 1)]
+        # with ties the estimate's rank is an INTERVAL [lo, hi]; the
+        # guarantee is that the interval comes within eps of q*n
+        lo = np.searchsorted(srt, est, side="left")
+        hi = np.searchsorted(srt, est, side="right")
+        eps = max(0.05 * n, 3)
+        assert lo - eps <= q * n <= hi + eps
