@@ -816,3 +816,99 @@ def q9s_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
+
+
+# --------------------------------------------------------------------------
+# q9t — INCREMENTAL SKETCH MAINTENANCE: the streaming twin of q1q's
+# mergeable quantile sketch. Each of the four micro-batches builds
+# its own partition sketches (operators/quantile_sketch) and appends
+# the tree-merged ≤1024 (v, w) rows to a durable state dir via
+# foreachBatch — the state grows by one bounded summary per batch,
+# never by data volume, which is exactly how a 100 TB/day stream
+# keeps live percentiles. The final answer re-merges the per-batch
+# summaries (sketch union IS re-compaction — associativity is the
+# point of the operator) and probes three quantiles; the envelope
+# asserts the tie-aware observed rank error ≤ 2%·N against the exact
+# batch order statistics, which the oracle recomputes. Deterministic:
+# fixed 4-file spool + deterministic compaction phase.
+# --------------------------------------------------------------------------
+
+_SKETCH_STATE_ROOT = "/tmp/spark_graft_stream_sketch"
+
+
+@query(
+    "q9t_streaming_quantile_sketch",
+    oracle="""
+    WITH e AS (SELECT value AS x FROM events)
+    SELECT q, ROUND(ex, 6) AS exact_pctl, TRUE AS rank_err_ok
+    FROM (
+      SELECT CAST(0.25 AS DOUBLE) AS q, QUANTILE_CONT(x, 0.25) AS ex FROM e
+      UNION ALL SELECT 0.5, QUANTILE_CONT(x, 0.5) FROM e
+      UNION ALL SELECT 0.75, QUANTILE_CONT(x, 0.75) FROM e
+    )
+    """,
+)
+def q9t_streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.quantile_sketch import (
+        sketch_build,
+        sketch_merge,
+        sketch_quantiles,
+    )
+    from fcs_etl_reactor_spark.streaming.windows import read_events_stream
+
+    qs = [0.25, 0.5, 0.75]
+    src = _x4_stream_dir(spark, sf_dir)
+    dest = os.path.join(
+        _SKETCH_STATE_ROOT, f"{src.rsplit('/', 1)[-1]}_pid{os.getpid()}"
+    )
+    state_dir = os.path.join(dest, "state")
+    checkpoint = os.path.join(dest, "ckpt")
+    shutil.rmtree(dest, ignore_errors=True)
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=1).select(
+        F.col("value").cast("double").alias("x")
+    )
+
+    def _maintain(batch_df, batch_id):
+        # bounded per-batch summary appended to durable sketch state
+        sketch_merge(sketch_build(batch_df, "x")).write.mode("append").parquet(
+            state_dir
+        )
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(_maintain)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    merged = sketch_merge(spark.read.parquet(state_dir))
+    est = sketch_quantiles(merged, qs)
+
+    e = load(spark, sf_dir, "events").select(F.col("value").cast("double").alias("x"))
+    exact = e.agg(
+        F.percentile("x", F.array(*[F.lit(v) for v in qs])).alias("ex"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    ).select(F.posexplode("ex").alias("pos", "exact_raw"), "n").select(
+        F.element_at(F.array(*[F.lit(v) for v in qs]), F.col("pos") + 1).alias("q"),
+        "exact_raw",
+        "n",
+    )
+    ranks = (
+        e.crossJoin(F.broadcast(est))
+        .groupBy("q", "est")
+        .agg(
+            F.sum(F.when(F.col("x") < F.col("est"), 1).otherwise(0)).alias("rk_lo"),
+            F.sum(F.when(F.col("x") <= F.col("est"), 1).otherwise(0)).alias("rk_hi"),
+        )
+    )
+    return exact.join(F.broadcast(ranks), "q").select(
+        "q",
+        F.round("exact_raw", 6).alias("exact_pctl"),
+        (
+            (F.col("rk_lo") - F.lit(0.02) * F.col("n") <= F.col("q") * F.col("n"))
+            & (F.col("q") * F.col("n") <= F.col("rk_hi") + F.lit(0.02) * F.col("n"))
+        ).alias("rank_err_ok"),
+    )
