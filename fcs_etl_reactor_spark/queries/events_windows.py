@@ -3485,3 +3485,96 @@ def q1s_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q3u — rolling distinct via HLL PARTIAL MERGES: the sketch scale
+# path for q3o's exact rolling WAU. Exact rolling distincts shuffle
+# every (user, day)×7 contribution; the sketch path aggregates ONE
+# ~4 KB HLL sketch per day (map-side combinable) and answers every
+# 7-day window by merging seven sketch rows — at 100 TB that is the
+# difference between reshuffling the user corpus daily and moving a
+# few KB per day. The day-grid theta join runs over |days| rows
+# (calendar-bounded, broadcast). Register max-merge makes the
+# estimate deterministic and partition-invariant. Envelope: the exact
+# DAU/WAU (oracle-recomputable, q3o's arithmetic) plus the sketch
+# estimate landing within 5%·WAU (lgConfigK=12 → rsd ≈ 1.6%).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q3u_rolling_hll",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    cal AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM ud),
+    contrib AS (
+      SELECT ud.user_id, ud.d + CAST(o.o AS INTEGER) AS target
+      FROM ud CROSS JOIN (SELECT UNNEST(RANGE(0, 7)) AS o) o, cal
+      WHERE ud.d + CAST(o.o AS INTEGER) <= cal.hi
+    ),
+    wau AS (
+      SELECT target AS d, COUNT(DISTINCT user_id) AS wau
+      FROM contrib GROUP BY target
+    ),
+    dau AS (
+      SELECT d, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY d
+    )
+    SELECT dau.d AS day, CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           TRUE AS hll_ok
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+)
+def q3u_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    cal = ud.agg(F.max("d").alias("hi"))
+    contrib = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+            "d",
+        )
+        .select("user_id", F.date_add("d", F.col("o")).alias("target"))
+        .crossJoin(F.broadcast(cal))
+        .filter(F.col("target") <= F.col("hi"))
+    )
+    wau = contrib.groupBy(F.col("target").alias("day")).agg(
+        F.count_distinct("user_id").cast("bigint").alias("wau")
+    )
+    dau = ud.groupBy(F.col("d").alias("day")).agg(
+        F.count_distinct("user_id").cast("bigint").alias("dau")
+    )
+    # sketch arm: one HLL per day, 7-day windows answered by merging
+    # seven sketch rows over the calendar-bounded day grid
+    daily_sk = ud.groupBy("d").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    a, b = daily_sk.alias("a"), daily_sk.alias("b")
+    rolled = (
+        a.select(F.col("a.d").alias("day"))
+        .join(
+            F.broadcast(b),
+            (F.col("b.d") <= F.col("day"))
+            & (F.col("b.d") >= F.date_sub(F.col("day"), 6)),
+        )
+        .groupBy("day")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+        )
+    )
+    return (
+        dau.join(wau, "day")
+        .join(rolled, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            (
+                F.abs(F.col("est") - F.col("wau"))
+                <= F.lit(0.05) * F.col("wau")
+            ).alias("hll_ok"),
+        )
+    )

@@ -964,3 +964,48 @@ def q2o_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q2p — join-strategy hints: the plan-control surface every tuned
+# workload uses when the optimizer's size estimates are wrong at
+# 100 TB (a "small" side that isn't, a broadcast that OOMs). The
+# query forces the customer⋈orders join through SHUFFLE_MERGE and the
+# nation attach through SHUFFLE_HASH — overriding the broadcast both
+# would otherwise get — and the result must equal the plain-SQL
+# oracle (hints steer the physical strategy, never the semantics).
+# tests/test_plans.py asserts the hinted nodes actually materialize
+# (SortMergeJoin / ShuffledHashJoin in place of BroadcastHashJoin).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q2p_join_hints",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q2p_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").hint("SHUFFLE_MERGE")
+    n = load(spark, sf_dir, "nation").hint("SHUFFLE_HASH")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+    )

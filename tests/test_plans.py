@@ -324,3 +324,23 @@ def test_zone_map_prunes_files(spark):
     spans = sorted((r["lo"], r["hi"]) for r in stats)
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, (hi1, lo2)
+
+
+def test_join_hints_override_broadcast(spark):
+    """q2p's hints must actually steer the physical strategy: both
+    dims are far below the broadcast threshold, so without hints both
+    joins would be BroadcastHashJoin — the hinted plan must show a
+    SortMergeJoin (SHUFFLE_MERGE on customer) and a ShuffledHashJoin
+    (SHUFFLE_HASH on nation) instead."""
+    plan = explain_str(spark, "q2p_join_hints")
+    assert "SortMergeJoin" in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+
+
+def test_lateral_join_decorrelates_to_window(spark):
+    """q2n's LATERAL + LIMIT must decorrelate into one windowed join,
+    not a per-outer-row nested loop: the plan carries a Window node
+    and no CartesianProduct."""
+    plan = explain_str(spark, "q2n_lateral_join")
+    assert "Window" in plan, plan
+    assert "CartesianProduct" not in plan, plan
