@@ -3578,3 +3578,98 @@ def q3u_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hll_ok"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q3v — duration-CAPPED sessionization: a new session starts when the
+# inter-event gap exceeds 30 min (q97's rule) OR when the running
+# session would exceed a 2 h duration cap — the product-analytics
+# convention that bounds session length. The cap makes the rule
+# SEQUENTIALLY dependent (event i's session depends on the current
+# session's start, which depends on every earlier decision), so no
+# fixed window stack can express it: q97/q9o stay pure-window because
+# they are gap-only. Spark side: applyInPandas per user — the session
+# walk is a per-user O(n) scan, user_id is a wide key, and group
+# state is one (start, prev) pair; output key type derives from the
+# input schema (the q4p lesson). Oracle: a recursive CTE walks rn →
+# rn+1 carrying sess_start (depth = max events/user ≈ 100 at every
+# fixture SF). All arithmetic integer micros; spans reported via
+# integer DIV on both sides (q1s lesson).
+# --------------------------------------------------------------------------
+
+_SESS_GAP_US = 1_800_000_000
+_SESS_CAP_US = 7_200_000_000
+
+
+@query(
+    "q3v_capped_sessions",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT user_id, CAST(EPOCH_US(ts) AS BIGINT) AS t,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    walk(user_id, rn, t, sess_start) AS (
+      SELECT user_id, rn, t, t FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.user_id, b.rn, b.t,
+             CASE WHEN b.t - w.t > {_SESS_GAP_US}
+                    OR b.t - w.sess_start > {_SESS_CAP_US}
+                  THEN b.t ELSE w.sess_start END
+      FROM walk w JOIN base b
+        ON b.user_id = w.user_id AND b.rn = w.rn + 1
+    ),
+    sess AS (
+      SELECT user_id, sess_start,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(MAX(t) - sess_start AS BIGINT) AS span_us
+      FROM walk GROUP BY user_id, sess_start
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+           CAST(MAX(span_us) // 1000000 AS BIGINT) AS max_session_span_seconds
+    FROM sess GROUP BY user_id
+    """,
+)
+def q3v_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").cast("bigint").alias("t"),
+        "event_id",
+    )
+    key_type = e.schema["user_id"].dataType.simpleString()
+    out_schema = (
+        f"user_id {key_type}, n_sessions bigint, "
+        "max_session_events bigint, max_session_span_seconds bigint"
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["t", "event_id"])
+        ts = pdf["t"].to_numpy()
+        starts = []  # (start, n_events, span_us) per closed session
+        s0 = prev = None
+        n = 0
+        for t in ts:
+            if s0 is None or t - prev > _SESS_GAP_US or t - s0 > _SESS_CAP_US:
+                if s0 is not None:
+                    starts.append((s0, n, prev - s0))
+                s0, n = t, 0
+            n += 1
+            prev = t
+        starts.append((s0, n, prev - s0))
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_sessions": [len(starts)],
+                "max_session_events": [max(s[1] for s in starts)],
+                "max_session_span_seconds": [
+                    max(s[2] for s in starts) // 1000000
+                ],
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(walk, out_schema)

@@ -50,7 +50,7 @@ TS_QUERIES = [
     "q3n_interarrival", "q3o_rolling_wau", "q3q_dow_anomalies", "q7z_westgard_rules",
     # round-6 session additions (timestamp-touching):
     "q3r_funnel_conversion", "q3s_bh_fdr", "q3t_isotonic",
-    "q1s_interval_union", "q3u_rolling_hll",
+    "q1s_interval_union", "q3u_rolling_hll", "q3v_capped_sessions",
 ]
 
 
