@@ -1009,3 +1009,50 @@ def q2p_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("price_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q2q — null-aware NOT IN anti-join: the SQL semantic q13's NOT
+# EXISTS does NOT share. `k NOT IN (subquery)` is three-valued: one
+# NULL in the subquery makes every membership test UNKNOWN, so the
+# result is EMPTY — the classic migration trap, and a dedicated
+# physical join flavor in Spark (null-aware anti join). The query
+# runs both arms — the clean subquery (plain anti-join count) and the
+# NULL-polluted subquery (must count 0) — so the hash pins the exact
+# three-valued behavior in both engines.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q2q_null_aware_anti",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM customer
+       WHERE c_custkey NOT IN
+         (SELECT o_custkey FROM orders WHERE o_totalprice > 400000))
+        AS n_clean,
+      (SELECT COUNT(*) FROM customer
+       WHERE c_custkey NOT IN
+         (SELECT NULLIF(o_custkey, o_custkey) FROM orders
+          WHERE o_totalprice > 400000))
+        AS n_with_null_subquery
+    """,
+)
+def q2q_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT
+          (SELECT COUNT(*) FROM customer
+           WHERE c_custkey NOT IN
+             (SELECT o_custkey FROM orders WHERE o_totalprice > 400000))
+            AS n_clean,
+          (SELECT COUNT(*) FROM customer
+           WHERE c_custkey NOT IN
+             (SELECT NULLIF(o_custkey, o_custkey) FROM orders
+              WHERE o_totalprice > 400000))
+            AS n_with_null_subquery
+        """
+    )
