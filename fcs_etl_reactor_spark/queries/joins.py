@@ -664,3 +664,86 @@ def q1n_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "price_cents", "size")
     )
+
+
+# --------------------------------------------------------------------------
+# q1t — entity-resolution pipeline: the end-to-end composition every
+# master-data/dedup workload runs, chaining three primitives this
+# registry proves separately — (1) SymSpell deletion-neighborhood
+# BLOCKING (q1m's lossless ED≤1 candidates; posting lists alphabet-
+# bounded), (2) candidate VERIFICATION by levenshtein = 1 AND
+# Jaro-Winkler ≥ 0.97 (q1r's bit-exact scorer, Arrow-batched, paid
+# only on candidates), (3) CLUSTERING by alternating large-star/
+# small-star contraction (q5f's O(log n)-round connected components).
+# Output contract = q5b/q5f: (node, cluster_id, is_canonical) with
+# cluster_id = lexicographic component minimum. The oracle rebuilds
+# the SAME edge set from the O(n²) definition (no blocking) and
+# closes it with a recursive CTE — hash match proves the blocked +
+# contracted pipeline loses nothing. JW threshold comparisons cannot
+# diverge: both engines produce bit-identical similarity doubles.
+# Entity set: SUPPLIER names — the ED-1 digit-substitution graph over
+# a sequential id range is near-complete, so the oracle's transitive
+# closure costs O(n²) rows; at 1000 suppliers (sf0.1) that is 1M
+# closure rows, while customer's 15k names would be 225M. The Spark
+# side never pays that: blocking + star contraction are the scale
+# path regardless of entity count.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q1t_er_pipeline",
+    oracle="""
+    WITH RECURSIVE names AS (
+      SELECT DISTINCT s_name AS name FROM supplier
+    ), base AS (
+      SELECT a.name AS a, b.name AS b
+      FROM names a JOIN names b
+        ON a.name < b.name
+       AND levenshtein(a.name, b.name) = 1
+       AND jaro_winkler_similarity(a.name, b.name) >= 0.97
+    ), edges AS (
+      SELECT a, b FROM base
+      UNION
+      SELECT b, a FROM base
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS node,
+           LEAST(a, MIN(b)) AS cluster_id,
+           a <= MIN(b) AS is_canonical
+    FROM reach GROUP BY a
+    """,
+)
+def q1t_er_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.functions.strsim import jaro_winkler_udf
+    from fcs_etl_reactor_spark.operators.dedup import dedup_clusters_star
+
+    jw = jaro_winkler_udf()
+    c = (
+        load(spark, sf_dir, "supplier")
+        .select(F.col("s_name").alias("name"))
+        .distinct()
+    )
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length("name")),
+        lambda i: F.concat(
+            F.col("name").substr(F.lit(1), i - F.lit(1)),
+            F.col("name").substr(i + F.lit(1), F.length("name")),
+        ),
+    )
+    variants = F.array_distinct(F.concat(F.array(F.col("name")), dels))
+    v = c.select("name", F.explode(variants).alias("v"))
+    cand = (
+        v.alias("a")
+        .join(v.alias("b"), "v")
+        .select(F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"))
+        .filter(F.col("name_a") < F.col("name_b"))
+        .distinct()
+    )
+    verified = cand.filter(
+        (F.levenshtein("name_a", "name_b") == 1)
+        & (jw(F.col("name_a"), F.col("name_b")) >= 0.97)
+    )
+    return dedup_clusters_star(verified, "name_a", "name_b")
