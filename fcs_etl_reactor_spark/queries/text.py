@@ -1832,3 +1832,101 @@ def q6y_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("hapax_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# q1u — sparse cosine similarity JOIN via inverted index: the IR-side
+# counterpart of q91's dense-embedding cosine. Documents as sparse
+# integer TF vectors; candidate pairs come ONLY from co-occurrence in
+# a posting list (join on term), with a df ≤ 50 cap pruning
+# stop-terms — the standard index-pruning lever that bounds every
+# posting's pair fanout to C(df,2) and keeps the join linear in the
+# index size, never |docs|². All dot products and norms are exact
+# BIGINT sums of integer tf products (no transcendental weighting in
+# the join path — q81 proves the idf scalar separately), so the final
+# cosine is one correctly-rounded double expression, identical across
+# engines. Top-50 pairs by (cosine DESC, doc_a, doc_b).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q1u_sparse_cosine_join",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ), kept AS (
+      SELECT tf.doc_id, tf.term, tf.tf
+      FROM tf JOIN (
+        SELECT term FROM tf GROUP BY term HAVING COUNT(*) <= 50
+      ) rare USING (term)
+    ), norms AS (
+      SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2
+      FROM kept GROUP BY doc_id
+    ), dots AS (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+      FROM kept a JOIN kept b
+        ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           ROUND(CAST(dot AS DOUBLE)
+                 / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))),
+                 9) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = da
+    JOIN norms nb ON nb.doc_id = db
+    ORDER BY cosine DESC, doc_a, doc_b
+    LIMIT 50
+    """,
+)
+def q1u_sparse_cosine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    rare = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df")).filter(
+        F.col("_df") <= 50
+    )
+    kept = tf.join(rare.select("term"), "term")
+    norms = kept.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("n2")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        )
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).cast("bigint").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("da"), F.col("n2").alias("n2a"))
+    nb = norms.select(F.col("doc_id").alias("db"), F.col("n2").alias("n2b"))
+    return (
+        dots.join(na, "da")
+        .join(nb, "db")
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("n2a").cast("double"))
+                    * F.sqrt(F.col("n2b").cast("double"))
+                ),
+                9,
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "doc_a", "doc_b")
+        .limit(50)
+    )

@@ -119,6 +119,7 @@ PROBE_QUERIES = [  # all run on the replicated tables
     "q1s_interval_union",     # gaps-and-islands coverage (wide-key windows)
     "q3v_capped_sessions",    # per-user session walk (applyInPandas, wide key)
     "q1t_er_pipeline",        # blocking -> verify -> star contraction chain
+    "q1u_sparse_cosine_join", # inverted-index sparse cosine (df-cap fanout bound)
 ]
 
 
