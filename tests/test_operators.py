@@ -1118,3 +1118,48 @@ class TestQuantileSketch:
         # true median of 0..999 repeated: ~499.5; 2% of 20k ranks = 20
         # values of slack on a uniform grid
         assert abs(got[0.5] - 499.5) <= 25
+
+
+class TestQuantileSketchEdges:
+    def test_empty_input_yields_empty_sketch(self, spark):
+        from pyspark.sql import functions as F
+
+        from fcs_etl_reactor_spark.operators.quantile_sketch import (
+            sketch_build,
+            sketch_merge,
+            sketch_quantiles,
+        )
+
+        df = spark.createDataFrame([], "x double")
+        merged = sketch_merge(sketch_build(df, "x"))
+        assert merged.count() == 0
+        # quantile probe over an empty sketch: empty, not a crash
+        assert sketch_quantiles(merged, [0.5]).count() == 0
+
+    def test_nan_and_null_values_are_dropped(self, spark):
+        from pyspark.sql import functions as F
+
+        from fcs_etl_reactor_spark.operators.quantile_sketch import (
+            sketch_build,
+            sketch_merge,
+            sketch_quantiles,
+        )
+
+        df = spark.createDataFrame(
+            [(1.0,), (2.0,), (float("nan"),), (None,), (3.0,)], "x double"
+        )
+        merged = sketch_merge(sketch_build(df, "x"))
+        got = {r["q"]: r["est"] for r in sketch_quantiles(merged, [0.5]).collect()}
+        assert got[0.5] == 2.0
+
+    def test_single_value_all_quantiles(self, spark):
+        from fcs_etl_reactor_spark.operators.quantile_sketch import (
+            sketch_build,
+            sketch_merge,
+            sketch_quantiles,
+        )
+
+        df = spark.createDataFrame([(7.5,)] * 100, "x double")
+        merged = sketch_merge(sketch_build(df, "x"))
+        rows = sketch_quantiles(merged, [0.01, 0.5, 0.99]).collect()
+        assert {r["est"] for r in rows} == {7.5}
