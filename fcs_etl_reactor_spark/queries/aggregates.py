@@ -781,3 +781,109 @@ def q1o_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_rows"),
         F.round(rho, 9).alias("spearman_rho"),
     )
+
+
+# --------------------------------------------------------------------------
+# q1v — hierarchical share-of-parent (ratio-to-report over ROLLUP):
+# the contribution analysis every revenue dashboard renders — each
+# nation's share of its region, each region's share of the grand
+# total, from ONE rollup pass. The raw-data pass is a single
+# combine-friendly groupBy to (region, nation) cents; ROLLUP then
+# runs over the ≤(|regions|·|nations|) summary, and parent attachment
+# is two broadcast joins on the tiny level tables (grand total = one
+# 1-row broadcast combine). Shares are single divisions of exact
+# BIGINT cents, rounded 9 dp.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q1v_share_of_parent",
+    oracle="""
+    WITH base AS (
+      SELECT r.r_name, n.n_name,
+             CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name
+    ),
+    ru AS (
+      SELECT r_name, n_name, CAST(SUM(cents) AS BIGINT) AS cents,
+             CAST(GROUPING(r_name) AS INTEGER) AS g_r,
+             CAST(GROUPING(n_name) AS INTEGER) AS g_n
+      FROM base GROUP BY ROLLUP (r_name, n_name)
+    ),
+    lvl0 AS (SELECT cents AS total FROM ru WHERE g_r = 1 AND g_n = 1),
+    lvl1 AS (SELECT r_name, cents AS rcents FROM ru WHERE g_r = 0 AND g_n = 1)
+    SELECT 2 AS level, ru.r_name, ru.n_name, ru.cents,
+           ROUND(CAST(ru.cents AS DOUBLE) / CAST(l1.rcents AS DOUBLE), 9)
+             AS share_of_parent
+    FROM ru JOIN lvl1 l1 ON ru.r_name = l1.r_name
+    WHERE ru.g_r = 0 AND ru.g_n = 0
+    UNION ALL
+    SELECT 1, l1.r_name, 'ALL', l1.rcents,
+           ROUND(CAST(l1.rcents AS DOUBLE) / CAST(l0.total AS DOUBLE), 9)
+    FROM lvl1 l1, lvl0 l0
+    UNION ALL
+    SELECT 0, 'ALL', 'ALL', total, 1.0 FROM lvl0
+    """,
+)
+def q1v_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    base = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    ru = base.rollup("r_name", "n_name").agg(
+        F.sum("cents").cast("bigint").alias("cents"),
+        F.grouping("r_name").cast("int").alias("g_r"),
+        F.grouping("n_name").cast("int").alias("g_n"),
+    )
+    lvl0 = ru.filter((F.col("g_r") == 1) & (F.col("g_n") == 1)).select(
+        F.col("cents").alias("total")
+    )
+    lvl1 = ru.filter((F.col("g_r") == 0) & (F.col("g_n") == 1)).select(
+        "r_name", F.col("cents").alias("rcents")
+    )
+    lvl2 = (
+        ru.filter((F.col("g_r") == 0) & (F.col("g_n") == 0))
+        .join(F.broadcast(lvl1), "r_name")
+        .select(
+            F.lit(2).alias("level"),
+            "r_name",
+            "n_name",
+            "cents",
+            F.round(
+                F.col("cents").cast("double") / F.col("rcents").cast("double"), 9
+            ).alias("share_of_parent"),
+        )
+    )
+    l1out = lvl1.crossJoin(F.broadcast(lvl0)).select(
+        F.lit(1).alias("level"),
+        "r_name",
+        F.lit("ALL").alias("n_name"),
+        F.col("rcents").alias("cents"),
+        F.round(
+            F.col("rcents").cast("double") / F.col("total").cast("double"), 9
+        ).alias("share_of_parent"),
+    )
+    l0out = lvl0.select(
+        F.lit(0).alias("level"),
+        F.lit("ALL").alias("r_name"),
+        F.lit("ALL").alias("n_name"),
+        F.col("total").alias("cents"),
+        F.lit(1.0).alias("share_of_parent"),
+    )
+    return lvl2.unionAll(l1out).unionAll(l0out)

@@ -102,6 +102,7 @@ ALLOW_CARTESIAN = {
     "q3s_bh_fdr",               # 1-row corpus-moments broadcast cross over 35 groups
     "q9t_streaming_quantile_sketch",  # 3-row estimate envelope crosses (q1q shape)
     "q3u_rolling_hll",          # calendar-bounded day-grid sketch-merge theta join
+    "q1v_share_of_parent",      # 1-row grand-total broadcast cross over 5 region rows
     "q4z_theil_sen",            # broadcast day-pair theta join (calendar-bounded)
     "q7x_psi_drift",            # 1-row time-bounds + margins broadcast crosses
     "q6p_gain_chart",           # 1-row n/total-responders broadcast crosses
