@@ -687,7 +687,57 @@ def q1n_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # closure rows, while customer's 15k names would be 225M. The Spark
 # side never pays that: blocking + star contraction are the scale
 # path regardless of entity count.
+#
+# Variant-frequency cap (mirrors q1u's df≤50 posting cap): a deletion
+# variant v can be generated by at most 1 + (len(v)+1)·|Σ| distinct
+# names (v itself plus one insertion of any alphabet char at any
+# position), so posting lists are alphabet-bounded — measured max df
+# on the fixtures is 10/19/28 (supplier, sf0.001/0.01/0.1), an order
+# of magnitude under the cap. Variants shared by more than
+# ER_VARIANT_DF_CAP names are excluded from the candidate join, which
+# makes the worst case explicit: per-variant fanout is ≤ C(256,2) ≈
+# 32.6k pairs on ANY corpus, long-string/adversarial included, instead
+# of C(df,2) unbounded. Recall semantics: an ED≤1 pair is lost only if
+# EVERY variant it shares is hot; on alphabet-bounded id corpora the
+# cap never binds, so the unblocked O(n²) oracle still hash-matches
+# (differ-proven at all three SFs; property-tested in
+# tests/test_properties.py::test_er_variant_cap_*).
 # --------------------------------------------------------------------------
+
+#: Max names allowed to share one deletion variant before the variant
+#: is dropped from blocking. Provable df bound for ED≤1 deletion
+#: neighborhoods is 1 + (len+1)·|Σ|; fixture corpora measure ≤38.
+ER_VARIANT_DF_CAP = 256
+
+
+def ed1_blocked_candidates(c: DataFrame, cap: int = ER_VARIANT_DF_CAP) -> DataFrame:
+    """SymSpell ED≤1 candidate pairs over a `name`-column DataFrame,
+    with hot variants (df > cap) excluded from the blocking join so
+    per-variant fanout is ≤ C(cap, 2) on any corpus."""
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length("name")),
+        lambda i: F.concat(
+            F.col("name").substr(F.lit(1), i - F.lit(1)),
+            F.col("name").substr(i + F.lit(1), F.length("name")),
+        ),
+    )
+    variants = F.array_distinct(F.concat(F.array(F.col("name")), dels))
+    v = c.select("name", F.explode(variants).alias("v"))
+    cold = (
+        v.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= cap)
+        .select("v")
+    )
+    v = v.join(cold, "v")
+    return (
+        v.alias("a")
+        .join(v.alias("b"), "v")
+        .select(F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"))
+        .filter(F.col("name_a") < F.col("name_b"))
+        .distinct()
+    )
+
 
 
 @query(
@@ -726,22 +776,7 @@ def q1t_er_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_name").alias("name"))
         .distinct()
     )
-    dels = F.transform(
-        F.sequence(F.lit(1), F.length("name")),
-        lambda i: F.concat(
-            F.col("name").substr(F.lit(1), i - F.lit(1)),
-            F.col("name").substr(i + F.lit(1), F.length("name")),
-        ),
-    )
-    variants = F.array_distinct(F.concat(F.array(F.col("name")), dels))
-    v = c.select("name", F.explode(variants).alias("v"))
-    cand = (
-        v.alias("a")
-        .join(v.alias("b"), "v")
-        .select(F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"))
-        .filter(F.col("name_a") < F.col("name_b"))
-        .distinct()
-    )
+    cand = ed1_blocked_candidates(c)
     verified = cand.filter(
         (F.levenshtein("name_a", "name_b") == 1)
         & (jw(F.col("name_a"), F.col("name_b")) >= 0.97)

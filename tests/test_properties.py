@@ -732,7 +732,7 @@ def test_jaro_winkler_metric_properties(a, b):
     s = jaro_winkler(a, b)
     assert 0.0 <= s <= 1.0
     assert jaro_winkler(b, a) == s  # symmetric
-    assert jaro_winkler(a, a) == (1.0 if True else None)
+    assert jaro_winkler(a, a) == 1.0
 
 
 @given(
@@ -776,3 +776,85 @@ def test_quantile_sketch_rank_error_any_chunking(data, n_chunks):
         hi = np.searchsorted(srt, est, side="right")
         eps = max(0.05 * n, 3)
         assert lo - eps <= q * n <= hi + eps
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@SETTINGS
+@given(
+    names=st.lists(
+        st.text(alphabet="ab1", min_size=1, max_size=6),
+        min_size=2, max_size=12, unique=True,
+    )
+)
+def test_er_variant_cap_lossless_when_unbound(spark, names):
+    """q1t's blocked candidate generation (the exact code path, via
+    ed1_blocked_candidates) finds EVERY levenshtein==1 pair whenever
+    the variant-df cap does not bind (cap >= n makes binding
+    impossible): SymSpell deletion-neighborhood completeness at d<=1
+    survives the hot-variant exclusion."""
+    from itertools import combinations
+
+    from fcs_etl_reactor_spark.queries.joins import ed1_blocked_candidates
+
+    c = spark.createDataFrame([(n,) for n in names], "name STRING")
+    got = {
+        (r.name_a, r.name_b)
+        for r in ed1_blocked_candidates(c, cap=len(names)).collect()
+    }
+    want = {
+        tuple(sorted(p)) for p in combinations(names, 2) if _lev(*p) == 1
+    }
+    assert want <= got
+
+
+def test_er_variant_cap_excludes_hot_variants(spark):
+    """The cap's explicit worst-case trade: names ax/bx/cx/dx all meet
+    ONLY through the shared deletion variant 'x' (df=4). cap=3 drops
+    that bucket -> zero candidates (fanout bounded); cap=4 keeps it ->
+    all 6 ED=1 pairs found."""
+    from fcs_etl_reactor_spark.queries.joins import ed1_blocked_candidates
+
+    c = spark.createDataFrame(
+        [("ax",), ("bx",), ("cx",), ("dx",)], "name STRING"
+    )
+    assert ed1_blocked_candidates(c, cap=3).count() == 0
+    assert ed1_blocked_candidates(c, cap=4).count() == 6
+
+
+def test_er_variant_cap_fixture_headroom():
+    """ER_VARIANT_DF_CAP never binds on the fixture corpora: measured
+    max variant-df is 10/19/28 (supplier sf0.001/0.01/0.1) vs cap 256.
+    Assert >=4x headroom at sf0.001 so a fixture regen that quietly
+    densifies the name space fails here before it breaks q1t's
+    unblocked-oracle hash match."""
+    import duckdb
+
+    from fcs_etl_reactor_spark.queries.joins import ER_VARIANT_DF_CAP
+
+    (max_df,) = duckdb.connect().execute(
+        """
+        WITH n AS (
+          SELECT DISTINCT s_name AS name
+          FROM read_parquet('/root/testdata/sf0.001/supplier.parquet')
+        ), v AS (
+          SELECT name, name AS v FROM n
+          UNION ALL
+          SELECT name, substr(name, 1, i - 1) || substr(name, i + 1)
+          FROM n, UNNEST(range(1, length(name) + 1)) AS t(i)
+        )
+        SELECT MAX(df) FROM (
+          SELECT v, COUNT(*) AS df FROM (SELECT DISTINCT name, v FROM v)
+          GROUP BY v
+        )
+        """
+    ).fetchone()
+    assert max_df * 4 <= ER_VARIANT_DF_CAP
