@@ -10,7 +10,8 @@ work, made DETERMINISTIC so runs are bit-reproducible):
 - build (one pass per partition, O(B) memory): raw values accumulate
   in a buffer; at capacity the buffer is sorted and systematically
   sampled — every m-th order statistic, phase m/2, each kept item
-  standing for m dropped neighbours (weight m). Sampled items land in
+  standing for m dropped neighbours (weight m; the last item absorbs
+  the division remainder so Σw == n exactly). Sampled items land in
   a weighted summary; when THAT overflows it is re-compacted by
   weighted systematic resampling at coarser spacing. Each compaction
   of total weight W into t items moves any rank estimate by at most
@@ -41,10 +42,26 @@ from pyspark.sql import functions as F
 
 _SKETCH_SCHEMA = "gid int, v double, w double"
 
+#: Default merged-summary capacity. sketch_merge emits at most
+#: SUMMARY_CAP_DEFAULT // 2 rows; consumers that assert on sketch
+#: size (q1q's size_ok envelope) must derive their bound from this
+#: constant, never hardcode it.
+SUMMARY_CAP_DEFAULT = 2048
 
-def _systematic_sample(vals: np.ndarray, m: int) -> np.ndarray:
-    """Every m-th order statistic of sorted `vals`, phase m//2."""
-    return vals[m // 2 :: m]
+
+def _systematic_sample(vals: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray]:
+    """Every m-th order statistic of sorted `vals`, phase m//2, with
+    weights that sum EXACTLY to len(vals): each kept item weighs m
+    except the last, which absorbs the remainder (≤ 2m−1) so the
+    summary's total weight never drifts from the true count — the
+    'weights add rank-exactly' invariant holds strictly, not just to
+    within m−1 per flush. The tail item's rank error is still O(m)."""
+    kept = vals[m // 2 :: m]
+    if not len(kept):  # m//2 >= len: keep the last value, full weight
+        return vals[-1:], np.array([float(len(vals))])
+    w = np.full(len(kept), float(m))
+    w[-1] = float(len(vals) - m * (len(kept) - 1))
+    return kept, w
 
 
 def _weighted_resample(
@@ -69,7 +86,7 @@ def _weighted_resample(
 class _PartitionSketch:
     """One pass, O(buf_cap + summary_cap) memory, deterministic."""
 
-    def __init__(self, buf_cap: int = 8192, summary_cap: int = 2048):
+    def __init__(self, buf_cap: int = 8192, summary_cap: int = SUMMARY_CAP_DEFAULT):
         self.buf_cap = buf_cap
         self.summary_cap = summary_cap
         self.raw: list[np.ndarray] = []
@@ -82,9 +99,9 @@ class _PartitionSketch:
             return
         vals = np.sort(np.concatenate(self.raw), kind="stable")
         m = max(1, int(np.ceil(len(vals) / (self.summary_cap / 2))))
-        kept = _systematic_sample(vals, m)
+        kept, kw = _systematic_sample(vals, m)
         self.sv = np.concatenate([self.sv, kept])
-        self.sw = np.concatenate([self.sw, np.full(len(kept), float(m))])
+        self.sw = np.concatenate([self.sw, kw])
         self.raw, self.n_raw = [], 0
         if len(self.sv) > self.summary_cap:
             self.sv, self.sw = _weighted_resample(
@@ -125,7 +142,7 @@ def sketch_build(df: DataFrame, value_col: str, fanout: int = 16) -> DataFrame:
     )
 
 
-def sketch_merge(sketch: DataFrame, summary_cap: int = 2048) -> DataFrame:
+def sketch_merge(sketch: DataFrame, summary_cap: int = SUMMARY_CAP_DEFAULT) -> DataFrame:
     """Two-stage tree merge → ONE (gid=0, v, w) summary of ≤
     summary_cap rows. Stage 1 re-compacts each gid group; stage 2
     re-compacts the ≤ fanout·cap/2 survivors."""

@@ -584,6 +584,7 @@ _QS_SKETCH = [0.1, 0.25, 0.5, 0.75, 0.9]
 )
 def q1q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fcs_etl_reactor_spark.operators.quantile_sketch import (
+        SUMMARY_CAP_DEFAULT,
         sketch_build,
         sketch_merge,
         sketch_quantiles,
@@ -633,6 +634,8 @@ def q1q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("q") * F.col("n")
                    <= F.col("rk_hi") + F.lit(0.02) * F.col("n"))
             ).alias("rank_err_ok"),
-            (F.col("sketch_rows") <= F.lit(1024)).alias("size_ok"),
+            (F.col("sketch_rows") <= F.lit(SUMMARY_CAP_DEFAULT // 2)).alias(
+                "size_ok"
+            ),
         )
     )

@@ -3648,19 +3648,31 @@ def q3v_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         pdf = pdf.sort_values(["t", "event_id"])
         ts = pdf["t"].to_numpy()
+        # NumPy scan instead of a per-event Python loop: gap breaks
+        # are one vectorized diff; inside each gap segment the cap
+        # rule is sequential ONLY at session granularity — each next
+        # session start is the first event with t > start + CAP,
+        # found by searchsorted on the sorted array. Python-level
+        # iterations = #sessions, not #events (a session spans >= CAP
+        # microseconds unless a gap break ends the segment first), so
+        # a 10k-event user with 100 sessions costs 100 iterations.
+        gap_breaks = np.flatnonzero(np.diff(ts) > _SESS_GAP_US) + 1
+        seg_bounds = np.concatenate(([0], gap_breaks, [len(ts)]))
         starts = []  # (start, n_events, span_us) per closed session
-        s0 = prev = None
-        n = 0
-        for t in ts:
-            if s0 is None or t - prev > _SESS_GAP_US or t - s0 > _SESS_CAP_US:
-                if s0 is not None:
-                    starts.append((s0, n, prev - s0))
-                s0, n = t, 0
-            n += 1
-            prev = t
-        starts.append((s0, n, prev - s0))
+        for a, b in zip(seg_bounds[:-1], seg_bounds[1:]):
+            i = int(a)
+            while i < b:
+                s0 = ts[i]
+                j = min(
+                    int(np.searchsorted(ts, s0 + _SESS_CAP_US, side="right")),
+                    int(b),
+                )
+                starts.append((s0, j - i, ts[j - 1] - s0))
+                i = j
         return pd.DataFrame(
             {
                 "user_id": [pdf["user_id"].iloc[0]],

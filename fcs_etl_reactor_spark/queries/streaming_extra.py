@@ -884,7 +884,16 @@ def q9t_streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.awaitTermination()
 
-    merged = sketch_merge(spark.read.parquet(state_dir))
+    if not os.path.isdir(state_dir):
+        # zero micro-batches => foreachBatch never ran and no state
+        # dir exists; return the empty envelope instead of crashing
+        # on path-not-found (the empty-stream edge).
+        empty = spark.createDataFrame(
+            [], "gid int, v double, w double"
+        )
+        merged = empty
+    else:
+        merged = sketch_merge(spark.read.parquet(state_dir))
     est = sketch_quantiles(merged, qs)
 
     e = load(spark, sf_dir, "events").select(F.col("value").cast("double").alias("x"))

@@ -1163,3 +1163,28 @@ class TestQuantileSketchEdges:
         merged = sketch_merge(sketch_build(df, "x"))
         rows = sketch_quantiles(merged, [0.01, 0.5, 0.99]).collect()
         assert {r["est"] for r in rows} == {7.5}
+
+
+class TestQuantileSketchExactWeight:
+    def test_flush_weight_sums_exactly_to_count(self):
+        """Σw == n after every flush, for counts that do and don't
+        divide the sampling stride (the remainder lands on the last
+        kept item instead of drifting by up to m-1 per flush)."""
+        import numpy as np
+
+        from fcs_etl_reactor_spark.operators.quantile_sketch import (
+            _PartitionSketch,
+            _systematic_sample,
+        )
+
+        rng = np.random.RandomState(11)
+        for n in (4096, 4097, 5000, 8191, 12345):
+            sk = _PartitionSketch(buf_cap=2048, summary_cap=512)
+            sk.update(rng.normal(size=n))
+            sv, sw = sk.summary()
+            assert abs(sw.sum() - n) < 1e-6, (n, sw.sum())
+        for n in (1, 2, 7, 100, 101):
+            for m in (1, 2, 3, 7, 64):
+                _, w = _systematic_sample(np.arange(float(n)), m)
+                assert w.sum() == n, (n, m, w.sum())
+                assert (w >= 1).all()
