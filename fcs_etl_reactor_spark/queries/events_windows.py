@@ -981,10 +981,13 @@ def q9i_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q3f — RFM segmentation: per-user Recency (last event), Frequency
 # (event count), Monetary (exact value sum) → quartile codes → one
 # segment label per user. The classic engagement-analytics composite:
-# one groupBy pass for the three metrics, three NTILE windows over the
-# user-level table (dimension-sized, not event-sized), deterministic
-# tie-breaks on user_id. Recency is emitted as unix_micros so the
-# output carries no timestamp column (OS-tz-proof).
+# one groupBy pass for the three metrics, then NTILE(4) computed the
+# DISTRIBUTED way — the user-level table is data-sized (one row per
+# user), so instead of global NTILE windows (single reducer ×3) each
+# quartile comes from ordering.global_rank + NTILE's closed form over
+# (rank, n). Deterministic tie-breaks on user_id. Recency is emitted
+# as unix_micros so the output carries no timestamp column
+# (OS-tz-proof).
 # --------------------------------------------------------------------------
 
 
@@ -1014,23 +1017,53 @@ def q9i_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q3f_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The user-level table is DATA-sized (one row per user — billions
+    # at 100 TB), so a global NTILE window would funnel every user
+    # through one reducer, three times. Scale path: exact distributed
+    # rank via ordering.global_rank (bucket-keyed two-pass, no single
+    # reducer), then NTILE(4)'s closed form from (rank, n): with
+    # q = n//4, r = n%4, the first r buckets hold q+1 rows —
+    #   bucket(rk) = (rk-1)//(q+1) + 1           if rk <= r*(q+1)
+    #              = r + (rk - r*(q+1) - 1)//q + 1 otherwise.
+    # n attaches as a 1-row broadcast cross. Bit-identical to the
+    # oracle's NTILE by construction (exact integer arithmetic).
+    from fcs_etl_reactor_spark.operators.ordering import global_rank
+
     e = load(spark, sf_dir, "events")
     base = e.groupBy("user_id").agg(
         F.max(F.unix_micros("ts")).alias("last_us"),
         F.count(F.lit(1)).alias("freq"),
         dsum("value", "monetary"),
     )
-    r_q = F.ntile(4).over(Window.orderBy(F.col("last_us").desc(), "user_id"))
-    f_q = F.ntile(4).over(Window.orderBy(F.col("freq").desc(), "user_id"))
-    m_q = F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), "user_id"))
-    return base.select(
+    ranked = global_rank(base, [("last_us", "desc"), "user_id"], rank_col="_rk_r")
+    ranked = global_rank(ranked, [("freq", "desc"), "user_id"], rank_col="_rk_f")
+    ranked = global_rank(ranked, [("monetary", "desc"), "user_id"], rank_col="_rk_m")
+    n1 = base.agg(F.count(F.lit(1)).alias("_n"))
+    scored = ranked.crossJoin(F.broadcast(n1))
+
+    def ntile4(rk: F.Column) -> F.Column:
+        n = F.col("_n")
+        q = F.floor(n / 4).cast("bigint")
+        r = n % 4
+        head = r * (q + 1)
+        # q==0 makes the otherwise-branch unreachable (head == n);
+        # greatest(q,1) keeps its divisor nonzero under ANSI eval
+        return (
+            F.when(rk <= head, F.floor((rk - 1) / (q + 1)) + 1)
+            .otherwise(
+                r + F.floor((rk - head - 1) / F.greatest(q, F.lit(1))) + 1
+            )
+            .cast("int")
+        )
+
+    return scored.select(
         "user_id",
         "last_us",
         "freq",
         "monetary",
-        r_q.alias("r_q"),
-        f_q.alias("f_q"),
-        m_q.alias("m_q"),
+        ntile4(F.col("_rk_r")).alias("r_q"),
+        ntile4(F.col("_rk_f")).alias("f_q"),
+        ntile4(F.col("_rk_m")).alias("m_q"),
     ).select(
         "*",
         (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")).alias("rfm_code"),

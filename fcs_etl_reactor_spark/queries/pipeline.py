@@ -456,16 +456,22 @@ def q6j_domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c_s = F.sum("c_st").over(Window.partitionBy("source"))
     c_t = F.sum("c_st").over(Window.partitionBy("term"))
-    c = F.sum("c_st").over(Window.partitionBy())
+    # corpus total as a 1-row broadcast cross, NOT a global window —
+    # an empty-partition window over the (source, term) table would
+    # funnel the whole vocabulary through one task
+    tot = st.agg(F.sum("c_st").alias("c"))
     p = F.col("c_st").cast("double") / F.col("c_s")
     q = F.col("c_t").cast("double") / F.col("c")
-    contrib = st.select(
-        "source",
-        F.col("c_st"),
-        c_s.alias("c_s"),
-        c_t.alias("c_t"),
-        c.alias("c"),
-    ).select("source", "c_s", (p * F.log(p / q)).alias("kterm"))
+    contrib = (
+        st.select(
+            "source",
+            F.col("c_st"),
+            c_s.alias("c_s"),
+            c_t.alias("c_t"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("source", "c_s", (p * F.log(p / q)).alias("kterm"))
+    )
     return contrib.groupBy("source").agg(
         fsum(F.col("kterm"), "kl_nats", scale=1e9),
         F.min("c_s").cast("bigint").alias("n_tokens"),

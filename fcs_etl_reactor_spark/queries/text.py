@@ -1025,6 +1025,7 @@ def q8p_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q8r_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fcs_etl_reactor_spark.functions.exact import fsum
+    from fcs_etl_reactor_spark.operators.ordering import global_rank
 
     d = load(spark, sf_dir, "documents")
     tf = (
@@ -1033,9 +1034,12 @@ def q8r_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    w = Window.orderBy(F.col("tf").desc(), "term")
-    ranked = tf.select(
-        F.log(F.row_number().over(w).cast("double")).alias("x"),
+    # term rank over the VOCABULARY — Heaps-sublinear but still
+    # data-derived (10^8+ terms at corpus scale), so the rank comes
+    # from ordering.global_rank (bucket-keyed two-pass), never a
+    # single-reducer global window.
+    ranked = global_rank(tf, [("tf", "desc"), "term"], rank_col="_rk").select(
+        F.log(F.col("_rk").cast("double")).alias("x"),
         F.log(F.col("tf").cast("double")).alias("y"),
     )
     s = ranked.agg(

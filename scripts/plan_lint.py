@@ -119,11 +119,83 @@ ALLOW_CARTESIAN = {
     "q7z_westgard_rules",       # 1-row control-limits broadcast cross
     "q6x_mixture_reweight",     # 1-row total + 1-row ESS broadcast crosses
     "q3r_funnel_conversion",    # three 1-row step-count broadcast crosses
+    "q6j_domain_kl",            # 1-row corpus-total broadcast cross (ex-global-window)
+    "q3f_rfm_segments",         # 1-row user-count cross for NTILE closed form
 }
 # Python-eval nodes allowed: q5i IS the scalar-UDF surface; q5g IS the
 # UDTF surface (UDTF eval is row-generating Python by definition).
 ALLOW_PY_UDF = {"q5i_python_udf", "q5g_udtf_ngrams"}
 EXCHANGE_REPORT_THRESHOLD = 8
+
+# Global (empty-partition-spec) Window nodes funnel ALL rows through
+# one task — a 100 TB killer unless the window's input is provably
+# bounded. Every entry below was traced to a dimension/granularity/
+# sketch-bounded subtree (the bound and its reason, per query); any
+# new global window must either pick a partition key, use
+# operators/ordering.global_rank/global_cumsum (the distributed
+# rewrites — q3f/q8r got them when this rule landed; q6j's corpus
+# total became a 1-row broadcast cross), or be annotated here.
+# Mirrors ALLOW_CARTESIAN's mechanics (round-6 verdict item 3).
+ALLOW_GLOBAL_WINDOW: dict[str, str] = {
+    "q8v_kmeans": "row_number over the k seed rows (post-limit(k))",
+    "q8z_heaps_law": "cumulative over ≤10 corpus-decile rows",
+    "q7z_westgard_rules": "lag over the calendar-bounded daily series",
+    "q6p_gain_chart": "cumulative over 10 decile rows",
+    "q6z_threshold_curve": "cumulative over ≤10 jaccard-bucket rows",
+    "q4k_seasonal_decompose": "7-day window over calendar-bounded daily counts",
+    "q4l_bootstrap_ci": "row_number over B bootstrap-replicate rows",
+    "q4o_kaplan_meier": "cumulatives over distinct observation days (calendar)",
+    "q3s_bh_fdr": "BH rank over the |event_types|x7 test grid",
+    "q4t_interval_stabbing": "running sum over calendar-month boundaries",
+    "q1n_pareto_frontier": "prefix-min over distinct price-cents (granularity)",
+    "q89_ivf_topk": "row_number over the n_centroids seed rows (post-limit)",
+}
+
+
+def _global_window_count(plan: str) -> int:
+    """Count Window nodes whose Arguments line has no partition list.
+
+    explain('formatted') renders a Window node's Arguments as
+    top-level bracket groups: [functions], then optionally
+    [partition-cols], then optionally [order-cols]. Both optional
+    groups can be absent independently, so group COUNT alone cannot
+    identify a global window — the discriminator is that an order
+    list always prints sort direction (ASC/DESC) on every item while
+    a partition list never does. Groups are found with a depth scan
+    (expressions nest brackets, so a regex split would miscount)."""
+    import re
+
+    lines = plan.splitlines()
+    n_global = 0
+    for i, line in enumerate(lines):
+        # exact node name: "(12) Window" — NOT WindowGroupLimit /
+        # WindowInPandas, whose Arguments have different shapes
+        if not re.match(r"^\(\d+\) Window(\s+\[codegen id.*)?$", line.strip()):
+            continue
+        for detail in lines[i + 1 : i + 6]:
+            if not detail.startswith("Arguments: "):
+                continue
+            groups: list[str] = []
+            depth = 0
+            start = -1
+            for j, ch in enumerate(detail):
+                if ch == "[":
+                    if depth == 0:
+                        start = j
+                    depth += 1
+                elif ch == "]":
+                    depth -= 1
+                    if depth == 0:
+                        groups.append(detail[start + 1 : j])
+            # groups[0] = window functions; a partition list exists
+            # iff some later group has NO sort direction markers
+            has_partition = any(
+                " ASC" not in g and " DESC" not in g for g in groups[1:]
+            )
+            if not has_partition:
+                n_global += 1
+            break
+    return n_global
 
 
 def main() -> int:
@@ -147,6 +219,11 @@ def main() -> int:
             failures.append((name, "unexpected cartesian/nested-loop join"))
         if "BatchEvalPython" in plan and name not in ALLOW_PY_UDF:
             failures.append((name, "row-at-a-time Python UDF in plan"))
+        n_gw = _global_window_count(plan)
+        if n_gw and name not in ALLOW_GLOBAL_WINDOW:
+            failures.append(
+                (name, f"{n_gw} global Window node(s) not in allowlist")
+            )
         n_ex = plan.count("Exchange")
         busiest.append((n_ex, name))
     busiest.sort(reverse=True)
