@@ -120,6 +120,9 @@ PROBE_QUERIES = [  # all run on the replicated tables
     "q3v_capped_sessions",    # per-user session walk (applyInPandas, wide key)
     "q1t_er_pipeline",        # blocking -> verify -> star contraction chain
     "q1u_sparse_cosine_join", # inverted-index sparse cosine (df-cap fanout bound)
+    # round-7 rewrites (global-window lint):
+    "q3f_rfm_segments",       # 3x global_rank + NTILE closed form (ex global ntile)
+    "q8r_zipf_fit",           # global_rank vocab rank (ex global row_number)
 ]
 
 
