@@ -344,3 +344,54 @@ def test_lateral_join_decorrelates_to_window(spark):
     plan = explain_str(spark, "q2n_lateral_join")
     assert "Window" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_global_window_detector(spark):
+    """The plan-lint global-window detector (scripts/plan_lint.py)
+    must distinguish all four Window argument shapes: global+ordered,
+    partitioned+ordered, partitioned+unordered, and must ignore
+    WindowGroupLimit nodes. Guard the detector itself — a silent
+    false-negative would let a corpus-sized global window through the
+    lint."""
+    import importlib.util
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_lint", "scripts/plan_lint.py"
+    )
+    pl = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pl)
+
+    import contextlib
+    import io
+
+    def fmt(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    df = spark.range(10).select("id", (F.col("id") % 3).alias("k"))
+    w_global = df.select(F.row_number().over(Window.orderBy("id")).alias("r"))
+    assert pl._global_window_count(fmt(w_global)) == 1
+    w_part = df.select(
+        F.row_number().over(Window.partitionBy("k").orderBy("id")).alias("r")
+    )
+    assert pl._global_window_count(fmt(w_part)) == 0
+    # partitioned, NO order clause: Arguments has only 2 groups but is
+    # NOT global (the shape that fooled the first detector draft)
+    w_unordered = df.select(
+        F.sum("id").over(Window.partitionBy("k")).alias("s")
+    )
+    assert pl._global_window_count(fmt(w_unordered)) == 0
+    # rank-filter plans add a WindowGroupLimit node above the Window;
+    # it must not be double-counted
+    w_limit = (
+        df.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("k").orderBy("id")),
+        ).filter(F.col("rn") <= 1)
+    )
+    assert pl._global_window_count(fmt(w_limit)) == 0
