@@ -887,11 +887,14 @@ def q9t_streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
     if not os.path.isdir(state_dir):
         # zero micro-batches => foreachBatch never ran and no state
         # dir exists; return the empty envelope instead of crashing
-        # on path-not-found (the empty-stream edge).
-        empty = spark.createDataFrame(
-            [], "gid int, v double, w double"
+        # on path-not-found (the empty-stream edge). Schema comes from
+        # the operator's own constant so a sketch-schema change can't
+        # silently diverge here.
+        from fcs_etl_reactor_spark.operators.quantile_sketch import (
+            _SKETCH_SCHEMA,
         )
-        merged = empty
+
+        merged = spark.createDataFrame([], _SKETCH_SCHEMA)
     else:
         merged = sketch_merge(spark.read.parquet(state_dir))
     est = sketch_quantiles(merged, qs)
