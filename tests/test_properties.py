@@ -858,3 +858,41 @@ def test_er_variant_cap_fixture_headroom():
         """
     ).fetchone()
     assert max_df * 4 <= ER_VARIANT_DF_CAP
+
+
+@SETTINGS
+@given(
+    vals=st.lists(
+        st.integers(-1000, 1000), min_size=1, max_size=37, unique=True
+    )
+)
+def test_ntile_closed_form_matches_spark_ntile(spark, vals):
+    """q3f computes NTILE(4) from (global rank, n) in closed form to
+    avoid the single-reducer window; the formula must agree with
+    Spark's own ntile(4) on every size, including n < 4 and sizes that
+    don't divide by 4."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame([(v,) for v in vals], "x INT")
+    want = {
+        r["x"]: r["nt"]
+        for r in df.select(
+            "x", F.ntile(4).over(Window.orderBy("x")).alias("nt")
+        ).collect()
+    }
+    n1 = df.agg(F.count(F.lit(1)).alias("_n"))
+    rk = F.row_number().over(Window.orderBy("x"))  # rank source is not under test
+    scored = df.select("x", rk.alias("_rk")).crossJoin(F.broadcast(n1))
+    n = F.col("_n")
+    q = F.floor(n / 4).cast("bigint")
+    r_ = n % 4
+    head = r_ * (q + 1)
+    closed = (
+        F.when(F.col("_rk") <= head, F.floor((F.col("_rk") - 1) / (q + 1)) + 1)
+        .otherwise(
+            r_ + F.floor((F.col("_rk") - head - 1) / F.greatest(q, F.lit(1))) + 1
+        )
+        .cast("int")
+    )
+    got = {r["x"]: r["nt"] for r in scored.select("x", closed.alias("nt")).collect()}
+    assert got == want
