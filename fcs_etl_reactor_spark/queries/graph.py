@@ -1165,13 +1165,16 @@ def q1j_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q1k — average local clustering coefficient: per node, the fraction
 # of its neighbour pairs that are themselves connected — the
 # small-world diagnostic next to the global triangle count (q5o).
-# Triangles enumerate once via the canonical a<b<c triple join and
+# Triangles enumerate once via q5o's DEGREE-oriented wedge join
+# (operators/graphs.oriented_triangles — wedge fanout O(√m) per
+# vertex; the earlier id-canonical join measured 22× at the 10×
+# densified probe because a low-id hub contributes d² wedges) and
 # fan out to their 3 corners (an exact 3× explode of the TRIANGLE
 # table, not the edges); coefficients 2T_v/(d_v(d_v−1)) are exact
 # rationals, averaged with the half-up scaled-long so the mean is
-# order-independent. Scale note: the production orientation for the
-# triangle join is q5o's degree orientation; the id-canonical form
-# here keeps the per-corner bookkeeping simple at fixture scale.
+# order-independent. The corner multiset is orientation-independent —
+# each triangle appears exactly once either way — so the id-ordered
+# oracle still hash-matches.
 # --------------------------------------------------------------------------
 
 
@@ -1216,7 +1219,10 @@ def q1j_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q1k_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fcs_etl_reactor_spark.operators.graphs import copurchase_pairs
+    from fcs_etl_reactor_spark.operators.graphs import (
+        copurchase_pairs,
+        oriented_triangles,
+    )
 
     li = load(spark, sf_dir, "lineitem")
     e0 = copurchase_pairs(li, min_shared=_KCORE_MIN_SHARED).select("a", "b")
@@ -1226,18 +1232,7 @@ def q1k_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    e1, e2, e3 = e0.alias("e1"), e0.alias("e2"), e0.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
-        .join(
-            e3,
-            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
-        )
-        .select(
-            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"),
-            F.col("e2.b").alias("z"),
-        )
-    )
+    tri = oriented_triangles(e0)
     corners = (
         tri.select(F.col("x").alias("node"))
         .unionAll(tri.select(F.col("y").alias("node")))

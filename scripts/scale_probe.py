@@ -123,6 +123,14 @@ PROBE_QUERIES = [  # all run on the replicated tables
     # round-7 rewrites (global-window lint):
     "q3f_rfm_segments",       # 3x global_rank + NTILE closed form (ex global ntile)
     "q8r_zipf_fit",           # global_rank vocab rank (ex global row_number)
+    # round-7: the plan-lint exchange-heavy review flags, measured
+    # (fixed-iteration chains — exchanges accumulate in ONE action's
+    # plan and each executes once; probe proves scan-linearity):
+    "q5v_logreg_gd",          # 3 GD steps x (scan + 8-cell reduce + 1-row bcast)
+    "q1k_clustering_coeff",   # oriented wedge join (q5o-class densification)
+    "q4x_mutual_information", # 35-cell contingency + 1-row n cross
+    "q1i_ndcg",               # per-user rank windows + ideal-order join
+    "q5u_naive_bayes",        # 5-row class stats broadcast scoring
 ]
 
 
