@@ -304,6 +304,41 @@ class TestGraphOperators:
             assert row["n_triangles"] == triangle_count_reference(edges), edges
             assert row["n_edges"] == len(edges)
 
+    def test_oriented_triangles_lists_each_triangle_once(self, spark):
+        """q1k fans per-node tallies out of the CORNER triples, so the
+        listing must emit every triangle exactly once with its true
+        corners (orientation changes only which vertex is the wedge
+        apex, never the set)."""
+        import random
+        from itertools import combinations
+
+        from fcs_etl_reactor_spark.operators.graphs import oriented_triangles
+
+        rng = random.Random(11)
+        for trial in range(5):
+            n = rng.randint(4, 14)
+            edges = sorted(
+                {
+                    (min(a, b), max(a, b))
+                    for a, b in (
+                        (rng.randrange(n), rng.randrange(n)) for _ in range(n * 3)
+                    )
+                    if a != b
+                }
+            )
+            adj = set(edges)
+            want = sorted(
+                (x, y, z)
+                for x, y, z in combinations(sorted({v for e in edges for v in e}), 3)
+                if (x, y) in adj and (y, z) in adj and (x, z) in adj
+            )
+            und = spark.createDataFrame(edges, "a INT, b INT")
+            got = sorted(
+                tuple(sorted((r["x"], r["y"], r["z"])))
+                for r in oriented_triangles(und).collect()
+            )
+            assert got == want, edges
+
     def test_pagerank_matches_reference(self, spark):
         import random
 
