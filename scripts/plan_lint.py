@@ -29,35 +29,24 @@ from fcs_etl_reactor_spark.session import get_spark, tune_for_input
 
 # Quadratic-by-design / deliberate cross joins (each documented at its
 # definition): exact ANN baselines and verification arms, the small
-# cross-join grid, broadcast-1-row combinations.
+# cross-join grid, broadcast-1-row combinations. Round 7 pruned 26
+# stale entries whose plans no longer carry the pattern at EITHER
+# sf0.01 or sf0.1 (vectorized-ANN rewrites, 1-row crosses now planned
+# as BroadcastHashJoin) — the stale-allowlist report below keeps this
+# list honest; a reintroduced cartesian there now fails loudly.
 ALLOW_CARTESIAN = {
     "q14_cross_join_grid",      # deliberate small-dims grid
     "q15_theta_join_bands",     # banded theta join (broadcast side)
-    "q17_order_pairs",          # self-join overlap windows
     "q88_cosine_neardup",       # exact quadratic near-dup (oracle arm)
-    "q91_cosine_topk",          # exact top-k baseline (scale: q89/q92)
     "q59_cosine_topk_fast",     # exact float fast path (same contract)
-    "q6h_lsh_decontamination",  # envelope computes the exact verifier
     "q92_lsh_topk",             # recall envelope: exact arm inside
     "q89_ivf_topk",             # recall envelope: exact arm inside
     "q8b_quantized_topk",       # agreement envelope vs exact arm
-    "q57_simhash_candidates",   # exact-Jaccard verification arm
-    "q56_minhash_lsh",          # exact-Jaccard verification arm
-    "q5b_dedup_clusters",       # pair graph from the verified arms
-    "q5f_cc_star",              # same pair graph input
     "q8d_random_projection",    # broadcast sign-matrix cross (16x64)
-    "q93_label_centroids",      # tiny centroid cross-compare
-    "q36_approx_percentiles",   # 1-row exact-bounds broadcast cross
-    "q30_approx_distinct",      # 1-row envelope cross
     "q8_freq_items",            # 1-row envelope cross
-    "q8n_approx_top_k",         # envelope cross vs exact counts
     "q8l_hll_union",            # 1-row envelope cross
     "q8h_countmin",             # sketch-vs-exact envelope cross
-    "q68_fuzzy_string",         # bounded fuzzy-pair comparison
-    "q3b_retention_cohorts",    # cohort x week small grid
     "q81_tfidf",                # 1-row corpus-size broadcast cross
-    "q83_quality_score",        # 1-row corpus stats broadcast cross
-    "q8a_corpus_profile",       # 1-row profile cross
     "qt11_important_parts",     # 1-row grand-total cross (non-equi >)
     "qt22_idle_customers",      # 1-row global-avg cross (non-equi >)
     "q4l_bootstrap_ci",         # 1-row point-estimate + B-row replicate cross
@@ -74,21 +63,10 @@ ALLOW_CARTESIAN = {
     "q5u_naive_bayes",          # 5-row class-stats broadcast cross (NB scoring)
     "q5v_logreg_gd",            # 1-row weight-state broadcast cross per GD step
     "q5w_knn_eval",             # quadratic exact arm (q91 contract), broadcast eval side
-    "q5x_hits",                 # 1-row max-normalize broadcast cross per round
-    "q8c_lm_familiarity",       # small LM broadcast cross
     "q6f_domain_mixture",       # 1-row stats broadcast cross
-    "q58_sampling",             # 1-row envelope cross
-    "q8g_vocab_oov",            # 1-row OOV-rate cross
-    "q6d_decontamination",      # contaminated-set broadcast semi
-    "q8k_trigram_lm",           # 1-row vocab-size cross
-    "q8m_bpe_encode",           # merges-list broadcast cross
-    "q75_multimodal_features",  # 1-row corpus cross
-    "q7e_equidepth_histogram",  # 1-row bounds cross
-    "q4c_trimmed_mean",         # 1-row trim-bounds cross
     "q19_skew_stats",           # 1-row corpus-stats broadcast cross
     "q18_bloom_semi_join",      # 1-row bloom-bitset broadcast attach
     "q8o_bm25",                 # 1-row corpus-stats (N, avgdl) broadcast cross
-    "q5n_pagerank",             # 1-row node-count broadcast cross per iteration
     "q5o_triangles",            # 1-row x 1-row (n_triangles, n_edges) combine
     "q8s_hll_intersect",        # K-row broadcast theta pair join of sketch rows
     "q8t_power_iteration",      # 1-row corpus-size and norm broadcast crosses
@@ -204,6 +182,10 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     failures = []
     busiest: list[tuple[int, str]] = []
+    used_cartesian: set[str] = set()
+    used_py: set[str] = set()
+    used_gw: set[str] = set()
+    explained: set[str] = set()
     for name, fn in QUERIES.items():
         try:
             buf = io.StringIO()
@@ -213,24 +195,43 @@ def main() -> int:
         except Exception as exc:  # streaming plans can't explain pre-start
             print(f"[skip] {name}: {type(exc).__name__}")
             continue
-        if (
-            "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
-        ) and name not in ALLOW_CARTESIAN:
-            failures.append((name, "unexpected cartesian/nested-loop join"))
-        if "BatchEvalPython" in plan and name not in ALLOW_PY_UDF:
-            failures.append((name, "row-at-a-time Python UDF in plan"))
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            if name not in ALLOW_CARTESIAN:
+                failures.append((name, "unexpected cartesian/nested-loop join"))
+            used_cartesian.add(name)
+        if "BatchEvalPython" in plan:
+            if name not in ALLOW_PY_UDF:
+                failures.append((name, "row-at-a-time Python UDF in plan"))
+            used_py.add(name)
         n_gw = _global_window_count(plan)
-        if n_gw and name not in ALLOW_GLOBAL_WINDOW:
-            failures.append(
-                (name, f"{n_gw} global Window node(s) not in allowlist")
-            )
+        if n_gw:
+            if name not in ALLOW_GLOBAL_WINDOW:
+                failures.append(
+                    (name, f"{n_gw} global Window node(s) not in allowlist")
+                )
+            used_gw.add(name)
         n_ex = plan.count("Exchange")
         busiest.append((n_ex, name))
+        explained.add(name)
     busiest.sort(reverse=True)
     print("\nMost exchange-heavy plans (shuffles are the scale currency):")
     for n_ex, name in busiest[:10]:
         mark = "  <-- review" if n_ex > EXCHANGE_REPORT_THRESHOLD else ""
         print(f"  {n_ex:3d}  {name}{mark}")
+    # Stale-allowlist report (informational): an allowance whose plan
+    # no longer carries the pattern should be deleted, not carried —
+    # a stale entry would silently excuse a future regression. Only
+    # entries whose query WAS explained this run can be judged stale.
+    for label, allow, used in (
+        ("ALLOW_CARTESIAN", set(ALLOW_CARTESIAN), used_cartesian),
+        ("ALLOW_PY_UDF", set(ALLOW_PY_UDF), used_py),
+        ("ALLOW_GLOBAL_WINDOW", set(ALLOW_GLOBAL_WINDOW), used_gw),
+    ):
+        stale = sorted((allow & explained) - used)
+        if stale:
+            print(f"\nSTALE {label} entries (pattern no longer in plan):")
+            for n in stale:
+                print(f"  {n}")
     if failures:
         print("\nFAILURES:")
         for name, why in failures:
