@@ -11,10 +11,13 @@ Both operators are built for oracle parity AND web scale:
   rows so an iteration is one join + one groupBy. Iteration state is
   MATERIALIZED each round via eager localCheckpoint (see
   ``materialize``) — the MLlib-style checkpoint cadence.
-- ``triangle_count``: DEGREE-ORIENTED wedge join — each undirected
-  edge directed from its lower-(deg, id) endpoint, so per-vertex wedge
-  fanout is the out-degree, O(√m) on any graph (id orientation probed
-  12.9× at a 10× densified graph; degree orientation 1.4×).
+- ``oriented_triangles`` / ``triangle_count``: DEGREE-ORIENTED wedge
+  join — each undirected edge directed from its lower-(deg, id)
+  endpoint, so per-vertex wedge fanout is the out-degree, O(√m) on any
+  graph (id orientation probed 12.9× at a 10× densified graph; degree
+  orientation 1.4×). ``oriented_triangles`` lists each triangle's
+  corner triple exactly once (q1k's per-node tallies fan out of it);
+  ``triangle_count`` reduces the listing to one (count, edges) row.
 """
 
 from __future__ import annotations

@@ -585,22 +585,7 @@ def q4t_interval_stabbing(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q1m_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(F.col("c_name").alias("name")).distinct()
-    dels = F.transform(
-        F.sequence(F.lit(1), F.length("name")),
-        lambda i: F.concat(
-            F.col("name").substr(F.lit(1), i - F.lit(1)),
-            F.col("name").substr(i + F.lit(1), F.length("name")),
-        ),
-    )
-    variants = F.array_distinct(F.concat(F.array(F.col("name")), dels))
-    v = c.select("name", F.explode(variants).alias("v"))
-    cand = (
-        v.alias("a")
-        .join(v.alias("b"), "v")
-        .select(F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"))
-        .filter(F.col("name_a") < F.col("name_b"))
-        .distinct()
-    )
+    cand = ed1_blocked_candidates(c, cap=None)
     return cand.filter(F.levenshtein("name_a", "name_b") == 1)
 
 
@@ -710,10 +695,15 @@ def q1n_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 ER_VARIANT_DF_CAP = 256
 
 
-def ed1_blocked_candidates(c: DataFrame, cap: int = ER_VARIANT_DF_CAP) -> DataFrame:
+def ed1_blocked_candidates(
+    c: DataFrame, cap: int | None = ER_VARIANT_DF_CAP
+) -> DataFrame:
     """SymSpell ED≤1 candidate pairs over a `name`-column DataFrame,
     with hot variants (df > cap) excluded from the blocking join so
-    per-variant fanout is ≤ C(cap, 2) on any corpus."""
+    per-variant fanout is ≤ C(cap, 2) on any corpus. cap=None skips
+    the exclusion entirely (q1m, the lossless blocking primitive whose
+    unblocked-oracle hash match IS the completeness proof, keeps its
+    plan free of the df pass)."""
     dels = F.transform(
         F.sequence(F.lit(1), F.length("name")),
         lambda i: F.concat(
@@ -723,13 +713,14 @@ def ed1_blocked_candidates(c: DataFrame, cap: int = ER_VARIANT_DF_CAP) -> DataFr
     )
     variants = F.array_distinct(F.concat(F.array(F.col("name")), dels))
     v = c.select("name", F.explode(variants).alias("v"))
-    cold = (
-        v.groupBy("v")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") <= cap)
-        .select("v")
-    )
-    v = v.join(cold, "v")
+    if cap is not None:
+        cold = (
+            v.groupBy("v")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= cap)
+            .select("v")
+        )
+        v = v.join(cold, "v")
     return (
         v.alias("a")
         .join(v.alias("b"), "v")
