@@ -203,6 +203,30 @@ def triangle_count_reference(edges: list[tuple[int, int]]) -> int:
     )
 
 
+def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """R rounds of "drop nodes with degree < k, then edges touching
+    them" over UNDIRECTED canonical edges (a < b, one row per edge);
+    returns the surviving edge list. Each round = one degree count +
+    two semi joins, state materialized per round (the iterative-graph
+    checkpoint cadence). Run to fixed point this IS the k-core; a
+    fixed round count is the bounded-latency filter form (q1h)."""
+    for _ in range(rounds):
+        deg = (
+            edges.select(F.col("a").alias("node"))
+            .unionAll(edges.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("node")
+        )
+        edges = materialize(
+            edges.join(deg.withColumnRenamed("node", "a"), "a", "leftsemi").join(
+                deg.withColumnRenamed("node", "b"), "b", "leftsemi"
+            )
+        )
+    return edges
+
+
 def copurchase_pairs(lineitem: DataFrame, min_shared: int = 1) -> DataFrame:
     """Canonical co-purchase part pairs from lineitem rows: (a, b,
     n_orders) with a < b, keyed self-join on the order (fanout bounded

@@ -863,24 +863,13 @@ def q1h_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         materialize,
     )
 
+    from fcs_etl_reactor_spark.operators.graphs import kcore_peel
+
     li = load(spark, sf_dir, "lineitem")
     edges = materialize(
         copurchase_pairs(li, min_shared=_KCORE_MIN_SHARED).select("a", "b")
     )
-    for _ in range(_KCORE_ROUNDS):
-        deg = (
-            edges.select(F.col("a").alias("node"))
-            .unionAll(edges.select(F.col("b").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= _KCORE_K)
-            .select("node")
-        )
-        edges = materialize(
-            edges.join(deg.withColumnRenamed("node", "a"), "a", "leftsemi").join(
-                deg.withColumnRenamed("node", "b"), "b", "leftsemi"
-            )
-        )
+    edges = kcore_peel(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
     nodes = (
         edges.select(F.col("a").alias("node"))
         .union(edges.select(F.col("b").alias("node")))

@@ -339,6 +339,54 @@ class TestGraphOperators:
             )
             assert got == want, edges
 
+    def test_kcore_peel_matches_bruteforce(self, spark):
+        """q1h's R-round peel (operators/graphs.kcore_peel) must equal
+        the pure-Python round-synchronous peel on random graphs — and
+        at enough rounds, the true k-core fixed point."""
+        import random
+
+        from fcs_etl_reactor_spark.operators.graphs import kcore_peel
+
+        def peel_ref(edges, k, rounds):
+            es = set(edges)
+            for _ in range(rounds):
+                deg = {}
+                for a, b in es:
+                    deg[a] = deg.get(a, 0) + 1
+                    deg[b] = deg.get(b, 0) + 1
+                keep = {v for v, d in deg.items() if d >= k}
+                es = {(a, b) for a, b in es if a in keep and b in keep}
+            return sorted(es)
+
+        rng = random.Random(13)
+        for trial in range(4):
+            n = rng.randint(5, 14)
+            edges = sorted(
+                {
+                    (min(a, b), max(a, b))
+                    for a, b in (
+                        (rng.randrange(n), rng.randrange(n)) for _ in range(n * 2)
+                    )
+                    if a != b
+                }
+            )
+            und = spark.createDataFrame(edges, "a INT, b INT")
+            for k, rounds in ((2, 3), (3, 2)):
+                got = sorted(
+                    (r["a"], r["b"]) for r in kcore_peel(und, k, rounds).collect()
+                )
+                assert got == peel_ref(edges, k, rounds), (edges, k, rounds)
+            # run far past convergence: the result is the true k-core
+            # (every surviving node has degree >= k within the core)
+            core = sorted(
+                (r["a"], r["b"]) for r in kcore_peel(und, 2, n).collect()
+            )
+            deg = {}
+            for a, b in core:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            assert all(d >= 2 for d in deg.values()), (edges, core)
+
     def test_pagerank_matches_reference(self, spark):
         import random
 
