@@ -203,6 +203,72 @@ def triangle_count_reference(edges: list[tuple[int, int]]) -> int:
     )
 
 
+HITS_SCALE = 1_000_000
+
+
+def hits_fixed_point(edges: DataFrame, iters: int) -> tuple[DataFrame, DataFrame]:
+    """Fixed-point HITS over directed (src, dst) edges: `iters` rounds
+    of authority = Σ hub(in-neighbours), hub = Σ auth(out-neighbours),
+    each renormalized by integer `value * SCALE div max` — exact BIGINT
+    arithmetic end-to-end, bit-identical in any engine at any
+    partitioning. Returns (auth, hub) as (node, a) / (node, h) frames.
+    Per round: two edge joins + two groupBys + two 1-row max
+    broadcasts; round state materialized (the iterative cadence)."""
+    s = HITS_SCALE
+    h = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "h", F.lit(s).cast("bigint")
+    )
+    a = None
+    for _ in range(iters):
+        ar = (
+            edges.join(h, edges["src"] == h["node"])
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a"))
+        )
+        am = ar.agg(F.max("a").alias("am"))
+        a = materialize(
+            ar.join(F.broadcast(am)).select(
+                F.col("dst").alias("node"),
+                F.expr(f"a * {s} div am").cast("bigint").alias("a"),
+            )
+        )
+        hr = (
+            edges.join(a, edges["dst"] == a["node"])
+            .groupBy("src")
+            .agg(F.sum("a").alias("hsum"))
+        )
+        hm = hr.agg(F.max("hsum").alias("hm"))
+        h = materialize(
+            hr.join(F.broadcast(hm)).select(
+                F.col("src").alias("node"),
+                F.expr(f"hsum * {s} div hm").cast("bigint").alias("h"),
+            )
+        )
+    return a, h
+
+
+def hits_reference(
+    edges: list[tuple[str, str]], iters: int
+) -> tuple[dict[str, int], dict[str, int]]:
+    """Pure-Python twin of ``hits_fixed_point`` for property tests —
+    same integer `* SCALE // max` renormalization, dict-based."""
+    s = HITS_SCALE
+    h = {u: s for u, _ in edges}
+    a: dict[str, int] = {}
+    for _ in range(iters):
+        ar: dict[str, int] = {}
+        for u, v in edges:
+            ar[v] = ar.get(v, 0) + h[u]
+        am = max(ar.values())
+        a = {v: x * s // am for v, x in ar.items()}
+        hr: dict[str, int] = {}
+        for u, v in edges:
+            hr[u] = hr.get(u, 0) + a[v]
+        hm = max(hr.values())
+        h = {u: x * s // hm for u, x in hr.items()}
+    return a, h
+
+
 def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     """R rounds of "drop nodes with degree < k, then edges touching
     them" over UNDIRECTED canonical edges (a < b, one row per edge);

@@ -696,7 +696,8 @@ def q1g_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregated per side + a 1-row max broadcast — the q5n topology.
 # --------------------------------------------------------------------------
 
-_HITS_SCALE = 1_000_000
+# shared with the operator so the oracle replays identical arithmetic
+from fcs_etl_reactor_spark.operators.graphs import HITS_SCALE as _HITS_SCALE  # noqa: E402
 _HITS_ITERS = 3
 
 
@@ -747,7 +748,6 @@ def _hits_oracle(iters: int) -> str:
 
 @query("q5x_hits", oracle=_hits_oracle(_HITS_ITERS))
 def q5x_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = _HITS_SCALE
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     edges = (
@@ -758,36 +758,10 @@ def q5x_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    from fcs_etl_reactor_spark.operators.graphs import hits_fixed_point
+
     edges = materialize(edges)
-    h = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "h", F.lit(s).cast("bigint")
-    )
-    a = None
-    for _ in range(_HITS_ITERS):
-        ar = (
-            edges.join(h, edges["src"] == h["node"])
-            .groupBy("dst")
-            .agg(F.sum("h").alias("a"))
-        )
-        am = ar.agg(F.max("a").alias("am"))
-        a = materialize(
-            ar.join(F.broadcast(am)).select(
-                F.col("dst").alias("node"),
-                F.expr(f"a * {s} div am").cast("bigint").alias("a"),
-            )
-        )
-        hr = (
-            edges.join(a, edges["dst"] == a["node"])
-            .groupBy("src")
-            .agg(F.sum("a").alias("hsum"))
-        )
-        hm = hr.agg(F.max("hsum").alias("hm"))
-        h = materialize(
-            hr.join(F.broadcast(hm)).select(
-                F.col("src").alias("node"),
-                F.expr(f"hsum * {s} div hm").cast("bigint").alias("h"),
-            )
-        )
+    a, h = hits_fixed_point(edges, iters=_HITS_ITERS)
     topa = (
         a.orderBy(F.col("a").desc(), "node")
         .limit(10)

@@ -387,6 +387,32 @@ class TestGraphOperators:
                 deg[b] = deg.get(b, 0) + 1
             assert all(d >= 2 for d in deg.values()), (edges, core)
 
+    def test_hits_matches_reference(self, spark):
+        """q5x's fixed-point HITS (operators/graphs.hits_fixed_point)
+        must equal the pure-Python integer twin on random bipartite-ish
+        directed graphs — every op is BIGINT (* SCALE // max), so the
+        scores are bit-identical, not merely close."""
+        import random
+
+        from fcs_etl_reactor_spark.operators.graphs import (
+            hits_fixed_point,
+            hits_reference,
+        )
+
+        rng = random.Random(17)
+        for trial in range(3):
+            edges = sorted(
+                {
+                    (f"c{rng.randrange(5)}", f"s{rng.randrange(5)}")
+                    for _ in range(rng.randint(4, 15))
+                }
+            )
+            und = spark.createDataFrame(edges, "src STRING, dst STRING")
+            a_df, h_df = hits_fixed_point(und, iters=3)
+            a_ref, h_ref = hits_reference(edges, iters=3)
+            assert {r["node"]: r["a"] for r in a_df.collect()} == a_ref, edges
+            assert {r["node"]: r["h"] for r in h_df.collect()} == h_ref, edges
+
     def test_pagerank_matches_reference(self, spark):
         import random
 
