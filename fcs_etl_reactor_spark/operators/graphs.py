@@ -213,7 +213,13 @@ def hits_fixed_point(edges: DataFrame, iters: int) -> tuple[DataFrame, DataFrame
     arithmetic end-to-end, bit-identical in any engine at any
     partitioning. Returns (auth, hub) as (node, a) / (node, h) frames.
     Per round: two edge joins + two groupBys + two 1-row max
-    broadcasts; round state materialized (the iterative cadence)."""
+    broadcasts; round state materialized (the iterative cadence).
+
+    Requires iters >= 1 (iters=0 would return (None, h), a silent
+    None for the authority frame — ADVICE r7). Empty `edges` is fine:
+    every join/groupBy is empty, so both frames come back empty."""
+    if iters < 1:
+        raise ValueError(f"hits_fixed_point requires iters >= 1, got {iters}")
     s = HITS_SCALE
     h = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "h", F.lit(s).cast("bigint")
@@ -251,7 +257,13 @@ def hits_reference(
     edges: list[tuple[str, str]], iters: int
 ) -> tuple[dict[str, int], dict[str, int]]:
     """Pure-Python twin of ``hits_fixed_point`` for property tests —
-    same integer `* SCALE // max` renormalization, dict-based."""
+    same integer `* SCALE // max` renormalization, dict-based. Same
+    iters >= 1 contract; empty edges return two empty dicts (the dict
+    analogue of the Spark twin's empty frames)."""
+    if iters < 1:
+        raise ValueError(f"hits_reference requires iters >= 1, got {iters}")
+    if not edges:
+        return {}, {}
     s = HITS_SCALE
     h = {u: s for u, _ in edges}
     a: dict[str, int] = {}

@@ -1039,19 +1039,27 @@ def q3f_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = global_rank(ranked, [("freq", "desc"), "user_id"], rank_col="_rk_f")
     ranked = global_rank(ranked, [("monetary", "desc"), "user_id"], rank_col="_rk_m")
     n1 = base.agg(F.count(F.lit(1)).alias("_n"))
-    scored = ranked.crossJoin(F.broadcast(n1))
+    # BIGINT `div` (not floor-of-double) keeps the closed form exact
+    # at ANY n — float division flips only past ~4e15 rows, but the
+    # stated invariant is bit-exactness, so integer arithmetic it is
+    # (ADVICE r7; matches the HITS idiom in operators/graphs.py).
+    scored = (
+        ranked.crossJoin(F.broadcast(n1))
+        .withColumn("_q", F.expr("_n div 4"))
+        .withColumn("_r", F.col("_n") % 4)
+        .withColumn("_head", F.col("_r") * (F.col("_q") + 1))
+    )
 
-    def ntile4(rk: F.Column) -> F.Column:
-        n = F.col("_n")
-        q = F.floor(n / 4).cast("bigint")
-        r = n % 4
-        head = r * (q + 1)
-        # q==0 makes the otherwise-branch unreachable (head == n);
-        # greatest(q,1) keeps its divisor nonzero under ANSI eval
+    def ntile4(rk_name: str) -> F.Column:
+        rk = F.col(rk_name)
+        # _q==0 makes the otherwise-branch unreachable (_head == _n);
+        # greatest(_q,1) keeps its divisor nonzero under ANSI eval
         return (
-            F.when(rk <= head, F.floor((rk - 1) / (q + 1)) + 1)
+            F.when(rk <= F.col("_head"), F.expr(f"({rk_name} - 1) div (_q + 1)") + 1)
             .otherwise(
-                r + F.floor((rk - head - 1) / F.greatest(q, F.lit(1))) + 1
+                F.col("_r")
+                + F.expr(f"({rk_name} - _head - 1) div greatest(_q, 1)")
+                + 1
             )
             .cast("int")
         )
@@ -1061,9 +1069,9 @@ def q3f_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_us",
         "freq",
         "monetary",
-        ntile4(F.col("_rk_r")).alias("r_q"),
-        ntile4(F.col("_rk_f")).alias("f_q"),
-        ntile4(F.col("_rk_m")).alias("m_q"),
+        ntile4("_rk_r").alias("r_q"),
+        ntile4("_rk_f").alias("f_q"),
+        ntile4("_rk_m").alias("m_q"),
     ).select(
         "*",
         (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")).alias("rfm_code"),

@@ -166,6 +166,14 @@ _TRI_MIN_SHARED = 2
     """,
 )
 def q5o_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output contract: BOUNDED — one row (n_triangles, n_edges). The
+    triangle listing is an intermediate that is never collected: an
+    exact count must touch every triangle by spec, but the corners
+    flow straight into partial counts (map-side combine), so a
+    pathological graph costs shuffle/CPU on the degree-oriented
+    O(m^1.5) join, never driver memory or output rows. Full-listing
+    consumers use operators/graphs.oriented_triangles and own their
+    own cap (min_shared pre-filter or k-core peel first)."""
     from fcs_etl_reactor_spark.operators.graphs import (
         copurchase_pairs,
         materialize,  # noqa: F401 — shared family import pattern
@@ -271,6 +279,14 @@ _AP_ORACLE = """
 
 @query("q1d_apriori_triples", oracle=_AP_ORACLE)
 def q1d_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output contract: SUPPORT-CAPPED — only triples above the
+    fractional min-support (≥ max(2, |orders|/10k)) survive, and the
+    apriori invariant prunes BEFORE the expensive join: candidate
+    triples are generated from frequent PAIRS only, so the
+    intermediate is support-filtered at every level. On a pathological
+    basket corpus the support threshold (a fraction of |orders|, not a
+    constant) is what keeps the lattice from exploding — the classic
+    apriori guarantee, not an ad-hoc limit."""
     l = load(spark, sf_dir, "lineitem")
     op = l.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
@@ -1077,6 +1093,12 @@ def q1i_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q1j_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output contract: BOUNDED — one row per community (brand, ≤25
+    values), plus the global modularity. Edges/degrees are aggregated
+    per community before any result materializes; the only full-size
+    intermediate is the edge list itself (min_shared-filtered), which
+    shuffles but never reaches the driver. Densified probe growth
+    (4.4× at 10×) is edge-count-bound, not output-bound."""
     from fcs_etl_reactor_spark.operators.graphs import copurchase_pairs
 
     li = load(spark, sf_dir, "lineitem")
@@ -1182,6 +1204,15 @@ def q1j_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q1k_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output contract: FULL-LISTING BY SPEC — one row per node (the
+    local clustering coefficient is a per-node metric), so output is
+    node-sized, which is fine: nodes grow linearly with data, unlike
+    triangles. The triangle TRIPLES are the dangerous intermediate and
+    they never persist — corners are exploded and immediately counted
+    per node (map-side combine); the degree-oriented listing bounds
+    wedge fanout at O(√m) per vertex even on skewed graphs. A consumer
+    wanting a bounded result composes `.orderBy(...).limit(k)` on top
+    — top-k pushes into TakeOrderedAndProject."""
     from fcs_etl_reactor_spark.operators.graphs import (
         copurchase_pairs,
         oriented_triangles,

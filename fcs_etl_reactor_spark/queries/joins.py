@@ -494,6 +494,14 @@ def q1b_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q1c_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output contract: CAPPED — top-25 pairs by shared-order count
+    (TakeOrderedAndProject, never a full sort). The pair table itself
+    is an intermediate: built by an order-keyed self-join (fanout
+    bounded by order size, never corpus-quadratic) and aggregated
+    map-side before the top-k, so a pathological co-purchase graph
+    inflates shuffle volume, not driver/output size. Callers needing
+    the FULL pair table should go through operators/graphs.
+    copurchase_pairs directly and keep min_shared ≥ 2 as the cap."""
     from fcs_etl_reactor_spark.operators.graphs import copurchase_pairs
 
     pairs = copurchase_pairs(load(spark, sf_dir, "lineitem")).select(

@@ -130,6 +130,41 @@ ALLOW_GLOBAL_WINDOW: dict[str, str] = {
 }
 
 
+def _split_top_level(group: str) -> list[str]:
+    """Split a bracket-group body on TOP-LEVEL commas only (window
+    expressions nest parens/brackets with their own commas)."""
+    items: list[str] = []
+    depth = 0
+    start = 0
+    for j, ch in enumerate(group):
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            items.append(group[start:j])
+            start = j + 1
+    items.append(group[start:])
+    return [it.strip() for it in items if it.strip()]
+
+
+_ORDER_ITEM_RE = None
+
+
+def _is_order_list(group: str) -> bool:
+    """True iff every top-level item ends with a sort-direction
+    marker, e.g. ``l_shipdate#5 ASC NULLS FIRST`` — the shape
+    explain('formatted') prints for SortOrder, and one a partition
+    expression can never end with."""
+    import re
+
+    global _ORDER_ITEM_RE
+    if _ORDER_ITEM_RE is None:
+        _ORDER_ITEM_RE = re.compile(r"\b(ASC|DESC)( NULLS (FIRST|LAST))?$")
+    items = _split_top_level(group)
+    return bool(items) and all(_ORDER_ITEM_RE.search(it) for it in items)
+
+
 def _global_window_count(plan: str) -> int:
     """Count Window nodes whose Arguments line has no partition list.
 
@@ -165,11 +200,15 @@ def _global_window_count(plan: str) -> int:
                     depth -= 1
                     if depth == 0:
                         groups.append(detail[start + 1 : j])
-            # groups[0] = window functions; a partition list exists
-            # iff some later group has NO sort direction markers
-            has_partition = any(
-                " ASC" not in g and " DESC" not in g for g in groups[1:]
-            )
+            # groups[0] = window functions; a group is an ORDER list
+            # iff every top-level comma item ENDS with a direction
+            # marker ("x ASC NULLS FIRST") — anchoring at item end
+            # (not substring presence, ADVICE r7) keeps a partition
+            # expression that merely embeds the token (sort_array(...,
+            # DESC), an alias containing " DESC") from masquerading
+            # as an order list. A partition list is any non-order
+            # later group.
+            has_partition = any(not _is_order_list(g) for g in groups[1:])
             if not has_partition:
                 n_global += 1
             break

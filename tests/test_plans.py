@@ -395,3 +395,23 @@ def test_global_window_detector(spark):
         ).filter(F.col("rn") <= 1)
     )
     assert pl._global_window_count(fmt(w_limit)) == 0
+    # partition expressions that EMBED a direction token (an alias or
+    # function argument containing " DESC"/" ASC") must still read as
+    # partition lists — the check anchors to item END, not substring
+    # presence (ADVICE r7)
+    partitioned_with_embedded_token = (
+        "(3) Window\n"
+        "Arguments: [row_number() AS r#9], "
+        "[sort_array(xs#1, DESC_flag#2)], [id#0L ASC NULLS FIRST]\n"
+    )
+    assert pl._global_window_count(partitioned_with_embedded_token) == 0
+    assert not pl._is_order_list("sort_array(xs#1, DESC_flag#2)")
+    assert not pl._is_order_list("a DESC b#3")
+    assert pl._is_order_list("id#0L ASC NULLS FIRST, v#1 DESC NULLS LAST")
+    assert pl._is_order_list("nested(f(a#1, b#2)) DESC")
+    # an order list whose expression nests commas must not be split
+    # mid-expression into direction-less fragments
+    assert pl._split_top_level("f(a#1, b#2) ASC NULLS FIRST, c#3 DESC") == [
+        "f(a#1, b#2) ASC NULLS FIRST",
+        "c#3 DESC",
+    ]

@@ -413,6 +413,26 @@ class TestGraphOperators:
             assert {r["node"]: r["a"] for r in a_df.collect()} == a_ref, edges
             assert {r["node"]: r["h"] for r in h_df.collect()} == h_ref, edges
 
+    def test_hits_rejects_zero_iters(self, spark):
+        """iters=0 used to return (None, h) — a silent None authority
+        frame (ADVICE r7). Both twins now reject it; the reference
+        also handles the empty edge list its `max()` used to crash on."""
+        import pytest as _pytest
+
+        from fcs_etl_reactor_spark.operators.graphs import (
+            hits_fixed_point,
+            hits_reference,
+        )
+
+        edges_df = spark.createDataFrame(
+            [("a", "b")], "src STRING, dst STRING"
+        )
+        with _pytest.raises(ValueError, match="iters >= 1"):
+            hits_fixed_point(edges_df, iters=0)
+        with _pytest.raises(ValueError, match="iters >= 1"):
+            hits_reference([("a", "b")], iters=0)
+        assert hits_reference([], iters=3) == ({}, {})
+
     def test_pagerank_matches_reference(self, spark):
         import random
 
