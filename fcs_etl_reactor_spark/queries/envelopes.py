@@ -639,3 +639,97 @@ def q1q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q3w — HLL sketch ROLLUP across a hierarchy (nation -> region). q8l
+# proves flat mergeability; this proves the property that makes
+# sketches the 100 TB answer for hierarchical distinct counts: build
+# the per-LEAF sketches ONCE, then answer every ancestor level by
+# merging sketches — never rescanning the fact table. The leaf sets
+# OVERLAP (the same part is supplied from many nations), so the region
+# count is NOT the sum of nation counts and the union is doing real
+# work. Envelope: exact distincts at both levels (oracle-recomputed)
+# plus booleans that each nation sketch and each region merge land
+# within 5% of exact (lgK=12 → ~0.8% expected rel. error).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q3w_hll_rollup",
+    oracle="""
+    WITH fact AS (
+      SELECT n.n_name AS nation, r.r_name AS region, l.l_partkey AS pk
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    ), per_nation AS (
+      SELECT nation, region, COUNT(DISTINCT pk) AS n_parts_nation
+      FROM fact GROUP BY nation, region
+    ), per_region AS (
+      SELECT region, COUNT(DISTINCT pk) AS n_parts_region
+      FROM fact GROUP BY region
+    )
+    SELECT per_nation.nation, per_nation.region,
+           per_nation.n_parts_nation, per_region.n_parts_region,
+           TRUE AS nation_ok, TRUE AS region_ok
+    FROM per_nation JOIN per_region USING (region)
+    """,
+)
+def q3w_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    reg = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    fact = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat["n_nationkey"])
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg["r_regionkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            F.col("l_partkey").alias("pk"),
+        )
+    )
+    # ONE pass builds the leaf sketches; the region level is pure
+    # sketch merge (hll_union_agg over ≤|nations| rows) — the exact
+    # arms exist only to verify the envelope.
+    per_nation = fact.groupBy("nation", "region").agg(
+        F.count_distinct("pk").alias("n_parts_nation"),
+        F.hll_sketch_agg("pk").alias("_sk"),
+    )
+    per_region = per_nation.groupBy("region").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est_region")
+    ).join(
+        fact.groupBy("region").agg(
+            F.count_distinct("pk").alias("n_parts_region")
+        ),
+        "region",
+    )
+
+    def within(approx, exact):
+        return F.abs(approx.cast("double") - exact.cast("double")) <= F.lit(
+            0.05
+        ) * exact.cast("double")
+
+    return (
+        per_nation.withColumn(
+            "_est_nation", F.hll_sketch_estimate(F.col("_sk"))
+        )
+        .join(F.broadcast(per_region), "region")
+        .select(
+            "nation",
+            "region",
+            "n_parts_nation",
+            "n_parts_region",
+            within(F.col("_est_nation"), F.col("n_parts_nation")).alias(
+                "nation_ok"
+            ),
+            within(F.col("_est_region"), F.col("n_parts_region")).alias(
+                "region_ok"
+            ),
+        )
+    )

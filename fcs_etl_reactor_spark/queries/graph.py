@@ -1338,3 +1338,83 @@ def q1l_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_endpoints"),
         F.round(num / F.nullif(den, F.lit(0.0)), 9).alias("assortativity"),
     )
+
+
+# --------------------------------------------------------------------------
+# q1w — link prediction by Resource Allocation index (Zhou/Lü/Zhang
+# 2009): for each NON-edge pair (u,v), RA = Σ_{w ∈ N(u)∩N(v)} 1/deg(w)
+# — the "which products will be co-bought next" primitive. RA is
+# chosen over Adamic-Adar deliberately: 1/deg is exactly computable in
+# scaled BIGINT (1e12 div d), where AA's 1/log(deg) would be a
+# transcendental whose summation order drifts in the last ulp.
+# Scale shape: wedge enumeration is Σ deg(w)² BY DEFINITION (every
+# common-neighbor pair must be witnessed); the exposure is bounded by
+# the min_shared support filter on edges (degree ceiling) and the
+# output contract is CAPPED — top-25 by (score, pair), a
+# TakeOrderedAndProject, never a full materialized pair list.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q1w_link_prediction_ra",
+    oracle="""
+    WITH e AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), adj AS (
+      SELECT a AS w, b AS u FROM e UNION ALL SELECT b AS w, a AS u FROM e
+    ), deg AS (
+      SELECT w, COUNT(*) AS d FROM adj GROUP BY w
+    ), wed AS (
+      SELECT x.u AS u, y.u AS v, x.w AS w
+      FROM adj x JOIN adj y ON x.w = y.w AND x.u < y.u
+    ), sc AS (
+      SELECT u, v,
+             CAST(SUM(1000000000000 // d) AS BIGINT) AS ra_score,
+             COUNT(*) AS common_neighbors
+      FROM wed JOIN deg USING (w) GROUP BY u, v
+    )
+    SELECT sc.u AS p1, sc.v AS p2, sc.ra_score, sc.common_neighbors
+    FROM sc LEFT JOIN e ON sc.u = e.a AND sc.v = e.b
+    WHERE e.a IS NULL
+    ORDER BY sc.ra_score DESC, p1, p2 LIMIT 25
+    """,
+)
+def q1w_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.graphs import copurchase_pairs
+
+    li = load(spark, sf_dir, "lineitem")
+    und = copurchase_pairs(li, min_shared=2).select("a", "b")
+    adj = und.select(F.col("a").alias("w"), F.col("b").alias("u")).unionAll(
+        und.select(F.col("b").alias("w"), F.col("a").alias("u"))
+    )
+    deg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("d"))
+    x, y = adj.alias("x"), adj.alias("y")
+    wedges = x.join(
+        y, (F.col("x.w") == F.col("y.w")) & (F.col("x.u") < F.col("y.u"))
+    ).select(F.col("x.u").alias("u"), F.col("y.u").alias("v"), F.col("x.w").alias("w"))
+    scored = (
+        wedges.join(deg, "w")
+        .groupBy("u", "v")
+        .agg(
+            F.sum(F.expr("1000000000000 div d")).alias("ra_score"),
+            F.count(F.lit(1)).alias("common_neighbors"),
+        )
+    )
+    non_edges = scored.join(
+        und,
+        (scored["u"] == und["a"]) & (scored["v"] == und["b"]),
+        "left_anti",
+    )
+    return (
+        non_edges.select(
+            F.col("u").alias("p1"),
+            F.col("v").alias("p2"),
+            "ra_score",
+            "common_neighbors",
+        )
+        .orderBy(F.col("ra_score").desc(), "p1", "p2")
+        .limit(25)
+    )

@@ -1056,3 +1056,92 @@ def q2q_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
             AS n_with_null_subquery
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q2r — rendezvous (highest-random-weight) sharding. Round-robin (q6i)
+# balances perfectly but reshuffles EVERYTHING when the shard count
+# changes; HRW assigns each key to argmax_s score(key, s) so growing
+# N -> N+1 moves only the keys whose new shard wins the argmax —
+# 1/(N+1) of the data in expectation, the property that matters when a
+# 100 TB corpus gains a shard. Score = md5(key || ':' || shard): a
+# pure projection (key x N fanout is map-side, no shuffle until the
+# final histogram), deterministic and engine-portable — both engines
+# compare the same lowercase hex strings, so the assignment (and the
+# moved-fraction measurement below) hash-matches exactly.
+# --------------------------------------------------------------------------
+
+_HRW_SHARDS = 8
+
+
+@query(
+    "q2r_rendezvous_sharding",
+    oracle=f"""
+    WITH s8 AS (
+      SELECT doc_id,
+             ARG_MAX(s, MD5(CAST(doc_id AS VARCHAR) || ':' ||
+                            CAST(s AS VARCHAR))) AS shard
+      FROM documents, UNNEST(RANGE({_HRW_SHARDS})) AS t(s)
+      GROUP BY doc_id
+    ), s9 AS (
+      SELECT doc_id,
+             ARG_MAX(s, MD5(CAST(doc_id AS VARCHAR) || ':' ||
+                            CAST(s AS VARCHAR))) AS shard
+      FROM documents, UNNEST(RANGE({_HRW_SHARDS + 1})) AS t(s)
+      GROUP BY doc_id
+    ), moved AS (
+      SELECT COUNT(*) AS n_total,
+             SUM(CASE WHEN s8.shard <> s9.shard THEN 1 ELSE 0 END)
+               AS n_moved
+      FROM s8 JOIN s9 USING (doc_id)
+    )
+    SELECT CAST(s8.shard AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           MAX(moved.n_total) AS n_total,
+           CAST(MAX(moved.n_moved) AS BIGINT) AS n_moved,
+           CAST(MAX(moved.n_moved) * 100 // MAX(moved.n_total) AS BIGINT)
+             AS moved_pct
+    FROM s8 CROSS JOIN moved
+    GROUP BY s8.shard
+    """,
+)
+def q2r_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HRW shard histogram at N=8 plus the minimal-movement proof at
+    N=9 (n_moved ≈ n/9, vs n·8/9 for `key % N`). Plan shape: one scan,
+    two map-side argmax folds over a broadcast-exploded shard range
+    (no shuffle until the 8-row histogram), n_moved attached as a
+    1-row broadcast."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def hrw(n: int):
+        return F.expr(
+            "array_max(transform(sequence(0, {m}), "
+            "s -> struct(md5(concat(cast(doc_id as string), ':', "
+            "cast(s as string))) as h, cast(s as bigint) as s))).s".format(
+                m=n - 1
+            )
+        )
+
+    assigned = d.select(
+        "doc_id",
+        hrw(_HRW_SHARDS).alias("shard"),
+        hrw(_HRW_SHARDS + 1).alias("shard9"),
+    )
+    moved = assigned.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(
+            F.when(F.col("shard") != F.col("shard9"), 1).otherwise(0)
+        ).alias("n_moved"),
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(F.broadcast(moved))
+        .select(
+            "shard",
+            "n_docs",
+            "n_total",
+            F.col("n_moved").cast("bigint").alias("n_moved"),
+            F.expr("n_moved * 100 div n_total").alias("moved_pct"),
+        )
+    )
