@@ -3726,3 +3726,83 @@ def q3v_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return e.groupBy("user_id").applyInPandas(walk, out_schema)
+
+
+# --------------------------------------------------------------------------
+# q3x — change-point LOCATION estimation per event type (the CUSUM
+# location estimator: argmax_t |n·S_t − t·S_n| over the daily count
+# series — Page 1954 / Pettitt's statistic numerator). q4s is the
+# control-chart arm (did the level shift? final/max/resets); this is
+# the segmentation arm (WHERE did it shift?). Counts are exact
+# integers, so D_t = n·S_t − t·S_n is pure BIGINT — no scaling, no
+# float drift, bit-identical in both engines. Ties broken by earliest
+# day. Scale shape: daily rollup is one map-side-combinable groupBy;
+# prefix sums and the argmax are windows PARTITIONED BY event_type
+# (series length = #days per type — bounded, never a global window);
+# per-type totals join back on event_type. Output: one row per event
+# type — a FULL listing by spec (|event_type| is a small dimension).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q3x_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ), seq AS (
+      SELECT event_type, day, c,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY day) AS s
+      FROM daily
+    ), tot AS (
+      SELECT event_type, COUNT(*) AS n, SUM(c) AS tot
+      FROM daily GROUP BY 1
+    )
+    SELECT event_type, day AS cp_day,
+           CAST(ABS(tot.n * seq.s - seq.t * tot.tot) AS BIGINT) AS d_abs,
+           CAST(tot.n AS BIGINT) AS n_days
+    FROM seq JOIN tot USING (event_type)
+    WHERE seq.t < tot.n
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY event_type
+      ORDER BY ABS(tot.n * seq.s - seq.t * tot.tot) DESC, day ASC) = 1
+    ORDER BY event_type
+    """,
+)
+def q3x_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wseq = Window.partitionBy("event_type").orderBy("day")
+    seq = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(wseq).alias("t"),
+        F.sum("c").over(wseq).alias("s"),
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("tot")
+    )
+    d = (
+        seq.join(tot, "event_type")
+        .filter(F.col("t") < F.col("n"))
+        .select(
+            "event_type",
+            F.col("day").alias("cp_day"),
+            F.abs(
+                F.col("n") * F.col("s") - F.col("t") * F.col("tot")
+            ).alias("d_abs"),
+            F.col("n").alias("n_days"),
+        )
+    )
+    warg = Window.partitionBy("event_type").orderBy(
+        F.col("d_abs").desc(), F.col("cp_day").asc()
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(warg))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("event_type")
+    )

@@ -1418,3 +1418,95 @@ def q1w_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ra_score").desc(), "p1", "p2")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# q1x — label propagation community detection (Raghavan/Albert/Kumara
+# 2007), synchronous variant over the co-purchase graph. Each round
+# every node adopts the plurality label among its neighbors, ties
+# broken by the SMALLEST label — the tie-break is what makes the
+# synchronous update deterministic and engine-portable (the classic
+# asynchronous/random variant is not reproducible by design). Rounds
+# are FIXED at 3: LPA's stopping rule is a convergence check that can
+# oscillate under synchronous updates, so the contract here is
+# "3 synchronized sweeps", identical in both engines by unrolling.
+# Scale shape: one shuffle per round (edges ⋈ labels on dst, then
+# groupBy(src, label) with map-side partial counts); the plurality
+# argmax is a window PARTITIONED BY src (per-node vote lists bounded
+# by degree — never a global window); round state is localCheckpointed
+# via `materialize` like every iterative algorithm in this module.
+# Output contract: CAPPED — top-20 communities by (size desc, label),
+# a TakeOrderedAndProject, never the full node→community map.
+# --------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+_LPA_MIN_SHARED = 2
+
+
+def _lpa_round_sql(prev: str, out: str) -> str:
+    return f"""{out} AS (
+      SELECT src AS node, label FROM (
+        SELECT adj.src AS src, l.label AS label, COUNT(*) AS c
+        FROM adj JOIN {prev} l ON adj.dst = l.node
+        GROUP BY 1, 2
+      ) QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY src ORDER BY c DESC, label ASC) = 1
+    )"""
+
+
+@query(
+    "q1x_label_propagation",
+    oracle=f"""
+    WITH e AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_LPA_MIN_SHARED}
+    ), adj AS (
+      SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e
+    ), l0 AS (
+      SELECT DISTINCT src AS node, src AS label FROM adj
+    ), {_lpa_round_sql('l0', 'l1')}, {_lpa_round_sql('l1', 'l2')},
+    {_lpa_round_sql('l2', 'l3')}
+    SELECT label AS community, COUNT(*) AS n_members
+    FROM l3 GROUP BY label
+    ORDER BY n_members DESC, community ASC LIMIT 20
+    """,
+)
+def q1x_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from fcs_etl_reactor_spark.operators.graphs import copurchase_pairs
+
+    li = load(spark, sf_dir, "lineitem")
+    und = copurchase_pairs(li, min_shared=_LPA_MIN_SHARED).select("a", "b")
+    adj = materialize(
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+            und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+    )
+    labels = (
+        adj.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            adj.join(labels, adj["dst"] == labels["node"])
+            .groupBy("src", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = materialize(
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), "label")
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.col("n_members").desc(), "community")
+        .limit(20)
+    )

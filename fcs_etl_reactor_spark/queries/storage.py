@@ -1145,3 +1145,118 @@ def q2r_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_moved * 100 div n_total").alias("moved_pct"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q2s — bloom-filter file skipping: the point-lookup complement to
+# q2h's min/max zonemaps. A zonemap prunes only when the key
+# correlates with file layout; a per-file bloom prunes point lookups
+# on ANY column, layout-correlated or not — exactly what Parquet
+# bloom filters / Delta & Iceberg file-level blooms do for needle
+# queries over 100 TB. The index here is one row per file with a
+# ≤256-element bit set (k=3 hashes into m=256 bits, bit = first two
+# hex digits of md5(value:seed)) — metadata-sized, built in one scan
+# with a map-side-combinable collect_set, probed with ZERO data scan.
+# The measured output includes the bloom's false positives (files
+# flagged candidate that don't actually contain the probe value):
+# both engines compute the identical bit sets from the identical md5,
+# so the skip decision — FPs included — hash-matches exactly.
+# --------------------------------------------------------------------------
+
+_BLOOM_FILES = 16
+_BLOOM_HASHES = ("0", "1", "2")
+
+
+def _bloom_bit_sql(val: str, seed: str) -> str:
+    """Bit position 0..255 from two hex digits of md5(val:seed) —
+    engine-portable SQL (md5/concat/substr/instr mean the same in
+    Spark and DuckDB)."""
+    h = f"md5(concat({val}, ':', {seed}))"
+    return (
+        f"(instr('0123456789abcdef', substr({h}, 1, 1)) - 1) * 16 + "
+        f"(instr('0123456789abcdef', substr({h}, 2, 1)) - 1)"
+    )
+
+
+@query(
+    "q2s_bloom_file_skip",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, n_chars, doc_id % {_BLOOM_FILES} AS file_id
+      FROM documents
+    ), probe AS (
+      SELECT n_chars AS pv FROM documents ORDER BY doc_id LIMIT 1
+    ), seeds AS (
+      SELECT UNNEST(['{"','".join(_BLOOM_HASHES)}']) AS i
+    ), fbits AS (
+      SELECT DISTINCT file_id,
+        {_bloom_bit_sql('CAST(n_chars AS VARCHAR)', 'i')} AS bit
+      FROM base, seeds
+    ), pbits AS (
+      SELECT DISTINCT {_bloom_bit_sql('CAST(pv AS VARCHAR)', 'i')} AS bit
+      FROM probe, seeds
+    ), cand AS (
+      SELECT f.file_id, COUNT(DISTINCT f.bit) AS hits
+      FROM fbits f JOIN pbits p ON f.bit = p.bit GROUP BY 1
+    ), stats AS (
+      SELECT file_id, COUNT(*) AS n_docs,
+             COUNT(DISTINCT n_chars) AS n_vals,
+             MAX(CASE WHEN n_chars = (SELECT pv FROM probe)
+                      THEN 1 ELSE 0 END) AS actual_hit
+      FROM base GROUP BY 1
+    )
+    SELECT s.file_id, s.n_docs, CAST(s.n_vals AS BIGINT) AS n_vals,
+           CAST(CASE WHEN COALESCE(c.hits, 0) =
+                     (SELECT COUNT(DISTINCT bit) FROM pbits)
+                THEN 1 ELSE 0 END AS BIGINT) AS bloom_candidate,
+           CAST(s.actual_hit AS BIGINT) AS actual_hit
+    FROM stats s LEFT JOIN cand c USING (file_id)
+    ORDER BY s.file_id
+    """,
+)
+def q2s_bloom_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .withColumn("file_id", F.expr(f"doc_id % {_BLOOM_FILES}"))
+    )
+    probe = d.groupBy().agg(F.expr("min_by(n_chars, doc_id)").alias("pv"))
+
+    def bits_array(val: str):
+        return F.array(
+            *[F.expr(_bloom_bit_sql(val, f"'{s}'")) for s in _BLOOM_HASHES]
+        )
+
+    file_bits = (
+        d.select("file_id", F.explode(bits_array("cast(n_chars as string)")).alias("bit"))
+        .groupBy("file_id")
+        .agg(F.collect_set("bit").alias("bits"))
+    )
+    stats = (
+        d.join(F.broadcast(probe))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("n_chars").alias("n_vals"),
+            F.max(
+                (F.col("n_chars") == F.col("pv")).cast("bigint")
+            ).alias("actual_hit"),
+        )
+    )
+    pbits = probe.select(
+        F.array_distinct(bits_array("cast(pv as string)")).alias("pbits")
+    )
+    return (
+        stats.join(file_bits, "file_id")
+        .join(F.broadcast(pbits))
+        .select(
+            "file_id",
+            "n_docs",
+            "n_vals",
+            F.expr(
+                "cast(forall(pbits, b -> array_contains(bits, b)) as bigint)"
+            ).alias("bloom_candidate"),
+            "actual_hit",
+        )
+        .orderBy("file_id")
+    )

@@ -99,6 +99,8 @@ ALLOW_CARTESIAN = {
     "q3r_funnel_conversion",    # three 1-row step-count broadcast crosses
     "q6j_domain_kl",            # 1-row corpus-total broadcast cross (ex-global-window)
     "q3f_rfm_segments",         # 1-row user-count cross for NTILE closed form
+    "q2r_rendezvous_sharding",  # 1-row (n_total, n_moved) broadcast cross
+    "q2s_bloom_file_skip",      # 1-row probe-value + 1-row probe-bits crosses
 }
 # Python-eval nodes allowed: q5i IS the scalar-UDF surface; q5g IS the
 # UDTF surface (UDTF eval is row-generating Python by definition).

@@ -51,6 +51,8 @@ TS_QUERIES = [
     # round-6 session additions (timestamp-touching):
     "q3r_funnel_conversion", "q3s_bh_fdr", "q3t_isotonic",
     "q1s_interval_union", "q3u_rolling_hll", "q3v_capped_sessions",
+    # round-8 session additions (timestamp-touching):
+    "q3x_changepoint",
 ]
 
 
