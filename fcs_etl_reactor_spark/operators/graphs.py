@@ -354,3 +354,72 @@ def bfs_hops(und: DataFrame, max_hops: int) -> DataFrame:
             dist.unionAll(nxt).groupBy("node").agg(F.min("d").alias("d"))
         )
     return dist
+
+
+def label_propagation(und: DataFrame, rounds: int) -> DataFrame:
+    """Synchronous label propagation (Raghavan/Albert/Kumara 2007)
+    over UNDIRECTED canonical edges (a < b, one row per edge); returns
+    (node, label). Deterministic by construction: every node starts
+    with its own id, and each of the `rounds` synchronized sweeps
+    adopts the plurality label among neighbors with ties broken by the
+    SMALLEST label (the classic random/asynchronous variant is not
+    reproducible by design). Per round: one shuffle (edges ⋈ labels on
+    dst, groupBy(src, label) with map-side partial counts) plus a
+    window PARTITIONED BY src — vote lists bounded by degree, never a
+    global window; round state localCheckpointed via ``materialize``
+    (the iterative-graph cadence). Nodes appear iff they touch an
+    edge, so every node has >= 1 neighbor and the plurality argmax is
+    total."""
+    if rounds < 1:
+        raise ValueError(f"label_propagation requires rounds >= 1, got {rounds}")
+    adj = materialize(
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+            und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+    )
+    labels = (
+        adj.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    w = WindowSpec.partitionBy("src").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for _ in range(rounds):
+        votes = (
+            adj.join(labels, adj["dst"] == labels["node"])
+            .groupBy("src", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = materialize(
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), "label")
+        )
+    return labels
+
+
+def lpa_reference(
+    edges: list[tuple[int, int]], rounds: int
+) -> dict[int, int]:
+    """Pure-Python twin of ``label_propagation`` for property tests:
+    same synchronous sweeps, same (count desc, label asc) plurality
+    tie-break, dict-based. Same rounds >= 1 contract; empty edges
+    return an empty map."""
+    if rounds < 1:
+        raise ValueError(f"lpa_reference requires rounds >= 1, got {rounds}")
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    labels = {v: v for v in adj}
+    for _ in range(rounds):
+        nxt: dict[int, int] = {}
+        for v, nbrs in adj.items():
+            counts: dict[int, int] = {}
+            for u in nbrs:
+                lbl = labels[u]
+                counts[lbl] = counts.get(lbl, 0) + 1
+            nxt[v] = min(counts, key=lambda lbl: (-counts[lbl], lbl))
+        labels = nxt
+    return labels

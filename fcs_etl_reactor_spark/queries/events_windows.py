@@ -3771,38 +3771,14 @@ def q3v_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q3x_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.changepoint import cusum_location
+
     e = load(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(F.count(F.lit(1)).alias("c"))
-    wseq = Window.partitionBy("event_type").orderBy("day")
-    seq = daily.select(
-        "event_type",
-        "day",
-        F.row_number().over(wseq).alias("t"),
-        F.sum("c").over(wseq).alias("s"),
-    )
-    tot = daily.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("c").alias("tot")
-    )
-    d = (
-        seq.join(tot, "event_type")
-        .filter(F.col("t") < F.col("n"))
-        .select(
-            "event_type",
-            F.col("day").alias("cp_day"),
-            F.abs(
-                F.col("n") * F.col("s") - F.col("t") * F.col("tot")
-            ).alias("d_abs"),
-            F.col("n").alias("n_days"),
-        )
-    )
-    warg = Window.partitionBy("event_type").orderBy(
-        F.col("d_abs").desc(), F.col("cp_day").asc()
-    )
     return (
-        d.withColumn("rn", F.row_number().over(warg))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        cusum_location(daily, "event_type", "day", "c")
+        .withColumnRenamed("n_points", "n_days")
         .orderBy("event_type")
     )

@@ -1474,36 +1474,14 @@ def _lpa_round_sql(prev: str, out: str) -> str:
     """,
 )
 def q1x_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from fcs_etl_reactor_spark.operators.graphs import copurchase_pairs
+    from fcs_etl_reactor_spark.operators.graphs import (
+        copurchase_pairs,
+        label_propagation,
+    )
 
     li = load(spark, sf_dir, "lineitem")
     und = copurchase_pairs(li, min_shared=_LPA_MIN_SHARED).select("a", "b")
-    adj = materialize(
-        und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-            und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-        )
-    )
-    labels = (
-        adj.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-    )
-    w = Window.partitionBy("src").orderBy(
-        F.col("c").desc(), F.col("label").asc()
-    )
-    for _ in range(_LPA_ROUNDS):
-        votes = (
-            adj.join(labels, adj["dst"] == labels["node"])
-            .groupBy("src", "label")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        labels = materialize(
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("src").alias("node"), "label")
-        )
+    labels = label_propagation(und, rounds=_LPA_ROUNDS)
     return (
         labels.groupBy(F.col("label").alias("community"))
         .agg(F.count(F.lit(1)).alias("n_members"))

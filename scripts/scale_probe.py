@@ -152,6 +152,13 @@ PROBE_QUERIES = [  # all run on the replicated tables
     "q4x_mutual_information", # 35-cell contingency + 1-row n cross
     "q1i_ndcg",               # per-user rank windows + ideal-order join
     "q5u_naive_bayes",        # 5-row class stats broadcast scoring
+    # round-8 mints:
+    "q2r_rendezvous_sharding",  # map-side HRW argmax fanout (pure scan)
+    "q3w_hll_rollup",         # sketch build + no-rescan merge rollup
+    "q1w_link_prediction_ra",  # RA wedge join (q5o-class densification)
+    "q2s_bloom_file_skip",    # per-file bloom index build (16-key groupBy)
+    "q3x_changepoint",        # daily rollup + per-type CUSUM windows
+    "q1x_label_propagation",  # 3 LPA sweeps (densified edge multiplicity)
 ]
 
 

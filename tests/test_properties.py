@@ -1025,3 +1025,116 @@ def test_ntile_closed_form_matches_spark_ntile(spark, vals):
     )
     got = {r["x"]: r["nt"] for r in scored.select("x", closed.alias("nt")).collect()}
     assert got == want
+
+
+@SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9))
+        .filter(lambda e: e[0] != e[1])
+        .map(lambda e: (min(e), max(e))),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    ),
+    rounds=st.integers(1, 3),
+)
+def test_label_propagation_matches_reference(spark, edges, rounds):
+    """Synchronous LPA with (count desc, label asc) plurality tie-break
+    is fully deterministic — the Spark operator must agree with the
+    pure-Python twin on every random graph and round count."""
+    from fcs_etl_reactor_spark.operators.graphs import (
+        label_propagation,
+        lpa_reference,
+    )
+
+    und = spark.createDataFrame(edges, "a INT, b INT").distinct()
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(und, rounds=rounds).collect()
+    }
+    assert got == lpa_reference(sorted(set(edges)), rounds)
+
+
+def test_label_propagation_rejects_zero_rounds(spark):
+    from fcs_etl_reactor_spark.operators.graphs import (
+        label_propagation,
+        lpa_reference,
+    )
+
+    und = spark.createDataFrame([(1, 2)], "a INT, b INT")
+    with pytest.raises(ValueError):
+        label_propagation(und, rounds=0)
+    with pytest.raises(ValueError):
+        lpa_reference([(1, 2)], rounds=0)
+
+
+@SETTINGS
+@given(
+    vals=st.lists(st.integers(0, 1000), min_size=2, max_size=40),
+)
+def test_cusum_location_matches_reference(spark, vals):
+    """argmax_t |n·S_t − t·S_n| with earliest-t ties: the Spark
+    operator must agree with the brute-force twin on any series."""
+    from fcs_etl_reactor_spark.operators.changepoint import (
+        cusum_location,
+        cusum_location_reference,
+    )
+
+    df = spark.createDataFrame(
+        [("g", i + 1, v) for i, v in enumerate(vals)], "g STRING, t INT, c INT"
+    )
+    row = cusum_location(df, "g", "t", "c").collect()[0]
+    ref_t, ref_d = cusum_location_reference(vals)
+    assert (row["cp_t"], row["d_abs"]) == (ref_t, ref_d)
+
+
+@SETTINGS
+@given(
+    a=st.integers(0, 50),
+    shift=st.integers(1, 50),
+    k=st.integers(1, 15),
+    m=st.integers(1, 15),
+)
+def test_cusum_location_recovers_clean_step(a, shift, k, m):
+    """For a clean single level shift — k points at level a then m
+    points at level a+shift — |D_t| peaks exactly at the shift, so the
+    estimator must return t = k (the CUSUM location property q3x's
+    usefulness rests on)."""
+    from fcs_etl_reactor_spark.operators.changepoint import (
+        cusum_location_reference,
+    )
+
+    t, _ = cusum_location_reference([a] * k + [a + shift] * m)
+    assert t == k
+
+
+@SETTINGS
+@given(vals=st.lists(st.integers(-(2**62), 2**62), min_size=1, max_size=8))
+def test_bloom_bit_sql_portable_and_in_range(spark, vals):
+    """q2s's skip decision is exact only if `_bloom_bit_sql` evaluates
+    IDENTICALLY in Spark and DuckDB for any value — the portability
+    claim the oracle parity rests on — and lands in [0, 256)."""
+    import duckdb
+
+    from fcs_etl_reactor_spark.queries.storage import (
+        _BLOOM_HASHES,
+        _bloom_bit_sql,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "v LONG")
+    exprs = [
+        _bloom_bit_sql("cast(v as string)", f"'{s}'") for s in _BLOOM_HASHES
+    ]
+    got = [
+        tuple(r) for r in df.selectExpr("v", *exprs).orderBy("v").collect()
+    ]
+    dd_exprs = ", ".join(
+        _bloom_bit_sql("CAST(v AS VARCHAR)", f"'{s}'") for s in _BLOOM_HASHES
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    want = con.execute(f"SELECT v, {dd_exprs} FROM t ORDER BY v").fetchall()
+    assert got == [tuple(w) for w in want]
+    assert all(0 <= b < 256 for row in got for b in row[1:])
