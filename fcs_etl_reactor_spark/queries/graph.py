@@ -1348,9 +1348,15 @@ def q1l_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scaled BIGINT (1e12 div d), where AA's 1/log(deg) would be a
 # transcendental whose summation order drifts in the last ulp.
 # Scale shape: wedge enumeration is Σ deg(w)² BY DEFINITION (every
-# common-neighbor pair must be witnessed); the exposure is bounded by
-# the min_shared support filter on edges (degree ceiling) and the
-# output contract is CAPPED — top-25 by (score, pair), a
+# common-neighbor pair must be witnessed); the exposure is governed by
+# the min_shared support filter on edges (degree ceiling) and, on
+# graphs where the periphery is irrelevant to ranking, a k-core
+# pre-peel (q1h's operator) before wedge generation — both exact-
+# preserving levers, unlike a hub cap (dropping a hub of degree d
+# perturbs up to d(d-1)/2 pair scores by 1e12 div d each). The 10×
+# densified probe (BENCH.md round-8 table, note [c]) measures wall
+# strongly sub-linear in wedge count (×68,024 wedges → 51.5× wall).
+# Output contract: CAPPED — top-25 by (score, pair), a
 # TakeOrderedAndProject, never a full materialized pair list.
 # --------------------------------------------------------------------------
 

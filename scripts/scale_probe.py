@@ -227,11 +227,29 @@ def build_scaled_dir(spark, base: str, dest: str, factor: int = FACTOR) -> str:
     return dest
 
 
+def _clear_plan_cache(spark) -> None:
+    """Evict the session's prepared-plan LRU so every timed sample is
+    a COLD plan build + full execution. Without this, queries that do
+    real work at construction time — eager localCheckpoint rounds in
+    the iterative-graph family, bounded offset-map collects in the
+    global-ordering primitives — run that work once in the warmup and
+    the timed samples re-execute only the post-checkpoint tail
+    (measured: q1x_label_propagation "0.14 s" warm vs ~2 s cold at
+    1×). The scan-plan memo in io.load stays: building a scan plan
+    executes nothing, and the one-time re-chunk layout is exactly the
+    kind of amortized ingest cost the probe should not re-bill."""
+    from fcs_etl_reactor_spark.queries import _PLAN_CACHE_ATTR
+
+    spark.__dict__.pop(_PLAN_CACHE_ATTR, None)
+
+
 def time_query(spark, name: str, sf_dir: str, runs: int = 3) -> float:
     fn = QUERIES.get(name, _EXTRA_PROBES.get(name))
+    _clear_plan_cache(spark)
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     samples = []
     for _ in range(runs):
+        _clear_plan_cache(spark)
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         samples.append(time.perf_counter() - t0)

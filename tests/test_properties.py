@@ -1011,15 +1011,21 @@ def test_ntile_closed_form_matches_spark_ntile(spark, vals):
     }
     n1 = df.agg(F.count(F.lit(1)).alias("_n"))
     rk = F.row_number().over(Window.orderBy("x"))  # rank source is not under test
-    scored = df.select("x", rk.alias("_rk")).crossJoin(F.broadcast(n1))
-    n = F.col("_n")
-    q = F.floor(n / 4).cast("bigint")
-    r_ = n % 4
-    head = r_ * (q + 1)
+    scored = (
+        df.select("x", rk.alias("_rk"))
+        .crossJoin(F.broadcast(n1))
+        .withColumn("_q", F.expr("_n div 4"))
+        .withColumn("_r", F.col("_n") % 4)
+        .withColumn("_head", F.col("_r") * (F.col("_q") + 1))
+    )
+    # the production BIGINT-div closed form (q3f's ntile4 idiom)
     closed = (
-        F.when(F.col("_rk") <= head, F.floor((F.col("_rk") - 1) / (q + 1)) + 1)
+        F.when(
+            F.col("_rk") <= F.col("_head"),
+            F.expr("(_rk - 1) div (_q + 1)") + 1,
+        )
         .otherwise(
-            r_ + F.floor((F.col("_rk") - head - 1) / F.greatest(q, F.lit(1))) + 1
+            F.col("_r") + F.expr("(_rk - _head - 1) div greatest(_q, 1)") + 1
         )
         .cast("int")
     )
