@@ -17,14 +17,33 @@ from fcs_etl_reactor_spark.queries import QUERIES
 from fcs_etl_reactor_spark.session import get_spark
 from scripts.driver_sim import value_hash
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+def _parse_args():
+    # argparse, not bare sys.argv: an unknown flag must error out, not
+    # be swallowed as the sf_dir positional (run_differ's round-7 fix,
+    # applied to the siblings per verdict item 7's "and siblings")
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[1])
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.001")
+    ap.add_argument(
+        "queries",
+        nargs="*",
+        help="optional registry-name subset (default: full registry)",
+    )
+    return ap.parse_args()
 
 
 def main() -> int:
+    args = _parse_args()
+    sf = args.sf_dir
+    todo = (
+        {n: QUERIES[n] for n in args.queries} if args.queries else QUERIES
+    )
     spark = get_spark(app_name="invariance-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     bad, err = [], []
-    for name, fn in QUERIES.items():
+    for name, fn in todo.items():
         hashes = []
         try:
             for parts in ("3", "17"):
@@ -32,7 +51,7 @@ def main() -> int:
                 # bypass the plan cache: a cached DataFrame would reuse
                 # the first run's shuffle setting
                 spark.__dict__.pop("_fcs_plan_cache", None)
-                df = fn(spark, SF)
+                df = fn(spark, sf)
                 hashes.append(value_hash(df.collect(), df.columns))
         except Exception as exc:
             err.append((name, repr(exc)[:200]))
@@ -42,7 +61,7 @@ def main() -> int:
         if status == "DIFF":
             bad.append(name)
         print(f"[{status}] {name}", flush=True)
-    print(f"\n{len(QUERIES) - len(bad) - len(err)}/{len(QUERIES)} invariant; "
+    print(f"\n{len(todo) - len(bad) - len(err)}/{len(todo)} invariant; "
           f"{len(bad)} hash-diff {bad}; {len(err)} errors {[n for n, _ in err]}")
     return 1 if bad or err else 0
 
