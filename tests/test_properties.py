@@ -17,8 +17,13 @@ from fcs_etl_reactor_spark.functions.exact import dsum
 from fcs_etl_reactor_spark.operators.asof import asof_join
 from fcs_etl_reactor_spark.operators.dedup import exact_dedup
 
+# SPARK_GRAFT_HYP_EXAMPLES raises the example budget for one-off deep
+# fuzz sessions (default 8 keeps the suite's Spark-job latency sane)
+import os as _os
+
 SETTINGS = settings(
-    max_examples=8, deadline=None,
+    max_examples=int(_os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "8")),
+    deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
