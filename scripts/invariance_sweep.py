@@ -31,6 +31,14 @@ def _parse_args():
         nargs="*",
         help="optional registry-name subset (default: full registry)",
     )
+    ap.add_argument(
+        "--axis",
+        choices=("partitions", "aqe"),
+        default="partitions",
+        help="invariance axis: shuffle.partitions 3 vs 17 (default) "
+        "or adaptive execution on vs off — outputs must not depend on "
+        "physical planning either way",
+    )
     return ap.parse_args()
 
 
@@ -46,8 +54,13 @@ def main() -> int:
     for name, fn in todo.items():
         hashes = []
         try:
-            for parts in ("3", "17"):
-                spark.conf.set("spark.sql.shuffle.partitions", parts)
+            axis = (
+                ("spark.sql.shuffle.partitions", ("3", "17"))
+                if args.axis == "partitions"
+                else ("spark.sql.adaptive.enabled", ("true", "false"))
+            )
+            for setting in axis[1]:
+                spark.conf.set(axis[0], setting)
                 # bypass the plan cache: a cached DataFrame would reuse
                 # the first run's shuffle setting
                 spark.__dict__.pop("_fcs_plan_cache", None)
