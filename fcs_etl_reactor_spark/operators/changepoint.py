@@ -30,13 +30,27 @@ def cusum_location(
     group — the order value AFTER WHICH the level shifts, ties broken
     by the earliest order value. The boundary split t = n is excluded
     (D_n = 0 identically; splitting after the last point is not a
-    split)."""
+    split).
+
+    Contract: (group_col, order_col) must be UNIQUE — with duplicate
+    order values the series itself is ill-defined (which duplicate
+    comes first?); pre-aggregate duplicates (e.g. sum per day) before
+    calling. Groups with a single row produce NO output row: a
+    1-point series admits no split (mirrors the n >= 2 ValueError in
+    ``cusum_location_reference``)."""
     wseq = WindowSpec.partitionBy(group_col).orderBy(order_col)
+    # ROWS frame, not the default RANGE: RANGE would give peer rows
+    # (duplicate order values) one shared prefix sum while row_number
+    # still hands them distinct t, yielding wrong and nondeterministic
+    # D_t. With the uniqueness contract the two frames agree, but ROWS
+    # makes the prefix sum match the reference twin even if a caller
+    # violates the contract.
+    wrows = wseq.rowsBetween(WindowSpec.unboundedPreceding, WindowSpec.currentRow)
     seq = series.select(
         group_col,
         order_col,
         F.row_number().over(wseq).alias("_t"),
-        F.sum(value_col).over(wseq).alias("_s"),
+        F.sum(value_col).over(wrows).alias("_s"),
     )
     tot = series.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("_n"), F.sum(value_col).alias("_tot")

@@ -21,20 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import HEADLINE
 from fcs_etl_reactor_spark.queries import QUERIES
 from fcs_etl_reactor_spark.session import get_spark, tune_for_input
+from scripts.cliutil import sf_arg
 
-
-
-def _sf_arg(default: str) -> str:
-    # reject unknown flags instead of swallowing them as sf_dir
-    # (run_differ's round-7 argparse fix, applied to the siblings)
-    import argparse
-
-    ap = argparse.ArgumentParser()
-    ap.add_argument("sf_dir", nargs="?", default=default)
-    return ap.parse_args().sf_dir
 
 def main() -> int:
-    sf_dir = _sf_arg("/root/testdata/sf0.1")
+    sf_dir = sf_arg("/root/testdata/sf0.1")
     from pyspark.sql import SparkSession
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))

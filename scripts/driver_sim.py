@@ -14,21 +14,12 @@ import duckdb
 from pyspark.sql import SparkSession
 
 import __spark_entry__ as ent
-
-
-def _sf_arg(default: str) -> str:
-    # reject unknown flags instead of swallowing them as sf_dir
-    # (run_differ's round-7 argparse fix, applied to the siblings)
-    import argparse
-
-    ap = argparse.ArgumentParser()
-    ap.add_argument("sf_dir", nargs="?", default=default)
-    return ap.parse_args().sf_dir
+from scripts.cliutil import sf_arg
 
 
 # parse argv only when run as a script: tz_probe imports this module
 # for TABLES/value_hash and must not have its argv re-parsed here
-SF = _sf_arg("/root/testdata/sf0.01") if __name__ == "__main__" else "/root/testdata/sf0.01"
+SF = sf_arg("/root/testdata/sf0.01") if __name__ == "__main__" else "/root/testdata/sf0.01"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 

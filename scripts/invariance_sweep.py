@@ -26,9 +26,13 @@ def _parse_args():
 
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[1])
     ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.001")
+    # --queries is a FLAG, not a second positional: a bare
+    # `invariance_sweep.py q10_star_join` must error out, not silently
+    # bind the query name to sf_dir (ADVICE r8)
     ap.add_argument(
-        "queries",
-        nargs="*",
+        "--queries",
+        nargs="+",
+        default=[],
         help="optional registry-name subset (default: full registry)",
     )
     ap.add_argument(
@@ -39,7 +43,14 @@ def _parse_args():
         "or adaptive execution on vs off — outputs must not depend on "
         "physical planning either way",
     )
-    return ap.parse_args()
+    args = ap.parse_args()
+    from scripts.cliutil import require_dir
+
+    require_dir(ap, args.sf_dir)
+    unknown = [n for n in args.queries if n not in QUERIES]
+    if unknown:
+        ap.error(f"unknown query names: {unknown}")
+    return args
 
 
 def main() -> int:

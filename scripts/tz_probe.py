@@ -19,19 +19,10 @@ from pyspark.sql import SparkSession
 from fcs_etl_reactor_spark.queries import ORACLE, QUERIES
 from fcs_etl_reactor_spark.testkit import schema_diff
 from scripts.driver_sim import TABLES, value_hash
+from scripts.cliutil import sf_arg
 
 
-def _sf_arg(default: str) -> str:
-    # reject unknown flags instead of swallowing them as sf_dir
-    # (run_differ's round-7 argparse fix, applied to the siblings)
-    import argparse
-
-    ap = argparse.ArgumentParser()
-    ap.add_argument("sf_dir", nargs="?", default=default)
-    return ap.parse_args().sf_dir
-
-
-SF = _sf_arg("/root/testdata/sf0.01")
+SF = sf_arg("/root/testdata/sf0.01")
 
 TS_QUERIES = [
     "q41_event_gaps", "q47_time_frames", "q49_calendar_parts",
