@@ -423,3 +423,64 @@ def lpa_reference(
             nxt[v] = min(counts, key=lambda lbl: (-counts[lbl], lbl))
         labels = nxt
     return labels
+
+
+def wedge_budget_min_shared(
+    support: DataFrame, ladder: tuple[int, ...], budget: int
+) -> int:
+    """Degree-histogram pre-pass for wedge-enumerating algorithms
+    (Resource Allocation / common-neighbor scoring): pick the smallest
+    support threshold on the *ladder* whose filtered graph has at most
+    *budget* wedges, where the wedge count Σ_w d(w)·(d(w)−1)/2 is the
+    EXACT row count the wedge self-join must produce.
+
+    `support` is the canonical pair table (a, b, n_orders) from
+    ``copurchase_pairs(min_shared=1..)``. All ladder rungs are costed
+    in ONE pass — explode endpoints once, per-node conditional degree
+    per rung, one 1-row driver collect (bounded by len(ladder)
+    columns) — so the pre-pass is two small shuffles regardless of
+    how many rungs are probed, and never re-executes the (materialized)
+    pair build. Raising min_shared is the exact-preserving lever from
+    the q1w contract: the result is still an exact RA computation on a
+    more strongly supported graph, unlike a hub cap which perturbs
+    individual scores. If even the last rung exceeds the budget the
+    last rung is returned (degrade as far as the ladder allows, never
+    silently emptier): callers choose ladders whose tail is known to
+    tame their densification mode.
+
+    All counts are BIGINT — the decision is deterministic and
+    partition-invariant by construction.
+    """
+    ends = support.select(F.col("a").alias("node"), "n_orders").unionAll(
+        support.select(F.col("b").alias("node"), "n_orders")
+    )
+    degs = ends.groupBy("node").agg(
+        *[
+            F.sum((F.col("n_orders") >= ms).cast("bigint")).alias(f"d{ms}")
+            for ms in ladder
+        ]
+    )
+    row = degs.agg(
+        *[
+            F.sum(F.col(f"d{ms}") * (F.col(f"d{ms}") - F.lit(1))).alias(f"w{ms}")
+            for ms in ladder
+        ]
+    ).collect()[0]
+    for ms in ladder:
+        if (row[f"w{ms}"] or 0) <= 2 * budget:  # w columns hold 2·wedges
+            return ms
+    return ladder[-1]
+
+
+def wedge_count_reference(
+    pairs: list[tuple[int, int, int]], min_shared: int
+) -> int:
+    """Pure-Python twin of the per-rung wedge estimate: exact number
+    of (u < v, w) wedge rows the RA enumeration produces on the
+    support-filtered graph."""
+    deg: dict[int, int] = {}
+    for a, b, n in pairs:
+        if n >= min_shared:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+    return sum(d * (d - 1) // 2 for d in deg.values())

