@@ -39,8 +39,16 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     Pure expression pipeline: split → positional transform → explode.
     """
     w = F.split(F.col(text_col), " ")
+    # a doc shorter than n tokens has ZERO shingles. The guard matters:
+    # sequence(1, 0) in Spark DESCENDS to [1, 0], so an unguarded
+    # sequence(1, size-(n-1)) hands transform out-of-range positions
+    # and element_at throws under ANSI on any short document — fine on
+    # long-doc fixtures, fatal on a real corpus's one-word rows.
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0))),
+        idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(w, i + off) for off in range(n)]
         ),
@@ -85,6 +93,69 @@ def ngram_jaccard_pairs(
     )
     return (
         pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_verify_pairs(
+    df: DataFrame,
+    cands: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard computed ONLY for the given candidate
+    pairs: (doc_a, doc_b, jaccard) for candidates with J ≥ threshold.
+
+    This is the verify stage of every blocking pipeline (LSH, SimHash,
+    sorted-neighborhood): `cands` must have doc_a/doc_b columns (any
+    orientation — no a < b assumption, so cross-corpus candidates work
+    unchanged). Identical result set to
+    ``cands ∩ ngram_jaccard_pairs(df, threshold)`` — same distinct-
+    shingle counts, same double-division formula — but the cost is
+    O(|cands| · |shingles/doc|) array intersections instead of the
+    inverted-index self-join's Σ_shingle df² pair explosion, which is
+    the difference between "verify 250k candidates" and "enumerate
+    25M shared-shingle pairs" on a densified corpus (q5f 10× profile,
+    BENCH.md round 9). At 100 TB the all-pairs arm is only feasible as
+    an oracle; this is the production verify path.
+
+    Per-doc shingle SETS stay as arrays (array_distinct — no
+    explode), joined to each side of the candidate list;
+    `array_intersect` is JVM codegen. The denominator is
+    null-guarded: 0/0 would be NaN, and NaN compares GREATER than any
+    threshold in Spark SQL — a both-empty pair must drop out, not
+    sail through.
+    """
+    w = F.split(F.col(text_col), " ")
+    # a doc shorter than n tokens has ZERO shingles. The guard matters:
+    # sequence(1, 0) in Spark DESCENDS to [1, 0], so an unguarded
+    # sequence(1, size-(n-1)) hands transform out-of-range positions
+    # and element_at throws under ANSI on any short document — fine on
+    # long-doc fixtures, fatal on a real corpus's one-word rows.
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + off) for off in range(n)]
+        ),
+    )
+    sets = df.select(
+        F.col(id_col), F.array_distinct(grams).alias("_sh_set")
+    )
+    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("_sh_set").alias("_sa"))
+    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("_sh_set").alias("_sb"))
+    common = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    denom = F.size("_sa") + F.size("_sb") - common
+    jac = common.cast("double") / F.nullif(denom, F.lit(0))
+    return (
+        cands.select("doc_a", "doc_b")
+        .join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)

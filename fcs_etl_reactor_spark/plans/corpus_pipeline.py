@@ -22,8 +22,8 @@ from pyspark.sql import functions as F
 from fcs_etl_reactor_spark.io import load
 from fcs_etl_reactor_spark.operators.dedup import (
     dedup_clusters,
+    jaccard_verify_pairs,
     minhash_lsh_pairs,
-    ngram_jaccard_pairs,
 )
 
 NEARDUP_J = 0.8
@@ -45,8 +45,10 @@ def drop_near_dups(docs: DataFrame) -> DataFrame:
     LSH candidates → exact Jaccard ≥ 0.8 → connected components →
     anti-join the non-canonical members."""
     cands = minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_perm=64, bands=16)
-    exact = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=NEARDUP_J)
-    clusters = dedup_clusters(cands.join(exact, ["doc_a", "doc_b"]))
+    verified = jaccard_verify_pairs(
+        docs, cands, "doc_id", "text", n=3, threshold=NEARDUP_J
+    )
+    clusters = dedup_clusters(verified)
     losers = clusters.filter(~F.col("is_canonical")).select(
         F.col("node").alias("doc_id")
     )

@@ -29,9 +29,9 @@ from fcs_etl_reactor_spark.io import load
 from fcs_etl_reactor_spark.operators.dedup import (
     dedup_clusters,
     dedup_clusters_star,
+    jaccard_verify_pairs,
     minhash_lsh_cross_pairs,
     minhash_lsh_pairs,
-    ngram_jaccard_pairs,
     simhash_candidates,
     span_dedup,
 )
@@ -76,11 +76,8 @@ def q56_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify stage, run on LSH candidates only — never all pairs)."""
     d = load(spark, sf_dir, "documents")
     cands = minhash_lsh_pairs(d, "doc_id", "text", n=3, num_perm=64, bands=16)
-    exact = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=_NEARDUP_J)
-    return (
-        cands.join(exact, ["doc_a", "doc_b"])
-        .select("doc_a", "doc_b", F.round("jaccard", 9).alias("jaccard"))
-    )
+    verified = jaccard_verify_pairs(d, cands, "doc_id", "text", n=3, threshold=_NEARDUP_J)
+    return verified.select("doc_a", "doc_b", F.round("jaccard", 9).alias("jaccard"))
 
 
 @query("q57_simhash_candidates", oracle=_JACCARD_SQL.format(t=0.9))
@@ -92,11 +89,8 @@ def q57_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates."""
     d = load(spark, sf_dir, "documents")
     cands = simhash_candidates(d, "doc_id", "text", band_bits=8)
-    exact = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.9)
-    return (
-        cands.join(exact, ["doc_a", "doc_b"])
-        .select("doc_a", "doc_b", F.round("jaccard", 9).alias("jaccard"))
-    )
+    verified = jaccard_verify_pairs(d, cands, "doc_id", "text", n=3, threshold=0.9)
+    return verified.select("doc_a", "doc_b", F.round("jaccard", 9).alias("jaccard"))
 
 
 @query(
@@ -161,8 +155,7 @@ def q5b_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the step that turns pairwise similarity into an actual dedup)."""
     d = load(spark, sf_dir, "documents")
     cands = minhash_lsh_pairs(d, "doc_id", "text", n=3, num_perm=64, bands=16)
-    exact = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=_NEARDUP_J)
-    verified = cands.join(exact, ["doc_a", "doc_b"])
+    verified = jaccard_verify_pairs(d, cands, "doc_id", "text", n=3, threshold=_NEARDUP_J)
     return dedup_clusters(verified)
 
 
@@ -198,8 +191,7 @@ def q5f_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical recursive-CTE oracle."""
     d = load(spark, sf_dir, "documents")
     cands = minhash_lsh_pairs(d, "doc_id", "text", n=3, num_perm=64, bands=16)
-    exact = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=_NEARDUP_J)
-    verified = cands.join(exact, ["doc_a", "doc_b"])
+    verified = jaccard_verify_pairs(d, cands, "doc_id", "text", n=3, threshold=_NEARDUP_J)
     return dedup_clusters_star(verified)
 
 
@@ -278,22 +270,23 @@ def q6h_lsh_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = minhash_lsh_cross_pairs(
         train, holdout, "doc_id", "text", n=3, num_perm=64, bands=16
     )
-    exact = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=_NEARDUP_J)
-    # exact emits doc_a < doc_b; a cross pair may sit either way round
-    both = exact.unionByName(
-        exact.select(
-            F.col("doc_b").alias("doc_a"),
-            F.col("doc_a").alias("doc_b"),
-            "jaccard",
-        )
+    # the verify operator takes pairs in ANY orientation, so the
+    # (train, holdout) candidates go straight in — no union dance
+    verified = jaccard_verify_pairs(
+        d,
+        cands.select(
+            F.col("train_id").alias("doc_a"),
+            F.col("holdout_id").alias("doc_b"),
+        ),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=_NEARDUP_J,
     )
-    return (
-        cands.join(
-            both,
-            (cands["train_id"] == both["doc_a"])
-            & (cands["holdout_id"] == both["doc_b"]),
-        )
-        .select("train_id", "holdout_id", F.round("jaccard", 9).alias("jaccard"))
+    return verified.select(
+        F.col("doc_a").alias("train_id"),
+        F.col("doc_b").alias("holdout_id"),
+        F.round("jaccard", 9).alias("jaccard"),
     )
 
 

@@ -1212,3 +1212,45 @@ def test_q1w_budget_stays_at_contract_threshold_on_fixtures(spark):
         )
         == 2
     )
+
+
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30),
+        min_size=2,
+        max_size=6,
+    ),
+    threshold=st.sampled_from([0.2, 0.5, 0.8]),
+)
+def test_jaccard_verify_matches_allpairs_arm(spark, texts, threshold):
+    """The candidates-only verify operator must produce exactly
+    cands ∩ ngram_jaccard_pairs on every corpus — same pair set, same
+    jaccard values — when handed the complete pair list as candidates
+    (the all-pairs arm IS the definition; verify is the scale path)."""
+    from fcs_etl_reactor_spark.operators.dedup import (
+        jaccard_verify_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id INT, text STRING"
+    )
+    n_docs = len(texts)
+    all_pairs = spark.createDataFrame(
+        [(a, b) for a in range(n_docs) for b in range(a + 1, n_docs)],
+        "doc_a INT, doc_b INT",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in jaccard_verify_pairs(
+            docs, all_pairs, "doc_id", "text", n=3, threshold=threshold
+        ).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=threshold
+        ).collect()
+    }
+    assert got == want
