@@ -19,3 +19,204 @@ def merge_upsert(base: DataFrame, updates: DataFrame, key_cols: list[str]) -> Da
     assert set(base.columns) == set(updates.columns), "schema mismatch"
     survivors = base.join(updates.select(*key_cols), key_cols, "left_anti")
     return updates.unionByName(survivors)
+
+
+# --------------------------------------------------------------------------
+# MERGE INTO SQL surface. Vanilla Spark only executes MERGE against a
+# v2 table with a merge-capable catalog (Delta/Iceberg); none ships in
+# this environment, so the statement surface is implemented HERE and
+# lowered to the same relational algebra `merge_upsert` uses — exactly
+# what those formats do underneath. The result is returned as a
+# DataFrame (the post-merge table contents) rather than written: the
+# write half is a sink concern (io.py), the MERGE semantics are the
+# engine concern.
+#
+# Supported grammar (a deliberate, documented subset — anything else
+# raises ValueError, never a silent misparse):
+#
+#   MERGE INTO <table> [AS] <t>
+#   USING <table> [AS] <s>  |  USING ( <subquery> ) [AS] <s>
+#   ON <condition>
+#   { WHEN MATCHED [AND <cond>] THEN UPDATE SET col = expr, ...
+#   | WHEN MATCHED [AND <cond>] THEN DELETE }...
+#   [ WHEN NOT MATCHED THEN INSERT * ]
+#
+# ANSI clause semantics: for each matched (t, s) pair the FIRST
+# matched-clause whose condition holds fires (update or delete);
+# a matched row with no firing clause passes through unchanged.
+# Contract (same as the lakehouse formats): each target row may match
+# at most one source row — a multi-match source makes MERGE
+# ill-defined and is the caller's schema invariant, not checked here.
+# --------------------------------------------------------------------------
+
+
+def _scan_parens(sql: str, start: int) -> int:
+    """Index just past the ')' matching the '(' at `start` (depth
+    count; single-quoted literals are opaque)."""
+    depth, i, n = 0, start, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            i = sql.index("'", i + 1)  # skip literal; ValueError if unclosed
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError("MERGE: unbalanced parentheses in USING subquery")
+
+
+def _split_top_level(sql: str, keyword: str) -> list[str]:
+    """Split on a keyword at paren-depth 0 (word-bounded, any case)."""
+    import re
+
+    parts, depth, last = [], 0, 0
+    for m in re.finditer(r"[()]|\b" + keyword + r"\b", sql, re.I):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            parts.append(sql[last : m.start()])
+            last = m.end()
+    parts.append(sql[last:])
+    return parts
+
+
+def merge_into_sql(spark, sql: str) -> DataFrame:
+    """Parse and execute a MERGE INTO statement (grammar above)
+    against registered views/tables; returns the merged relation.
+
+    Lowering: one join per disposition on the raw ON condition —
+    inner (matched: case-cascade per target column over the clause
+    conditions), left_anti from target (survivors), left_anti from
+    source (INSERT *) — so the physical cost is the q7b shape: a
+    single shuffle (or broadcast, when the source is bounded) on the
+    merge key, nothing rewriting untouched rows.
+    """
+    import re
+
+    from pyspark.sql import functions as F
+
+    m = re.match(
+        r"\s*MERGE\s+INTO\s+(\w+)\s+(?:AS\s+)?(\w+)\s+USING\s+", sql, re.I
+    )
+    if not m:
+        raise ValueError("MERGE: expected 'MERGE INTO <table> [AS] <alias> USING'")
+    tgt_name, t_alias = m.group(1), m.group(2)
+    rest = sql[m.end() :]
+    if rest.lstrip().startswith("("):
+        open_at = len(rest) - len(rest.lstrip())
+        end = _scan_parens(rest, open_at)
+        source = spark.sql(rest[open_at + 1 : end - 1])
+        rest = rest[end:]
+    else:
+        m2 = re.match(r"\s*(\w+)", rest)
+        if not m2:
+            raise ValueError("MERGE: expected source table or (subquery) after USING")
+        source = spark.table(m2.group(1))
+        rest = rest[m2.end() :]
+    m3 = re.match(r"\s*(?:AS\s+)?(\w+)\s+ON\s+", rest, re.I)
+    if not m3:
+        raise ValueError("MERGE: expected '[AS] <alias> ON <condition>'")
+    s_alias = m3.group(1)
+    whens = _split_top_level(rest[m3.end() :], "WHEN")
+    on_sql = whens[0].strip()
+    if not on_sql or len(whens) < 2:
+        raise ValueError("MERGE: expected ON condition followed by WHEN clauses")
+
+    matched_clauses: list[tuple[str | None, str, dict[str, str] | None]] = []
+    insert_star = False
+    for clause in whens[1:]:
+        c = clause.strip()
+        mm = re.match(
+            r"MATCHED\s+(?:AND\s+(.*?)\s+)?THEN\s+(UPDATE\s+SET\s+(.*)|DELETE)\s*$",
+            c,
+            re.I | re.S,
+        )
+        if mm:
+            cond = mm.group(1)
+            if mm.group(2).upper().startswith("DELETE"):
+                matched_clauses.append((cond, "delete", None))
+            else:
+                matched_clauses.append((cond, "update", _parse_set_list(mm.group(3))))
+            continue
+        if re.match(r"NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$", c, re.I):
+            insert_star = True
+            continue
+        raise ValueError(f"MERGE: unsupported WHEN clause: WHEN {c[:80]}")
+
+    t = spark.table(tgt_name).alias(t_alias)
+    s = source.alias(s_alias)
+    on = F.expr(on_sql)
+    tcols = spark.table(tgt_name).columns
+
+    parts = [t.join(s, on, "left_anti").select(*tcols)]  # untouched rows
+    if matched_clauses:
+        joined = t.join(s, on, "inner")
+        remaining = F.lit(True)
+        branches = []  # (fires, action, sets)
+        for cond, action, sets in matched_clauses:
+            c = F.expr(cond) if cond else F.lit(True)
+            branches.append((remaining & c, action, sets))
+            remaining = remaining & ~c
+        deletes = [b for b, a, _ in branches if a == "delete"]
+        kept = joined
+        for d in deletes:
+            kept = kept.filter(~d)
+        out_cols = []
+        for col in tcols:
+            expr = None
+            for fires, action, sets in branches:
+                if action == "update" and sets and col in sets:
+                    val = F.expr(sets[col]).cast(
+                        spark.table(tgt_name).schema[col].dataType
+                    )
+                    expr = (
+                        F.when(fires, val)
+                        if expr is None
+                        else expr.when(fires, val)
+                    )
+            base = F.col(f"{t_alias}.{col}")
+            out_cols.append(
+                (expr.otherwise(base) if expr is not None else base).alias(col)
+            )
+        parts.append(kept.select(*out_cols))
+    if insert_star:
+        missing = [c for c in tcols if c not in source.columns]
+        if missing:
+            raise ValueError(
+                f"MERGE: INSERT * source lacks target columns {missing}"
+            )
+        parts.append(s.join(t, on, "left_anti").select(*tcols))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _parse_set_list(set_sql: str) -> dict[str, str]:
+    """Parse 'a = expr, b = expr' with commas split at paren-depth 0."""
+    items, depth, last = [], 0, 0
+    for i, ch in enumerate(set_sql):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            items.append(set_sql[last:i])
+            last = i + 1
+    items.append(set_sql[last:])
+    sets: dict[str, str] = {}
+    import re
+
+    for item in items:
+        mm = re.match(r"\s*(\w+)\s*=\s*(.+?)\s*$", item, re.S)
+        if not mm:
+            raise ValueError(f"MERGE: bad SET item: {item!r}")
+        sets[mm.group(1)] = mm.group(2)
+    return sets

