@@ -55,6 +55,8 @@ TS_QUERIES = [
     "q1s_interval_union", "q3u_rolling_hll", "q3v_capped_sessions",
     # round-8 session additions (timestamp-touching):
     "q3x_changepoint",
+    # round-9 session additions (timestamp-touching):
+    "q3y_groups_frame",  # DATE peer groups derived from l_shipdate
 ]
 
 
