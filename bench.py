@@ -65,6 +65,15 @@ def main() -> int:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = tune_for_input(get_spark(app_name="fcs-etl-reactor-spark-bench"), sf_dir)
     spark.sparkContext.setLogLevel("ERROR")
+    # SPARK_GRAFT_AQE=off pins adaptive execution off for the whole
+    # run (round-8 verdict item 8: a per-round AQE-off pass over the
+    # headline set catches any query whose SPEED silently starts
+    # depending on runtime re-planning — correctness invariance is
+    # already swept by invariance_sweep --axis aqe). Default behavior
+    # and the driver's JSON contract are unchanged.
+    aqe_mode = os.environ.get("SPARK_GRAFT_AQE", "")
+    if aqe_mode.lower() == "off":
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     # Per-query isolation (round-2 lesson: one broken query aborted the
     # whole harness and the round had NO bench artifact). A failing
@@ -86,6 +95,8 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
     }
+    if aqe_mode.lower() == "off":
+        out["aqe"] = "off"  # never mistakable for a driver bench line
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
