@@ -1341,3 +1341,94 @@ def q2t_merge_into_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(cents).alias("price_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# q2u — UNPIVOT SQL surface (round-9 mint; the statement-level dual of
+# q72's pivot / q73's stack()-based unpivot): wide → long directly in
+# the FROM clause, the migration surface a reporting workload actually
+# writes. Spark resolves UNPIVOT to the same Expand node stack()
+# builds — one scan, no shuffle, row fanout = #measures — so this is a
+# parser-surface row; DuckDB's native UNPIVOT is the oracle. Measures
+# are pre-scaled to BIGINT cents in a subquery (UNPIVOT requires one
+# common type, and integer cents keep the hash engine-exact).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q2u_unpivot_sql",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, val
+    FROM (
+      UNPIVOT (
+        SELECT l_orderkey, l_linenumber,
+               CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT) AS qty_c,
+               CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS price_c,
+               CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT) AS disc_c,
+               CAST(FLOOR(l_tax * 100.0 + 0.5) AS BIGINT) AS tax_c
+        FROM lineitem WHERE l_orderkey % 50 = 0
+      ) ON qty_c, price_c, disc_c, tax_c INTO NAME metric VALUE val
+    )
+    """,
+)
+def q2u_unpivot_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, metric, val
+        FROM (
+          SELECT l_orderkey, l_linenumber,
+                 CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT) AS qty_c,
+                 CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                   AS price_c,
+                 CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT) AS disc_c,
+                 CAST(FLOOR(l_tax * 100.0 + 0.5) AS BIGINT) AS tax_c
+          FROM lineitem WHERE l_orderkey % 50 = 0
+        ) UNPIVOT (val FOR metric IN (qty_c, price_c, disc_c, tax_c))
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# q2v — LIMIT/OFFSET pagination surface (round-9 mint): page 3 of a
+# deterministically ordered report (ORDER BY total DESC, key LIMIT 20
+# OFFSET 40). OFFSET is only well-defined over a TOTAL order — the
+# unique-key tiebreak is what makes page boundaries engine- and
+# partitioning-stable, the same discipline every ORDER BY in this repo
+# follows. Spark plans the combination as a single
+# CollectLimit/TakeOrderedAndProject of offset+limit rows (never a
+# full global sort materialization); the page is then sliced — at
+# 100 TB you'd keyset-paginate instead (WHERE key > last_seen), but
+# the OFFSET surface is what BI tools emit.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q2v_limit_offset",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS HUGEINT))
+                AS BIGINT) AS spend_cents
+    FROM orders GROUP BY o_custkey
+    ORDER BY spend_cents DESC, o_custkey
+    LIMIT 20 OFFSET 40
+    """,
+)
+def q2v_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                 AS spend_cents
+        FROM orders GROUP BY o_custkey
+        ORDER BY spend_cents DESC, o_custkey
+        LIMIT 20 OFFSET 40
+        """
+    )

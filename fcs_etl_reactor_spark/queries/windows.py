@@ -461,3 +461,73 @@ def q1y_partial_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial_topk(
         o, ["o_orderpriority"], "price_cents", "o_orderkey", k=3
     )
+
+
+# --------------------------------------------------------------------------
+# q3z — ANSI window frame EXCLUSION (round-9 mint; the other frame
+# feature Spark lacks, alongside q3y's GROUPS mode): `EXCLUDE CURRENT
+# ROW / EXCLUDE GROUP / EXCLUDE TIES` carve rows back out of an
+# established frame — "the surrounding days' demand WITHOUT my own
+# order / my whole day / my day except me". DuckDB implements the
+# clause natively, so for once the oracle is the REAL ANSI surface
+# and Spark is the one composing. The composition is exact algebra on
+# distributive aggregates over two shared-sort windows:
+#   frame_sum  = SUM over the RANGE frame
+#   peers_sum  = SUM over RANGE (0,0)   (the current row's peer group)
+#   EXCLUDE CURRENT ROW = frame_sum − v       (NULL if frame = {me})
+#   EXCLUDE GROUP       = frame_sum − peers_sum  (NULL if frame ⊆ peers)
+#   EXCLUDE TIES        = frame_sum − peers_sum + v   (never empty)
+# The NULL guards matter: ANSI SUM over an emptied frame is NULL, not
+# 0, so the compositions carry frame/peer COUNTs and null out exactly
+# when DuckDB does. All sums are BIGINT cents — engine-identical.
+# Both windows share one (partition, order) sort; day ties make the
+# three modes genuinely diverge.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q3z_frame_exclusion",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+      CAST(SUM(cents) OVER (PARTITION BY o_orderpriority ORDER BY di
+        RANGE BETWEEN 2 PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW)
+        AS BIGINT) AS excl_current,
+      CAST(SUM(cents) OVER (PARTITION BY o_orderpriority ORDER BY di
+        RANGE BETWEEN 2 PRECEDING AND CURRENT ROW EXCLUDE GROUP)
+        AS BIGINT) AS excl_group,
+      CAST(SUM(cents) OVER (PARTITION BY o_orderpriority ORDER BY di
+        RANGE BETWEEN 2 PRECEDING AND CURRENT ROW EXCLUDE TIES)
+        AS BIGINT) AS excl_ties
+    FROM (
+      SELECT o_orderpriority, o_orderkey,
+             DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS di,
+             CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    )
+    """,
+)
+def q3z_frame_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .alias("di"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    frame = (
+        Window.partitionBy("o_orderpriority").orderBy("di").rangeBetween(-2, 0)
+    )
+    peers = (
+        Window.partitionBy("o_orderpriority").orderBy("di").rangeBetween(0, 0)
+    )
+    fsum, fcnt = F.sum("cents").over(frame), F.count(F.lit(1)).over(frame)
+    psum, pcnt = F.sum("cents").over(peers), F.count(F.lit(1)).over(peers)
+    v = F.col("cents")
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.when(fcnt > 1, fsum - v).alias("excl_current"),
+        F.when(fcnt > pcnt, fsum - psum).alias("excl_group"),
+        (fsum - psum + v).alias("excl_ties"),
+    )

@@ -159,6 +159,13 @@ PROBE_QUERIES = [  # all run on the replicated tables
     "q2s_bloom_file_skip",    # per-file bloom index build (16-key groupBy)
     "q3x_changepoint",        # daily rollup + per-type CUSUM windows
     "q1x_label_propagation",  # 3 LPA sweeps (densified edge multiplicity)
+    # round-9 mints:
+    "q3y_groups_frame",       # peer-group quotient + RANGE-over-index
+    "q1y_partial_topk",       # combiner top-k (bounded shuffle)
+    "q2t_merge_into_sql",     # MERGE surface -> one merge-key shuffle
+    "q3z_frame_exclusion",    # two shared-sort RANGE windows
+    "q2u_unpivot_sql",        # Expand node, pure map fanout
+    "q2v_limit_offset",       # grouped agg + offset+limit top-k
 ]
 
 

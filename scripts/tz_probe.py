@@ -57,6 +57,7 @@ TS_QUERIES = [
     "q3x_changepoint",
     # round-9 session additions (timestamp-touching):
     "q3y_groups_frame",  # DATE peer groups derived from l_shipdate
+    "q3z_frame_exclusion",  # day-index RANGE frames from o_orderdate
 ]
 
 
