@@ -63,8 +63,12 @@ def partial_topk(
             cur = pd.concat([state, pdf]) if state is not None else pdf
             cur = cur.sort_values(by, ascending=asc, kind="mergesort")
             # fold: keep at most k rows per group across batches —
-            # state stays O(groups·k) regardless of partition size
-            state = cur.groupby(group_cols, sort=False).head(k)
+            # state stays O(groups·k) regardless of partition size.
+            # dropna=False: pandas groupby silently discards NULL
+            # group keys by default, but a window PARTITION BY treats
+            # NULL as a regular partition value — the two sides must
+            # agree or null-group rows vanish from the top-k
+            state = cur.groupby(group_cols, sort=False, dropna=False).head(k)
         if state is not None and len(state):
             yield state
 

@@ -1308,3 +1308,26 @@ def test_partial_topk_rejects_bad_k(spark):
         partial_topk(df, ["g"], "v", "id", k=0)
     with _pytest.raises(ValueError):
         partial_topk_reference([(1, 1, 1)], 1, 0)
+
+
+def test_partial_topk_keeps_null_group(spark):
+    """A NULL group key is a regular window partition; the map-side
+    pandas fold must not drop it (pandas groupby dropna default)."""
+    from fcs_etl_reactor_spark.operators.topk import partial_topk
+
+    df = spark.createDataFrame(
+        [(None, 5, 1), (None, 9, 2), (None, 7, 3), (1, 4, 4)],
+        "g INT, v INT, id INT",
+    ).repartition(2)
+    got = sorted(
+        (
+            (r["g"], r["v"], r["id"], r["rk"])
+            for r in partial_topk(df, ["g"], "v", "id", k=2).collect()
+        ),
+        key=lambda t: (t[0] is not None, t[0], t[3]),
+    )
+    assert got == [
+        (None, 9, 2, 1),
+        (None, 7, 3, 2),
+        (1, 4, 4, 1),
+    ]
