@@ -44,6 +44,11 @@ def merge_upsert(base: DataFrame, updates: DataFrame, key_cols: list[str]) -> Da
 # ANSI clause semantics: for each matched (t, s) pair the FIRST
 # matched-clause whose condition holds fires (update or delete);
 # a matched row with no firing clause passes through unchanged.
+# Parser limits (documented, error-or-correct — never misparse):
+# clause boundaries split on top-level WHEN, so a CASE WHEN inside
+# the ON condition or a SET expression must be parenthesized;
+# SET values are cast to the target column's type (the lakehouse
+# formats' coercion behavior).
 # Contract (same as the lakehouse formats): each target row may match
 # at most one source row — a multi-match source makes MERGE
 # ill-defined and is the caller's schema invariant, not checked here.
