@@ -74,12 +74,17 @@ def _scan_parens(sql: str, start: int) -> int:
 
 
 def _split_top_level(sql: str, keyword: str) -> list[str]:
-    """Split on a keyword at paren-depth 0 (word-bounded, any case)."""
+    """Split on a keyword at paren-depth 0 (word-bounded, any case;
+    single-quoted literals are opaque, same as _scan_parens)."""
     import re
 
+    # the literal alternative comes first so a WHEN/paren inside quotes
+    # is consumed as part of the literal token and never counted
     parts, depth, last = [], 0, 0
-    for m in re.finditer(r"[()]|\b" + keyword + r"\b", sql, re.I):
+    for m in re.finditer(r"'[^']*'|[()]|\b" + keyword + r"\b", sql, re.I):
         tok = m.group(0)
+        if tok.startswith("'"):
+            continue
         if tok == "(":
             depth += 1
         elif tok == ")":
@@ -106,6 +111,8 @@ def merge_into_sql(spark, sql: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
+    if sql.count("'") % 2:
+        raise ValueError("MERGE: unclosed string literal")
     m = re.match(
         r"\s*MERGE\s+INTO\s+(\w+)\s+(?:AS\s+)?(\w+)\s+USING\s+", sql, re.I
     )
@@ -159,13 +166,20 @@ def merge_into_sql(spark, sql: str) -> DataFrame:
     on = F.expr(on_sql)
     tcols = spark.table(tgt_name).columns
 
-    parts = [t.join(s, on, "left_anti").select(*tcols)]  # untouched rows
     if matched_clauses:
+        parts = [t.join(s, on, "left_anti").select(*tcols)]  # unmatched rows
         joined = t.join(s, on, "inner")
         remaining = F.lit(True)
         branches = []  # (fires, action, sets)
         for cond, action, sets in matched_clauses:
-            c = F.expr(cond) if cond else F.lit(True)
+            # ANSI: a clause fires only when its condition is TRUE — a
+            # NULL condition must fall through to the next clause, not
+            # poison the filter/when chain, so coalesce it to false
+            c = (
+                F.coalesce(F.expr(cond), F.lit(False))
+                if cond
+                else F.lit(True)
+            )
             branches.append((remaining & c, action, sets))
             remaining = remaining & ~c
         deletes = [b for b, a, _ in branches if a == "delete"]
@@ -190,6 +204,12 @@ def merge_into_sql(spark, sql: str) -> DataFrame:
                 (expr.otherwise(base) if expr is not None else base).alias(col)
             )
         parts.append(kept.select(*out_cols))
+    else:
+        # INSERT-only MERGE: no matched clause rewrites anything, so
+        # EVERY target row passes through unchanged (the anti-join +
+        # matched-branch split above exists only to rewrite matched
+        # rows; using the anti-join alone would silently drop them)
+        parts = [t.select(*tcols)]
     if insert_star:
         missing = [c for c in tcols if c not in source.columns]
         if missing:
@@ -205,16 +225,21 @@ def merge_into_sql(spark, sql: str) -> DataFrame:
 
 
 def _parse_set_list(set_sql: str) -> dict[str, str]:
-    """Parse 'a = expr, b = expr' with commas split at paren-depth 0."""
-    items, depth, last = [], 0, 0
-    for i, ch in enumerate(set_sql):
-        if ch == "(":
+    """Parse 'a = expr, b = expr' with commas split at paren-depth 0
+    (single-quoted literals are opaque, same as _scan_parens)."""
+    items, depth, last, i, n = [], 0, 0, 0, len(set_sql)
+    while i < n:
+        ch = set_sql[i]
+        if ch == "'":
+            i = set_sql.index("'", i + 1)  # ValueError if unclosed
+        elif ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
         elif ch == "," and depth == 0:
             items.append(set_sql[last:i])
             last = i + 1
+        i += 1
     items.append(set_sql[last:])
     sets: dict[str, str] = {}
     import re

@@ -49,17 +49,44 @@ def partial_topk(
     """
     if k < 1:
         raise ValueError(f"partial_topk requires k >= 1, got {k}")
+    from pyspark.sql.types import DoubleType, FloatType
+
     cols = [*group_cols, order_col, id_col]
     out = df.select(*cols)
+    # NULL/NaN-safe total order matching the plain-window semantics
+    # (Spark defaults: asc => NULLS FIRST, desc => NULLS LAST; NaN is
+    # greater than any double, so first under desc / last under asc).
+    # Arrow hands pandas NULL and NaN as the same NaN for doubles, so
+    # the class MUST be computed JVM-side where the two are still
+    # distinguishable; pandas then sorts on (cls, value, id) and never
+    # needs na_position at all — rows whose value is NA all live in a
+    # cls of their own, where the id tiebreak alone orders them.
+    null_ = F.col(order_col).isNull()
+    nan = (
+        F.isnan(F.col(order_col))
+        if isinstance(out.schema[order_col].dataType, (DoubleType, FloatType))
+        else F.lit(False)
+    )
+    if descending:
+        cls = F.when(nan, 0).when(null_, 2).otherwise(1)
+    else:
+        cls = F.when(null_, 0).when(nan, 2).otherwise(1)
+    out = out.withColumn("__cls", cls.cast("tinyint"))
     schema = out.schema
-    by = [*group_cols, order_col, id_col]
-    asc = [True] * len(group_cols) + [not descending, True]
+    by = [*group_cols, "__cls", order_col, id_col]
+    asc = [True] * len(group_cols) + [True, not descending, True]
 
     def local_topk(batches: Iterator) -> Iterator:
         import pandas as pd
 
         state: pd.DataFrame | None = None
         for pdf in batches:
+            if pdf[id_col].isna().any():
+                raise ValueError(
+                    "partial_topk: id_col must be non-null (it is the "
+                    "tiebreak that makes the order total; NULL ids order "
+                    "differently in pandas and Spark)"
+                )
             cur = pd.concat([state, pdf]) if state is not None else pdf
             cur = cur.sort_values(by, ascending=asc, kind="mergesort")
             # fold: keep at most k rows per group across batches —
@@ -76,10 +103,16 @@ def partial_topk(
     order = (
         F.col(order_col).desc() if descending else F.col(order_col).asc()
     )
-    w = Window.partitionBy(*group_cols).orderBy(order, F.col(id_col).asc())
+    # __cls leads the reduce-side order too: within a cls there are no
+    # NULLs and no NaNs, so Spark's null/NaN placement rules can never
+    # disagree with the map-side pandas sort
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("__cls").asc(), order, F.col(id_col).asc()
+    )
     return (
         survivors.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
+        .drop("__cls")
     )
 
 
@@ -87,22 +120,41 @@ def partial_topk_reference(
     rows: list[tuple], n_groups_cols: int, k: int, descending: bool = True
 ) -> list[tuple]:
     """Pure-Python twin for property tests: rows are (group..., value,
-    id); returns the selected rows + rank, sorted, same (value, id)
-    total order."""
+    id); returns the selected rows + rank, sorted, same (cls, value,
+    id) total order as partial_topk — value None and float NaN follow
+    the Spark-default window placement (asc: NULLS FIRST, NaN last;
+    desc: NaN first, NULLS LAST)."""
+    import math
+
     if k < 1:
         raise ValueError(f"partial_topk_reference requires k >= 1, got {k}")
+
+    def key(r):
+        v = r[n_groups_cols]
+        is_nan = isinstance(v, float) and math.isnan(v)
+        if descending:
+            cls = 0 if is_nan else (2 if v is None else 1)
+        else:
+            cls = 0 if v is None else (2 if is_nan else 1)
+        vv = 0 if cls != 1 else (-v if descending else v)
+        return (cls, vv, r[n_groups_cols + 1])
+
     groups: dict[tuple, list[tuple]] = {}
     for r in rows:
         groups.setdefault(tuple(r[:n_groups_cols]), []).append(r)
     out = []
     for g, members in groups.items():
-        members.sort(
-            key=lambda r: (
-                (-r[n_groups_cols] if descending else r[n_groups_cols]),
-                r[n_groups_cols + 1],
-            )
-        )
+        members.sort(key=key)
         for i, r in enumerate(members[:k], start=1):
             out.append((*r, i))
-    out.sort()
+    def canon(x):
+        # canonical-comparison sort only (tests compare sorted lists);
+        # None/NaN aren't orderable by plain tuple comparison
+        if x is None:
+            return (2, 0)
+        if isinstance(x, float) and math.isnan(x):
+            return (1, 0)
+        return (0, x)
+
+    out.sort(key=lambda r: tuple(canon(x) for x in r))
     return out

@@ -44,6 +44,13 @@ def get_spark(
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
     )
+    if os.environ.get("SPARK_GRAFT_MEMPROBE"):
+        # memory-probe runs (scripts/memory_probe.py) set this so a heap
+        # exhaustion kills the JVM immediately and is classified "oom"
+        # instead of GC-thrashing into a "timeout"
+        builder = builder.config(
+            "spark.driver.extraJavaOptions", "-XX:+ExitOnOutOfMemoryError"
+        )
     if master.startswith("local"):
         # LOCAL-MODE ONLY (core confs, fixed at context start): shuffle
         # blocks live in the page cache and are tiny at test SFs, so

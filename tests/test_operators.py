@@ -1265,3 +1265,76 @@ class TestMergeIntoSql:
                 "MERGE INTO merge_tgt t USING (SELECT 5 AS k) s "
                 "ON t.k = s.k WHEN NOT MATCHED THEN INSERT *",
             )
+
+    def test_insert_only_merge_keeps_matched_rows(self, spark):
+        """An INSERT-only MERGE (no WHEN MATCHED clause) rewrites
+        nothing: every target row — matched or not — passes through,
+        and only genuinely new keys append. Regression: the anti-join
+        survivor part alone silently dropped matched target rows."""
+        from fcs_etl_reactor_spark.operators.merge import merge_into_sql
+
+        self._tgt(spark)
+        out = merge_into_sql(
+            spark,
+            """
+            MERGE INTO merge_tgt AS t
+            USING (SELECT 1 AS k, 'X' AS st, 99.0 AS v
+                   UNION ALL SELECT 9, 'N', 9.0) AS s
+            ON t.k = s.k
+            WHEN NOT MATCHED THEN INSERT *
+            """,
+        )
+        assert sorted(tuple(r) for r in out.collect()) == [
+            (1, "F", 10.0),  # matched: untouched, NOT dropped
+            (2, "O", 20.0),
+            (3, "F", 30.0),
+            (4, "O", 40.0),
+            (9, "N", 9.0),   # new key: inserted
+        ]
+
+    def test_null_clause_condition_falls_through(self, spark):
+        """ANSI fires a clause only when its condition is TRUE: a NULL
+        AND-condition must fall through to the next clause. Regression:
+        filter(~NULL) deleted the row and `remaining & ~NULL` disabled
+        the later unconditional UPDATE."""
+        from fcs_etl_reactor_spark.operators.merge import merge_into_sql
+
+        spark.createDataFrame(
+            [(1, "F", None), (2, "O", 20.0)], "k INT, st STRING, v DOUBLE"
+        ).createOrReplaceTempView("merge_tgt")
+        out = merge_into_sql(
+            spark,
+            """
+            MERGE INTO merge_tgt AS t
+            USING (SELECT 1 AS k UNION ALL SELECT 2) AS s
+            ON t.k = s.k
+            WHEN MATCHED AND t.v > 5.0 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET st = 'U'
+            """,
+        )
+        assert sorted((r["k"], r["st"]) for r in out.collect()) == [
+            (1, "U"),  # v NULL -> delete cond NULL -> falls to UPDATE
+        ]  # k=2: v=20 > 5 -> deleted
+
+    def test_quoted_literals_are_opaque_to_parser(self, spark):
+        """A string literal containing WHEN, a comma, or an unbalanced
+        paren must not confuse the clause/SET scanners."""
+        from fcs_etl_reactor_spark.operators.merge import merge_into_sql
+
+        self._tgt(spark)
+        spark.createDataFrame(
+            [(2, "Z", 1.0)], "k INT, st STRING, v DOUBLE"
+        ).createOrReplaceTempView("merge_src")
+        out = merge_into_sql(
+            spark,
+            "MERGE INTO merge_tgt t USING merge_src s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET st = 'a, (b WHEN c', v = 7.0",
+        )
+        got = {r["k"]: (r["st"], r["v"]) for r in out.collect()}
+        assert got[2] == ("a, (b WHEN c", 7.0) and len(got) == 4
+        with pytest.raises(ValueError, match="unclosed string literal"):
+            merge_into_sql(
+                spark,
+                "MERGE INTO merge_tgt t USING merge_src s ON t.k = s.k "
+                "WHEN MATCHED THEN UPDATE SET st = 'oops",
+            )

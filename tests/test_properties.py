@@ -1331,3 +1331,63 @@ def test_partial_topk_keeps_null_group(spark):
         (None, 7, 3, 2),
         (1, 4, 4, 1),
     ]
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),  # group
+            st.one_of(
+                st.none(),
+                st.just(float("nan")),
+                st.floats(-100, 100, allow_nan=False),
+            ),  # value: NULL, NaN and regular doubles mixed
+            st.integers(0, 10_000),  # id
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda r: r[2],
+    ),
+    k=st.integers(1, 3),
+    descending=st.booleans(),
+)
+def test_partial_topk_null_nan_matches_window_form(spark, rows, k, descending):
+    """NULL and NaN order values must follow the plain-window placement
+    (asc: NULLS FIRST, NaN last; desc: NaN first, NULLS LAST). Arrow
+    hands pandas NULL and NaN identically, so this only holds because
+    the NULL/NaN class is computed JVM-side — the regression this pins
+    is the map-side fold discarding rows the global top-k needs."""
+    from pyspark.sql import Window
+
+    from fcs_etl_reactor_spark.operators.topk import partial_topk
+
+    df = spark.createDataFrame(rows, "g INT, v DOUBLE, id INT").repartition(3)
+    got = {
+        r["id"]: r["rk"]
+        for r in partial_topk(
+            df, ["g"], "v", "id", k=k, descending=descending
+        ).collect()
+    }
+    order = F.col("v").desc() if descending else F.col("v").asc()
+    w = Window.partitionBy("g").orderBy(order, F.col("id").asc())
+    want = {
+        r["id"]: r["rk"]
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .collect()
+    }
+    # ids are unique, so {id: rank} determines the full result
+    assert got == want
+
+
+def test_partial_topk_rejects_null_id(spark):
+    """NULL ids order differently in pandas and Spark, so the contract
+    is explicit: the tiebreak column must be non-null."""
+    from fcs_etl_reactor_spark.operators.topk import partial_topk
+
+    df = spark.createDataFrame(
+        [(1, 5, 1), (1, 9, None)], "g INT, v INT, id INT"
+    )
+    with pytest.raises(Exception, match="id_col must be non-null"):
+        partial_topk(df, ["g"], "v", "id", k=1).collect()
