@@ -39,11 +39,19 @@ def merge_upsert(base: DataFrame, updates: DataFrame, key_cols: list[str]) -> Da
 #   ON <condition>
 #   { WHEN MATCHED [AND <cond>] THEN UPDATE SET col = expr, ...
 #   | WHEN MATCHED [AND <cond>] THEN DELETE }...
-#   [ WHEN NOT MATCHED THEN INSERT * ]
+#   [ WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN
+#       INSERT *  |  INSERT (col, ...) VALUES (expr, ...) ]
+#   { WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN
+#       UPDATE SET col = expr, ...  |  DELETE }...
 #
 # ANSI clause semantics: for each matched (t, s) pair the FIRST
-# matched-clause whose condition holds fires (update or delete);
-# a matched row with no firing clause passes through unchanged.
+# matched-clause whose TRUE condition holds fires (update or delete);
+# a matched row with no firing clause passes through unchanged. The
+# same first-TRUE-wins cascade applies to the NOT MATCHED BY SOURCE
+# clauses over target rows with no source match (their conditions and
+# SET expressions may reference only target columns). A columns-list
+# INSERT leaves unlisted target columns NULL; at most one insert
+# clause is accepted (multi-insert dispatch is not in the subset).
 # Parser limits (documented, error-or-correct — never misparse):
 # clause boundaries split on top-level WHEN, so a CASE WHEN inside
 # the ON condition or a SET expression must be parenthesized;
@@ -101,11 +109,12 @@ def merge_into_sql(spark, sql: str) -> DataFrame:
     against registered views/tables; returns the merged relation.
 
     Lowering: one join per disposition on the raw ON condition —
-    inner (matched: case-cascade per target column over the clause
-    conditions), left_anti from target (survivors), left_anti from
-    source (INSERT *) — so the physical cost is the q7b shape: a
-    single shuffle (or broadcast, when the source is bounded) on the
-    merge key, nothing rewriting untouched rows.
+    inner (matched: first-TRUE-wins case-cascade per target column),
+    left_anti from target (not-matched-by-source: pass-through, or the
+    same cascade when BY SOURCE clauses exist), left_anti from source
+    (INSERT, star or columns-list) — so the physical cost is the q7b
+    shape: a single shuffle (or broadcast, when the source is bounded)
+    on the merge key, nothing rewriting untouched rows.
     """
     import re
 
@@ -141,7 +150,8 @@ def merge_into_sql(spark, sql: str) -> DataFrame:
         raise ValueError("MERGE: expected ON condition followed by WHEN clauses")
 
     matched_clauses: list[tuple[str | None, str, dict[str, str] | None]] = []
-    insert_star = False
+    by_source_clauses: list[tuple[str | None, str, dict[str, str] | None]] = []
+    insert_clause: tuple[str | None, list[str] | None, list[str] | None] | None = None
     for clause in whens[1:]:
         c = clause.strip()
         mm = re.match(
@@ -156,67 +166,104 @@ def merge_into_sql(spark, sql: str) -> DataFrame:
             else:
                 matched_clauses.append((cond, "update", _parse_set_list(mm.group(3))))
             continue
-        if re.match(r"NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$", c, re.I):
-            insert_star = True
+        mm = re.match(
+            r"NOT\s+MATCHED\s+BY\s+SOURCE\s+(?:AND\s+(.*?)\s+)?THEN\s+"
+            r"(UPDATE\s+SET\s+(.*)|DELETE)\s*$",
+            c,
+            re.I | re.S,
+        )
+        if mm:
+            cond = mm.group(1)
+            if mm.group(2).upper().startswith("DELETE"):
+                by_source_clauses.append((cond, "delete", None))
+            else:
+                by_source_clauses.append(
+                    (cond, "update", _parse_set_list(mm.group(3)))
+                )
+            continue
+        mm = re.match(
+            r"NOT\s+MATCHED\s+(?:BY\s+TARGET\s+)?(?:AND\s+(.*?)\s+)?THEN\s+"
+            r"INSERT\s+(.*?)\s*$",
+            c,
+            re.I | re.S,
+        )
+        if mm:
+            if insert_clause is not None:
+                raise ValueError(
+                    "MERGE: at most one WHEN NOT MATCHED ... INSERT clause"
+                )
+            insert_clause = (mm.group(1), *_parse_insert_payload(mm.group(2)))
             continue
         raise ValueError(f"MERGE: unsupported WHEN clause: WHEN {c[:80]}")
 
     t = spark.table(tgt_name).alias(t_alias)
     s = source.alias(s_alias)
     on = F.expr(on_sql)
-    tcols = spark.table(tgt_name).columns
+    tschema = spark.table(tgt_name).schema
+    tcols = tschema.fieldNames()
 
-    if matched_clauses:
-        parts = [t.join(s, on, "left_anti").select(*tcols)]  # unmatched rows
-        joined = t.join(s, on, "inner")
-        remaining = F.lit(True)
-        branches = []  # (fires, action, sets)
-        for cond, action, sets in matched_clauses:
-            # ANSI: a clause fires only when its condition is TRUE — a
-            # NULL condition must fall through to the next clause, not
-            # poison the filter/when chain, so coalesce it to false
-            c = (
-                F.coalesce(F.expr(cond), F.lit(False))
-                if cond
-                else F.lit(True)
-            )
-            branches.append((remaining & c, action, sets))
-            remaining = remaining & ~c
-        deletes = [b for b, a, _ in branches if a == "delete"]
-        kept = joined
-        for d in deletes:
-            kept = kept.filter(~d)
-        out_cols = []
-        for col in tcols:
-            expr = None
-            for fires, action, sets in branches:
-                if action == "update" and sets and col in sets:
-                    val = F.expr(sets[col]).cast(
-                        spark.table(tgt_name).schema[col].dataType
-                    )
-                    expr = (
-                        F.when(fires, val)
-                        if expr is None
-                        else expr.when(fires, val)
-                    )
-            base = F.col(f"{t_alias}.{col}")
-            out_cols.append(
-                (expr.otherwise(base) if expr is not None else base).alias(col)
-            )
-        parts.append(kept.select(*out_cols))
-    else:
-        # INSERT-only MERGE: no matched clause rewrites anything, so
-        # EVERY target row passes through unchanged (the anti-join +
-        # matched-branch split above exists only to rewrite matched
-        # rows; using the anti-join alone would silently drop them)
+    def base_col(col: str):
+        return F.col(f"{t_alias}.{col}")
+
+    if not matched_clauses and not by_source_clauses:
+        # INSERT-only MERGE: no clause rewrites anything, so EVERY
+        # target row passes through unchanged (the anti-join + matched
+        # split below exists only to rewrite rows; the anti-join alone
+        # would silently drop matched rows)
         parts = [t.select(*tcols)]
-    if insert_star:
-        missing = [c for c in tcols if c not in source.columns]
-        if missing:
-            raise ValueError(
-                f"MERGE: INSERT * source lacks target columns {missing}"
+    else:
+        anti = t.join(s, on, "left_anti")  # not matched by source
+        parts = [
+            _cascade(anti, by_source_clauses, tcols, tschema, base_col)
+            if by_source_clauses
+            else anti.select(*tcols)
+        ]
+        if matched_clauses:
+            parts.append(
+                _cascade(
+                    t.join(s, on, "inner"), matched_clauses, tcols, tschema,
+                    base_col,
+                )
             )
-        parts.append(s.join(t, on, "left_anti").select(*tcols))
+        else:
+            # matched rows with no matched clause pass through; the
+            # at-most-one-source-match contract makes semi exact here
+            parts.append(t.join(s, on, "left_semi").select(*tcols))
+    if insert_clause is not None:
+        ins_cond, ins_cols, ins_vals = insert_clause
+        new_rows = s.join(t, on, "left_anti")
+        if ins_cond:
+            new_rows = new_rows.filter(
+                F.coalesce(F.expr(ins_cond), F.lit(False))
+            )
+        if ins_cols is None:  # INSERT *
+            missing = [c for c in tcols if c not in source.columns]
+            if missing:
+                raise ValueError(
+                    f"MERGE: INSERT * source lacks target columns {missing}"
+                )
+            parts.append(new_rows.select(*tcols))
+        else:
+            bad = [c for c in ins_cols if c not in tcols]
+            if bad:
+                raise ValueError(f"MERGE: INSERT columns not in target: {bad}")
+            if len(set(ins_cols)) != len(ins_cols):
+                raise ValueError("MERGE: duplicate INSERT column")
+            vals = dict(zip(ins_cols, ins_vals))
+            parts.append(
+                new_rows.select(
+                    *[
+                        (
+                            F.expr(vals[col])
+                            if col in vals
+                            else F.lit(None)  # unlisted target col -> NULL
+                        )
+                        .cast(tschema[col].dataType)
+                        .alias(col)
+                        for col in tcols
+                    ]
+                )
+            )
 
     out = parts[0]
     for p in parts[1:]:
@@ -224,27 +271,100 @@ def merge_into_sql(spark, sql: str) -> DataFrame:
     return out
 
 
-def _parse_set_list(set_sql: str) -> dict[str, str]:
-    """Parse 'a = expr, b = expr' with commas split at paren-depth 0
-    (single-quoted literals are opaque, same as _scan_parens)."""
-    items, depth, last, i, n = [], 0, 0, 0, len(set_sql)
+def _cascade(df, clauses, tcols, tschema, base_col) -> DataFrame:
+    """First-TRUE-wins UPDATE/DELETE cascade (ANSI WHEN semantics) over
+    one disposition's rows; rows firing no clause pass through."""
+    from pyspark.sql import functions as F
+
+    remaining = F.lit(True)
+    branches = []  # (fires, action, sets)
+    for cond, action, sets in clauses:
+        # ANSI: a clause fires only when its condition is TRUE — a
+        # NULL condition must fall through to the next clause, not
+        # poison the filter/when chain, so coalesce it to false
+        c = F.coalesce(F.expr(cond), F.lit(False)) if cond else F.lit(True)
+        branches.append((remaining & c, action, sets))
+        remaining = remaining & ~c
+    kept = df
+    for fires, action, _ in branches:
+        if action == "delete":
+            kept = kept.filter(~fires)
+    out_cols = []
+    for col in tcols:
+        expr = None
+        for fires, action, sets in branches:
+            if action == "update" and sets and col in sets:
+                val = F.expr(sets[col]).cast(tschema[col].dataType)
+                expr = (
+                    F.when(fires, val) if expr is None else expr.when(fires, val)
+                )
+        base = base_col(col)
+        out_cols.append(
+            (expr.otherwise(base) if expr is not None else base).alias(col)
+        )
+    return kept.select(*out_cols)
+
+
+def _parse_insert_payload(
+    payload: str,
+) -> tuple[list[str] | None, list[str] | None]:
+    """Parse the text after INSERT: `*` -> (None, None); `(col, ...)
+    VALUES (expr, ...)` -> (cols, exprs). Anything else errors."""
+    import re
+
+    p = payload.strip()
+    if p == "*":
+        return None, None
+    if not p.startswith("("):
+        raise ValueError(f"MERGE: expected INSERT * or (columns): {p[:60]}")
+    end = _scan_parens(p, 0)
+    cols = _split_top_commas(p[1:end - 1])
+    if not all(re.fullmatch(r"\w+", c) for c in cols):
+        raise ValueError(f"MERGE: bad INSERT column list: {p[:end]}")
+    rest = p[end:].lstrip()
+    mv = re.match(r"VALUES\s*", rest, re.I)
+    if not mv or not rest[mv.end():].startswith("("):
+        raise ValueError("MERGE: expected VALUES (...) after INSERT columns")
+    rest = rest[mv.end():]
+    end2 = _scan_parens(rest, 0)
+    if rest[end2:].strip():
+        raise ValueError(
+            f"MERGE: trailing text after INSERT VALUES: {rest[end2:][:60]}"
+        )
+    vals = _split_top_commas(rest[1:end2 - 1])
+    if len(vals) != len(cols):
+        raise ValueError(
+            f"MERGE: INSERT lists {len(cols)} columns but {len(vals)} values"
+        )
+    return cols, vals
+
+
+def _split_top_commas(sql: str) -> list[str]:
+    """Split on commas at paren-depth 0, stripped (single-quoted
+    literals are opaque, same as _scan_parens)."""
+    items, depth, last, i, n = [], 0, 0, 0, len(sql)
     while i < n:
-        ch = set_sql[i]
+        ch = sql[i]
         if ch == "'":
-            i = set_sql.index("'", i + 1)  # ValueError if unclosed
+            i = sql.index("'", i + 1)  # ValueError if unclosed
         elif ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
         elif ch == "," and depth == 0:
-            items.append(set_sql[last:i])
+            items.append(sql[last:i])
             last = i + 1
         i += 1
-    items.append(set_sql[last:])
-    sets: dict[str, str] = {}
+    items.append(sql[last:])
+    return [s.strip() for s in items]
+
+
+def _parse_set_list(set_sql: str) -> dict[str, str]:
+    """Parse 'a = expr, b = expr' (comma split at paren-depth 0)."""
     import re
 
-    for item in items:
+    sets: dict[str, str] = {}
+    for item in _split_top_commas(set_sql):
         mm = re.match(r"\s*(\w+)\s*=\s*(.+?)\s*$", item, re.S)
         if not mm:
             raise ValueError(f"MERGE: bad SET item: {item!r}")

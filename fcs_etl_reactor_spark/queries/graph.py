@@ -1408,6 +1408,15 @@ _RA_MIN_SHARED_LADDER = (2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64)
     """,
 )
 def q1w_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df, _ = _ra_link_prediction(spark, sf_dir, _RA_WEDGE_BUDGET)
+    return df
+
+
+def _ra_link_prediction(
+    spark: SparkSession, sf_dir: str, budget: int
+) -> tuple[DataFrame, int]:
+    """Shared RA pipeline for q1w/q1z: returns (top-25 non-edge scores,
+    the min_shared the wedge-budget ladder picked for `budget`)."""
     from fcs_etl_reactor_spark.operators.graphs import (
         copurchase_pairs,
         materialize,
@@ -1416,9 +1425,7 @@ def q1w_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem")
     support = materialize(copurchase_pairs(li, min_shared=2))
-    ms = wedge_budget_min_shared(
-        support, _RA_MIN_SHARED_LADDER, _RA_WEDGE_BUDGET
-    )
+    ms = wedge_budget_min_shared(support, _RA_MIN_SHARED_LADDER, budget)
     und = support.filter(F.col("n_orders") >= ms).select("a", "b")
     adj = und.select(F.col("a").alias("w"), F.col("b").alias("u")).unionAll(
         und.select(F.col("b").alias("w"), F.col("a").alias("u"))
@@ -1450,7 +1457,84 @@ def q1w_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("ra_score").desc(), "p1", "p2")
         .limit(25)
+    ), ms
+
+
+# --------------------------------------------------------------------------
+# q1z — q1w's RA link prediction under a deliberately TIGHT wedge
+# budget (100 vs the production 10M), so the degree-histogram ladder
+# pre-pass must ESCALATE min_shared above the contractual 2 on the
+# standard fixtures (sf0.01 picks ms=3: 15,285 wedges at ms=2 exceed
+# the budget, 11 at ms=3 fit; sf0.001 picks ms=4). This is the driver
+# oracle for the regime q1w's own oracle can never reach — its fixtures
+# stay under the 10M budget, so q1w's CORRECTNESS evidence only covers
+# the ladder DOING NOTHING. The ladder decision is deterministic
+# BIGINT arithmetic (Σ_w d(w)·(d(w)−1) per rung, one pass), so the
+# DuckDB oracle replays the SAME decision in SQL: per-rung conditional
+# degrees, smallest rung whose doubled wedge count fits 2·budget,
+# last-rung fallback, then the identical RA scoring on the escalated
+# graph. `ms_used` is an output COLUMN — the chosen rung is part of
+# the value hash, so a ladder divergence between the engines is a
+# driver FAIL, not an invisible plan difference.
+# --------------------------------------------------------------------------
+
+_RA_BUDGETED_WEDGE_BUDGET = 100
+
+
+@query(
+    "q1z_link_prediction_budgeted",
+    oracle=f"""
+    WITH sup AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS n_orders
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), ladder(ms) AS (
+      VALUES {", ".join(f"({ms})" for ms in _RA_MIN_SHARED_LADDER)}
+    ), ends AS (
+      SELECT a AS node, n_orders FROM sup
+      UNION ALL SELECT b, n_orders FROM sup
+    ), rungdeg AS (
+      SELECT ladder.ms AS ms, node, COUNT(*) AS d
+      FROM ends JOIN ladder ON ends.n_orders >= ladder.ms
+      GROUP BY 1, 2
+    ), rungw AS (
+      -- a rung no edge survives is ABSENT from rungdeg: its wedge
+      -- count is zero (passes), hence the LEFT JOIN + COALESCE
+      SELECT ladder.ms AS ms, COALESCE(SUM(d * (d - 1)), 0) AS w2
+      FROM ladder LEFT JOIN rungdeg ON rungdeg.ms = ladder.ms
+      GROUP BY 1
+    ), chosen AS (
+      SELECT COALESCE(
+        MIN(ms) FILTER (WHERE w2 <= 2 * {_RA_BUDGETED_WEDGE_BUDGET}),
+        {_RA_MIN_SHARED_LADDER[-1]}) AS ms
+      FROM rungw
+    ), e AS (
+      SELECT a, b FROM sup, chosen WHERE sup.n_orders >= chosen.ms
+    ), adj AS (
+      SELECT a AS w, b AS u FROM e UNION ALL SELECT b AS w, a AS u FROM e
+    ), deg AS (
+      SELECT w, COUNT(*) AS d FROM adj GROUP BY w
+    ), wed AS (
+      SELECT x.u AS u, y.u AS v, x.w AS w
+      FROM adj x JOIN adj y ON x.w = y.w AND x.u < y.u
+    ), sc AS (
+      SELECT u, v,
+             CAST(SUM(1000000000000 // d) AS BIGINT) AS ra_score,
+             COUNT(*) AS common_neighbors
+      FROM wed JOIN deg USING (w) GROUP BY u, v
     )
+    SELECT sc.u AS p1, sc.v AS p2, sc.ra_score, sc.common_neighbors,
+           chosen.ms AS ms_used
+    FROM sc CROSS JOIN chosen
+    LEFT JOIN e ON sc.u = e.a AND sc.v = e.b
+    WHERE e.a IS NULL
+    ORDER BY sc.ra_score DESC, p1, p2 LIMIT 25
+    """,
+)
+def q1z_link_prediction_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df, ms = _ra_link_prediction(spark, sf_dir, _RA_BUDGETED_WEDGE_BUDGET)
+    return df.withColumn("ms_used", F.lit(ms))
 
 
 # --------------------------------------------------------------------------

@@ -1344,6 +1344,126 @@ def q2t_merge_into_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q2w — MERGE columns-list INSERT (round-10 mint; the grammar edge
+# q2t's INSERT * can't reach): WHEN NOT MATCHED [AND cond] THEN
+# INSERT (cols) VALUES (exprs) — listed columns take their expression
+# cast to the target column type, UNLISTED target columns are NULL
+# (the lakehouse formats' column-list semantics), and the AND
+# condition gates which unmatched source rows insert at all. The
+# source batch keys are all negative so nothing matches — this is
+# also the INSERT-only disposition (every target row must pass
+# through untouched; the round-10 fix for the silent matched-row
+# drop). The rollup counts NULL o_custkey per status so the NULL-fill
+# behavior is IN the value hash, not just the row count.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q2w_merge_insert_cols",
+    oracle="""
+    WITH src AS (
+      SELECT -o_orderkey AS k, o_totalprice AS p
+      FROM orders WHERE o_orderkey % 101 = 0
+    ), merged AS (
+      SELECT o_orderstatus, o_totalprice, o_custkey FROM orders
+      UNION ALL
+      -- the NOT IN arm replays NOT MATCHED: o_orderkey 0 exists in the
+      -- fixtures, so its negated batch key matches itself and must NOT
+      -- insert (the batch is not match-free by construction)
+      SELECT 'I', p + 10.0, NULL FROM src
+      WHERE p > 1000.0 AND k NOT IN (SELECT o_orderkey FROM orders)
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS HUGEINT))
+                AS BIGINT) AS price_cents,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS null_custkeys
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def q2w_merge_insert_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.io import register_views
+    from fcs_etl_reactor_spark.operators.merge import merge_into_sql
+
+    register_views(spark, sf_dir)
+    merged = merge_into_sql(
+        spark,
+        """
+        MERGE INTO orders AS t
+        USING (
+          SELECT -o_orderkey AS k, o_totalprice AS p
+          FROM orders WHERE o_orderkey % 101 = 0
+        ) AS s
+        ON t.o_orderkey = s.k
+        WHEN NOT MATCHED AND s.p > 1000.0 THEN
+          INSERT (o_orderkey, o_totalprice, o_orderstatus)
+          VALUES (s.k, s.p + 10.0, 'I')
+        """,
+    )
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents).alias("price_cents"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_custkeys"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q2x — MERGE WHEN NOT MATCHED BY SOURCE (round-10 mint; the third
+# ANSI disposition, absent from q2t/q2w): target rows with NO source
+# match go through their own first-TRUE-wins cascade — conditional
+# DELETE, then unconditional UPDATE — while matched rows take the
+# ordinary matched cascade. This is the statement a retention sweep
+# or a full-snapshot sync writes (delete/stamp everything the new
+# snapshot no longer contains). The oracle replays the disposition
+# split as UNION ALL arms over the same deterministic source.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q2x_merge_by_source",
+    oracle="""
+    WITH merged AS (
+      SELECT o_orderstatus, 'KEEP' AS o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderstatus, 'STALE', o_totalprice
+      FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderstatus <> 'F'
+    )
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS HUGEINT))
+                AS BIGINT) AS price_cents
+    FROM merged GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def q2x_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.io import register_views
+    from fcs_etl_reactor_spark.operators.merge import merge_into_sql
+
+    register_views(spark, sf_dir)
+    merged = merge_into_sql(
+        spark,
+        """
+        MERGE INTO orders AS t
+        USING (
+          SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0
+        ) AS s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET o_orderpriority = 'KEEP'
+        WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'F' THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET o_orderpriority = 'STALE'
+        """,
+    )
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    return merged.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents).alias("price_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q2u — UNPIVOT SQL surface (round-9 mint; the statement-level dual of
 # q72's pivot / q73's stack()-based unpivot): wide → long directly in
 # the FROM clause, the migration surface a reporting workload actually
@@ -1430,5 +1550,65 @@ def q2v_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY o_custkey
         ORDER BY spend_cents DESC, o_custkey
         LIMIT 20 OFFSET 40
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# q2y — keyset (seek-method) pagination (round-10 mint; the 100 TB
+# form q2v's docstring names): instead of OFFSET-skipping N rows —
+# which at scale still sorts/discards everything before the page —
+# the client passes the LAST ROW of the previous page as a cursor and
+# the next page is a pure PREDICATE on the total order
+# (date > D OR (date = D AND key > K)) + LIMIT. The predicate reaches
+# the parquet scan as PushedFilters (both arms compare scan columns
+# to literals) and the plan is a TakeOrderedAndProject over the
+# filtered scan — page cost is O(page + scan-after-pruning),
+# independent of how deep the pagination is. The oracle is the
+# OFFSET formulation of the SAME page: rank every row in the total
+# order and take ranks (|rows <= cursor|, +20] — two independent
+# derivations of one page, so a seek-predicate boundary bug (>= vs >,
+# tie handling on the composite key) is a hash mismatch.
+# (o_orderkey is unique, so the (o_orderdate, o_orderkey) order is
+# total and the page is deterministic in both engines.)
+# --------------------------------------------------------------------------
+
+_KEYSET_CURSOR_DATE = "1995-06-15 00:00:00"
+_KEYSET_CURSOR_KEY = 12345
+
+
+@query(
+    "q2y_keyset_pagination",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_orderkey, o_orderdate,
+             CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents,
+             ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ), cur AS (
+      SELECT COUNT(*) AS n FROM orders
+      WHERE o_orderdate < TIMESTAMP '{_KEYSET_CURSOR_DATE}'
+         OR (o_orderdate = TIMESTAMP '{_KEYSET_CURSOR_DATE}'
+             AND o_orderkey <= {_KEYSET_CURSOR_KEY})
+    )
+    SELECT o_orderkey, o_orderdate, price_cents
+    FROM ranked, cur
+    WHERE rn > cur.n AND rn <= cur.n + 20
+    """,
+)
+def q2y_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT o_orderkey, o_orderdate,
+               CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+        FROM orders
+        WHERE o_orderdate > TIMESTAMP '{_KEYSET_CURSOR_DATE}'
+           OR (o_orderdate = TIMESTAMP '{_KEYSET_CURSOR_DATE}'
+               AND o_orderkey > {_KEYSET_CURSOR_KEY})
+        ORDER BY o_orderdate, o_orderkey
+        LIMIT 20
         """
     )

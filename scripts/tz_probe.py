@@ -58,6 +58,8 @@ TS_QUERIES = [
     # round-9 session additions (timestamp-touching):
     "q3y_groups_frame",  # DATE peer groups derived from l_shipdate
     "q3z_frame_exclusion",  # day-index RANGE frames from o_orderdate
+    # round-10 session additions (timestamp-touching):
+    "q2y_keyset_pagination",  # seek predicate + output on o_orderdate
 ]
 
 

@@ -1247,8 +1247,19 @@ class TestMergeIntoSql:
             "MERGE merge_tgt t USING merge_tgt s ON t.k = s.k",
             "MERGE INTO merge_tgt t USING merge_tgt s "
             "WHEN MATCHED THEN DELETE",
+            # column/value arity mismatch
             "MERGE INTO merge_tgt t USING merge_tgt s ON t.k = s.k "
-            "WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)",
+            "WHEN NOT MATCHED THEN INSERT (k, st) VALUES (s.k)",
+            # a second insert clause
+            "MERGE INTO merge_tgt t USING merge_tgt s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT * "
+            "WHEN NOT MATCHED THEN INSERT *",
+            # INSERT payload that is neither * nor a columns list
+            "MERGE INTO merge_tgt t USING merge_tgt s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT ROW",
+            # unknown INSERT column
+            "MERGE INTO merge_tgt t USING merge_tgt s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (nope) VALUES (1)",
             "MERGE INTO merge_tgt t USING (SELECT 1 AS k s ON t.k = s.k "
             "WHEN MATCHED THEN DELETE",
         ]:
@@ -1315,6 +1326,53 @@ class TestMergeIntoSql:
         assert sorted((r["k"], r["st"]) for r in out.collect()) == [
             (1, "U"),  # v NULL -> delete cond NULL -> falls to UPDATE
         ]  # k=2: v=20 > 5 -> deleted
+
+    def test_columns_list_insert(self, spark):
+        """INSERT (cols) VALUES (exprs): listed columns take their
+        expression cast to the target type, unlisted columns are NULL;
+        an AND condition gates which unmatched source rows insert."""
+        from fcs_etl_reactor_spark.operators.merge import merge_into_sql
+
+        self._tgt(spark)
+        out = merge_into_sql(
+            spark,
+            """
+            MERGE INTO merge_tgt AS t
+            USING (SELECT 8 AS k, 80 AS v
+                   UNION ALL SELECT 9, 90
+                   UNION ALL SELECT 1, 10) AS s
+            ON t.k = s.k
+            WHEN NOT MATCHED AND s.v > 85 THEN INSERT (k, v) VALUES (s.k, s.v + 0.5)
+            """,
+        )
+        got = {r["k"]: (r["st"], r["v"]) for r in out.collect()}
+        # k=8 unmatched but fails the AND; k=1 matched (passes through)
+        assert got[9] == (None, 90.5) and 8 not in got and len(got) == 5
+
+    def test_not_matched_by_source_clauses(self, spark):
+        """BY SOURCE cascade over target rows with no source match:
+        conditional DELETE first, then unconditional UPDATE; matched
+        rows and inserts keep their own dispositions."""
+        from fcs_etl_reactor_spark.operators.merge import merge_into_sql
+
+        self._tgt(spark)
+        out = merge_into_sql(
+            spark,
+            """
+            MERGE INTO merge_tgt AS t
+            USING (SELECT 1 AS k, 'X' AS st, 99.0 AS v) AS s
+            ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET v = s.v
+            WHEN NOT MATCHED BY SOURCE AND t.st = 'F' THEN DELETE
+            WHEN NOT MATCHED BY SOURCE THEN UPDATE SET st = 'S'
+            """,
+        )
+        got = {r["k"]: (r["st"], r["v"]) for r in out.collect()}
+        assert got == {
+            1: ("F", 99.0),  # matched -> updated v
+            2: ("S", 20.0),  # no source match, not 'F' -> st rewritten
+            4: ("S", 40.0),
+        }  # k=3 ('F', no source match) -> deleted
 
     def test_quoted_literals_are_opaque_to_parser(self, spark):
         """A string literal containing WHEN, a comma, or an unbalanced

@@ -1214,6 +1214,22 @@ def test_q1w_budget_stays_at_contract_threshold_on_fixtures(spark):
     )
 
 
+def test_q1z_budget_escalates_on_fixtures(spark):
+    """q1z's tight budget (100 wedges) must force the ladder ABOVE the
+    contractual min_shared=2 on the standard fixtures — this pins that
+    its driver oracle exercises the escalated regime q1w's own oracle
+    never reaches, and that the chosen rung travels in the output
+    (ms_used is part of the driver's value hash)."""
+    from fcs_etl_reactor_spark.queries import QUERIES
+
+    rows = QUERIES["q1z_link_prediction_budgeted"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "escalated RA result must be non-empty at sf0.001"
+    assert {r["ms_used"] for r in rows} == {4}  # 65,507 wedges at ms=2,
+    # 2,985 at ms=3, 84 at ms=4 <= 100 — the first rung under budget
+
+
 @SETTINGS
 @given(
     texts=st.lists(
@@ -1378,6 +1394,42 @@ def test_partial_topk_null_nan_matches_window_form(spark, rows, k, descending):
         .collect()
     }
     # ids are unique, so {id: rank} determines the full result
+    assert got == want
+
+
+def test_q3y_quotient_form_equals_raw_row_form(spark):
+    """q3y's committed form pre-aggregates the per-day quotient before
+    the GROUPS-style frame (key-cardinality-bound window sort). The
+    definitional form ranks the RAW rows (dense_rank per flag over
+    ship_date, RANGE frame over that index) — same numbers, table-
+    bound sort. Asserting the two equal removes the shared-algebra
+    caveat: the oracle and query both pre-aggregate, this twin does
+    not."""
+    from pyspark.sql import Window
+
+    from fcs_etl_reactor_spark.io import load
+    from fcs_etl_reactor_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        (r["flag"], r["ship_date"]): r["frame_cents"]
+        for r in QUERIES["q3y_groups_frame"](spark, sf).collect()
+    }
+    li = load(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.to_date("l_shipdate").alias("ship_date"),
+        F.floor(F.col("l_quantity") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    wd = Window.partitionBy("flag").orderBy("ship_date")
+    raw = li.withColumn("_dr", F.dense_rank().over(wd))
+    wf = Window.partitionBy("flag").orderBy("_dr").rangeBetween(-2, 0)
+    want = {
+        (r["flag"], r["ship_date"]): r["frame_cents"]
+        for r in raw.withColumn("frame_cents", F.sum("cents").over(wf))
+        .select("flag", "ship_date", "frame_cents")
+        .distinct()
+        .collect()
+    }
     assert got == want
 
 
