@@ -710,3 +710,103 @@ def q1r_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jw_probe").desc(), "p_partkey")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# q9u — collation-aware grouping (round-10 mint; Spark 4 collation
+# support, SPARK-46830): GROUP BY a UTF8_LCASE-collated key groups
+# case-insensitively INSIDE the engine — comparisons, hash and sort
+# all honor the collation, so there is no normalize-then-group rewrite
+# for downstream to forget (the classic entity-dedup footgun where one
+# code path lowercases and another doesn't). The fixture derives a
+# mixed-case key deterministically (even keys UPPER, odd keys lower),
+# groups under UTF8_LCASE, and ALSO counts the distinct binary-cased
+# variants inside each CI group — the case-sensitive and case-
+# insensitive semantics side by side in one result. The oracle replays
+# with lower()-grouping, the pre-collation rewrite. Scale shape: one
+# shuffle, same as any groupBy; collation only changes the comparator.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q9u_collated_grouping",
+    oracle="""
+    SELECT lower(o_orderpriority) AS prio,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS HUGEINT))
+                AS BIGINT) AS price_cents,
+           CAST(COUNT(DISTINCT CASE WHEN o_orderkey % 2 = 0
+                                    THEN upper(o_orderpriority)
+                                    ELSE lower(o_orderpriority) END)
+                AS BIGINT) AS n_cased_variants
+    FROM orders GROUP BY 1
+    """,
+)
+def q9u_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH s AS (
+          SELECT CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
+                      ELSE lower(o_orderpriority)
+                 END COLLATE UTF8_LCASE AS pr,
+                 o_totalprice
+          FROM orders
+        )
+        SELECT CAST(lower(pr) AS STRING) AS prio,
+               COUNT(*) AS n_orders,
+               SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                 AS price_cents,
+               COUNT(DISTINCT CAST(pr AS STRING)) AS n_cased_variants
+        FROM s GROUP BY pr
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# q9v — correlated LATERAL subquery (round-10 mint): top-N-per-key
+# written the way an application developer writes it — a per-row
+# correlated subquery with ORDER BY ... LIMIT in the FROM clause —
+# rather than the window-function form (q44) or the combiner form
+# (q1y). Catalyst decorrelates the LATERAL into a ranked join (the
+# DomainJoin rewrite), so the declared row-at-a-time semantics
+# execute as ONE set-oriented plan: no per-outer-row re-execution
+# exists anywhere, which is exactly why the surface is safe at 100 TB.
+# DuckDB's native LATERAL is the oracle. acctbal is emitted in exact
+# cents (scaled BIGINT) per the cross-engine float protocol.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q9v_lateral_topn",
+    oracle="""
+    SELECT n.n_name, l.c_name, l.bal_cents
+    FROM nation n, LATERAL (
+      SELECT c_name,
+             CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents
+      FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY bal_cents DESC, c_name
+      LIMIT 2
+    ) l
+    """,
+)
+def q9v_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, l.c_name, l.bal_cents
+        FROM nation n, LATERAL (
+          SELECT c_name,
+                 CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents
+          FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY bal_cents DESC, c_name
+          LIMIT 2
+        ) l
+        """
+    )
