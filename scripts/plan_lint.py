@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import io
 import os
+import re
 import sys
 from contextlib import redirect_stdout
 
@@ -251,11 +252,20 @@ def main() -> int:
                     (name, f"{n_gw} global Window node(s) not in allowlist")
                 )
             used_gw.add(name)
-        n_ex = plan.count("Exchange")
+        # count REAL shuffles only: plain "Exchange" nodes, once each
+        # (the numbered detail section lists every node exactly once).
+        # A bare plan.count("Exchange") over-counts ~3x — formatted
+        # explain lists each node in BOTH the tree and the detail
+        # section, and the substring also matches BroadcastExchange
+        # (not a shuffle; broadcasting small sides is the POINT) and
+        # ReusedExchange (a reuse is a shuffle SAVED, not spent).
+        # Measured on the two long-flagged plans: q1i's old "32" is
+        # 17 shuffles + 5 broadcasts; q89's "30" is 10 + 7.
+        n_ex = len(re.findall(r"\(\d+\) Exchange\b", plan))
         busiest.append((n_ex, name))
         explained.add(name)
     busiest.sort(reverse=True)
-    print("\nMost exchange-heavy plans (shuffles are the scale currency):")
+    print("\nMost shuffle-heavy plans (shuffles are the scale currency):")
     for n_ex, name in busiest[:10]:
         mark = "  <-- review" if n_ex > EXCHANGE_REPORT_THRESHOLD else ""
         print(f"  {n_ex:3d}  {name}{mark}")
