@@ -108,6 +108,30 @@ ALLOW_CARTESIAN = {
 ALLOW_PY_UDF = {"q5i_python_udf", "q5g_udtf_ngrams"}
 EXCHANGE_REPORT_THRESHOLD = 8
 
+#: Shuffle-heavy plans traced and accepted (printed as "reviewed:"
+#: with the reason instead of "<-- review"), mirroring
+#: ALLOW_GLOBAL_WINDOW's mechanics. The counts are structural —
+#: iterative rounds or dimension-bounded post-agg shuffles — not
+#: accidental; a count that GROWS past its reviewed level still
+#: deserves a fresh look, so the report prints the number either way.
+SHUFFLE_HEAVY_REVIEWED: dict[str, str] = {
+    "q8v_kmeans": "fixed Lloyd rounds x (dist/best/assign/centroid) "
+                  "aggs; per-round state localCheckpointed",
+    "q4x_mutual_information": "everything past the one events groupBy "
+                              "acts on the <=35-row contingency table",
+    "q4m_chi_square": "same topology as q4x: dimension-bounded after "
+                      "the single events aggregation",
+    "q1k_clustering_coeff": "degree-oriented triangle join (O(sqrt m) "
+                            "wedge fanout) + per-node pair counts",
+    "q5o_triangles": "degree orientation prep + wedge join + closing "
+                     "join, each key-partitioned",
+    "q5u_naive_bayes": "train/score split; model tables are vocab- and "
+                       "class-bounded broadcasts",
+    "q3u_rolling_hll": "per-window HLL partial merges, calendar-bounded",
+    "q1i_ndcg": "two self-joins (train pairs, test truth) + ranked recs "
+                "+ eval joins, all key-partitioned",
+}
+
 # Global (empty-partition-spec) Window nodes funnel ALL rows through
 # one task — a 100 TB killer unless the window's input is provably
 # bounded. Every entry below was traced to a dimension/granularity/
@@ -267,7 +291,12 @@ def main() -> int:
     busiest.sort(reverse=True)
     print("\nMost shuffle-heavy plans (shuffles are the scale currency):")
     for n_ex, name in busiest[:10]:
-        mark = "  <-- review" if n_ex > EXCHANGE_REPORT_THRESHOLD else ""
+        if name in SHUFFLE_HEAVY_REVIEWED:
+            mark = f"  reviewed: {SHUFFLE_HEAVY_REVIEWED[name]}"
+        elif n_ex > EXCHANGE_REPORT_THRESHOLD:
+            mark = "  <-- review"
+        else:
+            mark = ""
         print(f"  {n_ex:3d}  {name}{mark}")
     # Stale-allowlist report (informational): an allowance whose plan
     # no longer carries the pattern should be deleted, not carried —
