@@ -3782,3 +3782,50 @@ def q3x_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("n_points", "n_days")
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q9w — EXACT distinct counting via bitmap aggregates (round-10 mint;
+# Spark 3.5 bitmap_bucket_number / bitmap_bit_position /
+# bitmap_construct_agg / bitmap_or_agg / bitmap_count): the exact,
+# MERGEABLE alternative between COUNT(DISTINCT) and the HLL sketch
+# rows (q3u/q30). COUNT(DISTINCT) shuffles every raw value to its
+# group; a bitmap carries up to 32k presence bits in ≤4 KB, so the
+# shuffle payload is O(id-range/32k) fixed-size blobs per group and —
+# unlike HLL — the count that comes back is EXACT. The same per-bucket
+# bitmaps re-merge across groups with bitmap_or_agg (demonstrated by
+# the all-types total), which is the semi-lattice property a rollup
+# materialization needs: build per-(group, bucket) once, OR-merge for
+# any coarser grouping without touching raw data again. Oracle is
+# plain COUNT(DISTINCT) twice.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q9w_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+             AS n_users_all
+    FROM events GROUP BY event_type
+    """,
+)
+def q9w_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    per_bucket = e.select(
+        "event_type",
+        F.bitmap_bucket_number("user_id").alias("bkt"),
+        F.bitmap_bit_position("user_id").alias("pos"),
+    ).groupBy("event_type", "bkt").agg(
+        F.bitmap_construct_agg("pos").alias("bm")
+    )
+    by_type = per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_users")
+    )
+    total = (
+        per_bucket.groupBy("bkt")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_users_all"))
+    )
+    return by_type.join(F.broadcast(total))
