@@ -810,3 +810,45 @@ def q9v_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) l
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q9x — LISTAGG ... WITHIN GROUP (round-10 mint; Spark 4 SPARK-42746,
+# the ANSI ordered string aggregation): the statement-level form of
+# the concat_ws(array_sort(collect_list(...))) composition the
+# envelope queries build by hand. The WITHIN GROUP order clause is
+# what makes a string aggregate deterministic — without it the result
+# depends on partitioning and could never hash-match an oracle. The
+# per-group ORDER BY sorts inside each group's collected buffer
+# (group-bounded, never a global sort); DuckDB's string_agg with an
+# ORDER BY argument is the oracle. Customer-count and longest-name
+# columns ride along so the hash also pins group membership.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q9x_listagg",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, '|' ORDER BY n_name) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           CAST(MAX(LENGTH(n_name)) AS INTEGER) AS max_name_len
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q9x_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r_name,
+               listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name)
+                 AS nations,
+               COUNT(*) AS n_nations,
+               MAX(LENGTH(n_name)) AS max_name_len
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        """
+    )
