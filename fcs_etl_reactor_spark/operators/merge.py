@@ -59,7 +59,14 @@ def merge_upsert(base: DataFrame, updates: DataFrame, key_cols: list[str]) -> Da
 # formats' coercion behavior).
 # Contract (same as the lakehouse formats): each target row may match
 # at most one source row — a multi-match source makes MERGE
-# ill-defined and is the caller's schema invariant, not checked here.
+# ill-defined. Under violation the dispositions diverge: the matched
+# cascade (inner join) would DUPLICATE the target row once per source
+# match, while the no-matched-clause pass-through (left_semi) silently
+# DEDUPES it — and ANSI/Delta raise a cardinality error instead. The
+# contract is the caller's schema invariant by default; set
+# SPARK_GRAFT_MERGE_CHECK=1 to pay one extra aggregation and get the
+# ANSI-style error on violation (debug/CI switch, off on the 100 TB
+# hot path where the source is a keyed CDC batch by construction).
 # --------------------------------------------------------------------------
 
 
@@ -70,7 +77,7 @@ def _scan_parens(sql: str, start: int) -> int:
     while i < n:
         ch = sql[i]
         if ch == "'":
-            i = sql.index("'", i + 1)  # skip literal; ValueError if unclosed
+            i = _skip_literal(sql, i)
         elif ch == "(":
             depth += 1
         elif ch == ")":
@@ -79,6 +86,40 @@ def _scan_parens(sql: str, start: int) -> int:
                 return i + 1
         i += 1
     raise ValueError("MERGE: unbalanced parentheses in USING subquery")
+
+
+def _skip_literal(sql: str, quote_at: int) -> int:
+    """Index of the closing quote of the literal opening at `quote_at`
+    (MERGE-prefixed error on an unclosed literal)."""
+    try:
+        return sql.index("'", quote_at + 1)
+    except ValueError:
+        raise ValueError(
+            f"MERGE: unclosed string literal in: {sql[quote_at:][:60]!r}"
+        ) from None
+
+
+def _find_top_level(sql: str, keyword: str) -> "re.Match | None":
+    """First word-bounded, any-case match of `keyword` at paren-depth 0
+    (single-quoted literals are opaque, same scanner as _split_top_level).
+    Used to locate the top-level THEN inside a WHEN clause so the AND
+    condition is everything before it BY CONSTRUCTION — never by regex
+    backtracking, which a condition literal containing ' THEN ...'
+    could otherwise steer to the wrong THEN."""
+    import re
+
+    depth = 0
+    for m in re.finditer(r"'[^']*'|[()]|\b" + keyword + r"\b", sql, re.I):
+        tok = m.group(0)
+        if tok.startswith("'"):
+            continue
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            return m
+    return None
 
 
 def _split_top_level(sql: str, keyword: str) -> list[str]:
@@ -154,45 +195,52 @@ def merge_into_sql(spark, sql: str) -> DataFrame:
     insert_clause: tuple[str | None, list[str] | None, list[str] | None] | None = None
     for clause in whens[1:]:
         c = clause.strip()
-        mm = re.match(
-            r"MATCHED\s+(?:AND\s+(.*?)\s+)?THEN\s+(UPDATE\s+SET\s+(.*)|DELETE)\s*$",
-            c,
-            re.I | re.S,
-        )
-        if mm:
-            cond = mm.group(1)
-            if mm.group(2).upper().startswith("DELETE"):
-                matched_clauses.append((cond, "delete", None))
-            else:
-                matched_clauses.append((cond, "update", _parse_set_list(mm.group(3))))
+        # split at the TOP-LEVEL THEN first (quote/paren-opaque scan),
+        # so the optional AND condition is the text between the
+        # disposition keywords and THEN by construction — a condition
+        # literal containing ' THEN UPDATE ...' cannot misdirect the
+        # parse the way regex backtracking over .*?THEN could
+        tm = _find_top_level(c, "THEN")
+        if tm is None:
+            raise ValueError(f"MERGE: WHEN clause lacks THEN: WHEN {c[:80]}")
+        head, action = c[: tm.start()].strip(), c[tm.end() :].strip()
+
+        def _cond(prefix_re: str) -> tuple[bool, str | None]:
+            """Match head against a disposition prefix + optional AND
+            condition; returns (matched, condition-or-None)."""
+            mm = re.match(prefix_re + r"(?:\s+AND\s+(.*))?\s*$", head, re.I | re.S)
+            return (mm is not None, mm.group(1) if mm else None)
+
+        def _upsert_action() -> tuple[str, dict[str, str] | None]:
+            ma = re.match(r"UPDATE\s+SET\s+(.*)$", action, re.I | re.S)
+            if ma:
+                return "update", _parse_set_list(ma.group(1))
+            if re.fullmatch(r"DELETE", action, re.I):
+                return "delete", None
+            raise ValueError(
+                f"MERGE: expected UPDATE SET ... or DELETE after THEN: {action[:60]}"
+            )
+
+        hit, cond = _cond(r"MATCHED")
+        if hit:
+            matched_clauses.append((cond, *_upsert_action()))
             continue
-        mm = re.match(
-            r"NOT\s+MATCHED\s+BY\s+SOURCE\s+(?:AND\s+(.*?)\s+)?THEN\s+"
-            r"(UPDATE\s+SET\s+(.*)|DELETE)\s*$",
-            c,
-            re.I | re.S,
-        )
-        if mm:
-            cond = mm.group(1)
-            if mm.group(2).upper().startswith("DELETE"):
-                by_source_clauses.append((cond, "delete", None))
-            else:
-                by_source_clauses.append(
-                    (cond, "update", _parse_set_list(mm.group(3)))
+        hit, cond = _cond(r"NOT\s+MATCHED\s+BY\s+SOURCE")
+        if hit:
+            by_source_clauses.append((cond, *_upsert_action()))
+            continue
+        hit, cond = _cond(r"NOT\s+MATCHED(?:\s+BY\s+TARGET)?")
+        if hit:
+            ma = re.match(r"INSERT\s+(.*?)\s*$", action, re.I | re.S)
+            if not ma:
+                raise ValueError(
+                    f"MERGE: expected INSERT after NOT MATCHED THEN: {action[:60]}"
                 )
-            continue
-        mm = re.match(
-            r"NOT\s+MATCHED\s+(?:BY\s+TARGET\s+)?(?:AND\s+(.*?)\s+)?THEN\s+"
-            r"INSERT\s+(.*?)\s*$",
-            c,
-            re.I | re.S,
-        )
-        if mm:
             if insert_clause is not None:
                 raise ValueError(
                     "MERGE: at most one WHEN NOT MATCHED ... INSERT clause"
                 )
-            insert_clause = (mm.group(1), *_parse_insert_payload(mm.group(2)))
+            insert_clause = (cond, *_parse_insert_payload(ma.group(1)))
             continue
         raise ValueError(f"MERGE: unsupported WHEN clause: WHEN {c[:80]}")
 
@@ -201,6 +249,33 @@ def merge_into_sql(spark, sql: str) -> DataFrame:
     on = F.expr(on_sql)
     tschema = spark.table(tgt_name).schema
     tcols = tschema.fieldNames()
+
+    import os
+
+    if os.environ.get("SPARK_GRAFT_MERGE_CHECK"):
+        # opt-in ANSI-style cardinality check (one extra inner join +
+        # agg): each target row may match at most one source row —
+        # under violation the matched cascade duplicates while the
+        # semi pass-through dedupes, so fail loudly instead of picking
+        tid = (
+            spark.table(tgt_name)
+            .withColumn("__tid", F.monotonically_increasing_id())
+            .alias(t_alias)
+        )
+        dup = (
+            tid.join(s, on, "inner")
+            .groupBy("__tid")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "MERGE: a target row matches more than one source row "
+                "(ill-defined under ANSI/Delta semantics; dedupe the "
+                "source on the merge key first)"
+            )
 
     def base_col(col: str):
         return F.col(f"{t_alias}.{col}")
@@ -346,7 +421,7 @@ def _split_top_commas(sql: str) -> list[str]:
     while i < n:
         ch = sql[i]
         if ch == "'":
-            i = sql.index("'", i + 1)  # ValueError if unclosed
+            i = _skip_literal(sql, i)
         elif ch == "(":
             depth += 1
         elif ch == ")":

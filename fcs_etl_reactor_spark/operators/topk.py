@@ -46,6 +46,13 @@ def partial_topk(
 
     Equivalent to the window-filter form, with the shuffle bounded to
     the per-partition survivors. k must be >= 1.
+
+    Caller contract: id_col must be non-null — it is the tiebreak that
+    makes the order total, and pandas and Spark order NULL ids
+    differently. The check lives inside the map task (the first place
+    the data is seen without an extra driver-side pass), so a
+    violation surfaces as a wrapped PythonException at action time,
+    not a fast driver-side error.
     """
     if k < 1:
         raise ValueError(f"partial_topk requires k >= 1, got {k}")

@@ -723,7 +723,11 @@ def q1r_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
 # groups under UTF8_LCASE, and ALSO counts the distinct binary-cased
 # variants inside each CI group — the case-sensitive and case-
 # insensitive semantics side by side in one result. The oracle replays
-# with lower()-grouping, the pre-collation rewrite. Scale shape: one
+# with lower()-grouping, the pre-collation rewrite — an equivalence
+# that holds on THESE fixtures because the keys are ASCII: UTF8_LCASE
+# full-Unicode case folding and lower() diverge on e.g. Turkish dotted
+# I and German ß, so the oracle's rewrite is ASCII-scoped, not a
+# general identity. Scale shape: one
 # shuffle, same as any groupBy; collation only changes the comparator.
 # --------------------------------------------------------------------------
 

@@ -1396,3 +1396,50 @@ class TestMergeIntoSql:
                 "MERGE INTO merge_tgt t USING merge_src s ON t.k = s.k "
                 "WHEN MATCHED THEN UPDATE SET st = 'oops",
             )
+
+    def test_then_inside_condition_literal(self, spark):
+        """A clause condition containing the literal ' THEN UPDATE SET '
+        must parse via the top-level-THEN scanner, not regex
+        backtracking: the real THEN is located structurally, so the
+        statement executes correctly instead of depending on
+        backtracking accidents to error out."""
+        from fcs_etl_reactor_spark.operators.merge import merge_into_sql
+
+        self._tgt(spark)
+        out = merge_into_sql(
+            spark,
+            """
+            MERGE INTO merge_tgt AS t
+            USING (SELECT 1 AS k UNION ALL SELECT 2) AS s
+            ON t.k = s.k
+            WHEN MATCHED AND t.st = ' THEN UPDATE SET x = 1 ' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET st = 'hit THEN miss'
+            """,
+        )
+        got = {r["k"]: r["st"] for r in out.collect()}
+        # no target st equals the weird literal -> both matched rows
+        # fall through the DELETE to the UPDATE
+        assert got[1] == "hit THEN miss" and got[2] == "hit THEN miss"
+        assert got[3] == "F" and got[4] == "O"
+
+    def test_multi_match_guard_env_flag(self, spark, monkeypatch):
+        """SPARK_GRAFT_MERGE_CHECK=1 turns the at-most-one-source-match
+        contract into an ANSI-style cardinality error; a clean keyed
+        source still merges fine under the flag."""
+        from fcs_etl_reactor_spark.operators.merge import merge_into_sql
+
+        self._tgt(spark)
+        monkeypatch.setenv("SPARK_GRAFT_MERGE_CHECK", "1")
+        with pytest.raises(ValueError, match="more than one source row"):
+            merge_into_sql(
+                spark,
+                "MERGE INTO merge_tgt t USING "
+                "(SELECT 1 AS k UNION ALL SELECT 1) s ON t.k = s.k "
+                "WHEN MATCHED THEN DELETE",
+            )
+        out = merge_into_sql(
+            spark,
+            "MERGE INTO merge_tgt t USING (SELECT 1 AS k) s ON t.k = s.k "
+            "WHEN MATCHED THEN DELETE",
+        )
+        assert sorted(r["k"] for r in out.collect()) == [2, 3, 4]
