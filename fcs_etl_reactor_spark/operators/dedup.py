@@ -184,6 +184,68 @@ def minhash_signatures(
     )
 
 
+def minhash_band_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Banded MinHash rows per document: (id, band, band_hash) — one
+    row per (doc, band), band_hash = xxhash64 over the band's r
+    signature slots. This is the unit the sharded deployment shape
+    materializes (partitioned by shard) so each shard-pair run reads
+    exactly two shards' band rows and never recomputes signatures."""
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm)
+    return sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[F.element_at("signature", b * r + i + 1) for i in range(r)]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
+def lsh_pairs_from_band_rows(
+    rows_a: DataFrame,
+    rows_b: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs (doc_a < doc_b, n_bands) from banded rows.
+
+    One-argument form is the classic self-join bucket match. Two-
+    argument form joins two DISJOINT banded-row sets (a shard-pair
+    run): orientation is normalized with least/greatest so the output
+    is identical to the self-join's doc_a < doc_b convention — ids
+    must therefore be orderable (they are: doc ids)."""
+    a = rows_a.select(F.col(id_col).alias("__ia"), "band", "band_hash")
+    if rows_b is None:
+        b = rows_a.select(F.col(id_col).alias("__ib"), "band", "band_hash")
+        matched = a.join(b, ["band", "band_hash"]).filter(
+            F.col("__ia") < F.col("__ib")
+        )
+    else:
+        b = rows_b.select(F.col(id_col).alias("__ib"), "band", "band_hash")
+        matched = a.join(b, ["band", "band_hash"])
+    return (
+        matched.select(
+            F.least("__ia", "__ib").alias("doc_a"),
+            F.greatest("__ia", "__ib").alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -199,30 +261,89 @@ def minhash_lsh_pairs(
     for Jaccard s. Banding is an equality shuffle on (band, hash) —
     no pairwise comparison outside a bucket.
     """
-    assert num_perm % bands == 0
-    r = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_perm)
-    band_rows = sig.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[F.element_at("signature", b * r + i + 1) for i in range(r)]
-                    )
-                    for b in range(bands)
-                ]
+    band_rows = minhash_band_rows(df, id_col, text_col, n, num_perm, bands)
+    return lsh_pairs_from_band_rows(band_rows, None, id_col)
+
+
+def lsh_shard_runs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    n_shards: int = 4,
+    shard_expr=None,
+) -> list[tuple[int, int, DataFrame]]:
+    """The sharded deployment shape of minhash_lsh_pairs: partition the
+    corpus into `n_shards` disjoint shards and return the K·(K+1)/2
+    shard-pair candidate runs [(i, j, pairs_df)] — K within-shard
+    self-joins plus K·(K−1)/2 cross-shard joins.
+
+    Losslessness is structural: a pair (a, b) collides on a (band,
+    band_hash) bucket — a property of the two documents alone — and
+    lands in EXACTLY the run (shard(a), shard(b)); no other run can
+    produce it (the filters are disjoint) and that run sees all of the
+    pair's band matches (each doc's band rows travel whole). So the
+    union of the runs equals the unsharded candidate set EXACTLY,
+    n_bands included, with no re-aggregation needed — proven by the
+    q9y driver oracle at sf0.01 and property-tested over random
+    corpora/shard counts (tests/test_operators.py).
+
+    Why this is the 100 TB shape: the monolithic band join's shuffle
+    carries the whole corpus's band rows AND the whole candidate-pair
+    output in one job — on a densified corpus the pair output alone is
+    the blow-up (the q5f 100×-replica disk ceiling, BENCH.md round
+    10). Run shard-pair jobs SEQUENTIALLY (or on separate clusters)
+    and each job's shuffle is bounded by two shards' band rows plus
+    ~2/K² of the pair output; peak disk drops ~K²/2 while total work
+    stays the same. Production materializes minhash_band_rows once,
+    partitioned by shard (one corpus scan), and each run reads two
+    shard partitions — scripts/sharded_dedup_probe.py runs exactly
+    that shape at the 100× replica rung.
+
+    `shard_expr` defaults to pmod(xxhash64(id), K) — uniform even for
+    clustered id spaces; pass e.g. `F.col(id) % K` when the shard
+    decision must be replayable in plain SQL (the q9y oracle).
+    """
+    if shard_expr is None:
+        shard_expr = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    band_rows = minhash_band_rows(df, id_col, text_col, n, num_perm, bands)
+    band_rows = band_rows.withColumn("__shard", shard_expr.cast("int"))
+    runs = []
+    for i in range(n_shards):
+        rows_i = band_rows.filter(F.col("__shard") == i).drop("__shard")
+        runs.append((i, i, lsh_pairs_from_band_rows(rows_i, None, id_col)))
+        for j in range(i + 1, n_shards):
+            rows_j = band_rows.filter(F.col("__shard") == j).drop("__shard")
+            runs.append(
+                (i, j, lsh_pairs_from_band_rows(rows_i, rows_j, id_col))
             )
-        ).alias("band", "band_hash"),
+    return runs
+
+
+def minhash_lsh_pairs_sharded(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    n_shards: int = 4,
+    shard_expr=None,
+) -> DataFrame:
+    """Union of the lsh_shard_runs — exactly equal (rows AND n_bands)
+    to minhash_lsh_pairs; the in-plan form used by the q9y losslessness
+    oracle. Deployment runs the shard-pair jobs sequentially instead
+    (see lsh_shard_runs); this union exists to make the equality a
+    checkable single plan."""
+    runs = lsh_shard_runs(
+        df, id_col, text_col, n, num_perm, bands, n_shards, shard_expr
     )
-    a = band_rows.select(F.col(id_col).alias("doc_a"), "band", "band_hash")
-    b = band_rows.select(F.col(id_col).alias("doc_b"), "band", "band_hash")
-    return (
-        a.join(b, ["band", "band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_bands"))
-    )
+    out = runs[0][2]
+    for _, _, pairs in runs[1:]:
+        out = out.unionByName(pairs)
+    return out
 
 
 def minhash_lsh_cross_pairs(

@@ -196,6 +196,66 @@ def q5f_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q9y_sharded_lsh_dedup",
+    # the full exact-Jaccard set (the same ground truth as q56) with
+    # each pair labeled by the shard-pair run that must discover it —
+    # a lost cross-shard pair is a MISSING row, i.e. a hash mismatch
+    oracle=f"""
+    WITH base AS (
+      {_JACCARD_SQL.format(t=_NEARDUP_J)}
+    )
+    SELECT doc_a, doc_b, jaccard,
+           CASE WHEN doc_a % 4 = doc_b % 4 THEN 'within' ELSE 'cross' END
+             AS run_kind
+    FROM base
+    """,
+)
+def q9y_sharded_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-union losslessness of the sharded LSH deployment shape
+    (round-11 mint; the q5f 100×-replica answer made executable):
+    partition the corpus into 4 shards by doc_id % 4, generate
+    candidates as the 10 disjoint shard-pair runs (4 within-shard
+    self-joins + 6 cross-shard joins — lsh_shard_runs), union, verify
+    with exact n-gram Jaccard, and emit every surviving pair labeled
+    with the run kind that produced it. The oracle recomputes the full
+    ≥0.8-Jaccard pair set from raw text (unsharded ground truth) and
+    replays the shard decision as doc_a % 4 — at sf0.01 the 25 true
+    pairs split 17 cross / 8 within, so both run kinds are load-
+    bearing: losing cross-shard recovery drops 17 rows and the value
+    hash catches it. The shard function is doc_id % 4 here so DuckDB
+    can replay it; production uses pmod(xxhash64(id), K) (the operator
+    default). Scale: each shard-pair job's shuffle is bounded by two
+    shards' band rows + ~2/K² of the pair output — the shape that
+    completes the 100× replica rung within the disk envelope where the
+    monolithic join could not (scripts/sharded_dedup_probe.py,
+    BENCH.md round 11)."""
+    from fcs_etl_reactor_spark.operators.dedup import minhash_lsh_pairs_sharded
+
+    d = load(spark, sf_dir, "documents")
+    cands = minhash_lsh_pairs_sharded(
+        d,
+        "doc_id",
+        "text",
+        n=3,
+        num_perm=64,
+        bands=16,
+        n_shards=4,
+        shard_expr=F.col("doc_id") % 4,
+    )
+    verified = jaccard_verify_pairs(
+        d, cands, "doc_id", "text", n=3, threshold=_NEARDUP_J
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        F.round("jaccard", 9).alias("jaccard"),
+        F.when(F.col("doc_a") % 4 == F.col("doc_b") % 4, F.lit("within"))
+        .otherwise(F.lit("cross"))
+        .alias("run_kind"),
+    )
+
+
+@query(
     "q5c_span_dedup",
     oracle="""
     WITH toks AS (

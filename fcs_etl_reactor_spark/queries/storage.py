@@ -1612,3 +1612,194 @@ def q2y_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q9z — SQL scripting (round-11 mint; Spark 4 SQL scripting,
+# SPARK-48338, gated by spark.sql.scripting.enabled): a BEGIN…END
+# block with DECLARE'd local variables and a data-coupled WHILE loop —
+# the stored-procedure-shaped control flow an analyst migrates from a
+# warehouse. The script ratchets a price cutoff down 0.1% per round
+# (integer cents arithmetic, so the sequence is exactly replayable)
+# until at least 100 orders qualify, then aggregates the qualifying
+# orders; cutoff_cents and n_rounds are OUTPUT columns, so the two
+# engines must agree on the loop's termination DECISION, not just the
+# final aggregate (the q1z oracle pattern). The DuckDB oracle replays
+# the loop as a recursive CTE over the same integer sequence. The
+# escalation is real and SF-dependent: ~9 rounds at sf0.01, ~40+ at
+# sf0.001 (sparser top tail). Scale shape: each loop round is one
+# pushed-down count scan; the loop is driver-side control flow over
+# bounded (count << rounds·scan) work — exactly how a cluster runs a
+# warehouse-migrated script.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q9z_sql_scripting",
+    oracle="""
+    WITH RECURSIVE cents AS (
+      SELECT CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c,
+             o_orderpriority AS prio
+      FROM orders
+    ), ladder(r, cutoff) AS (
+      SELECT 0, (SELECT MAX(c) FROM cents)
+      UNION ALL
+      SELECT r + 1, cutoff - cutoff // 1000
+      FROM ladder
+      WHERE (SELECT COUNT(*) FROM cents WHERE c >= cutoff) < 100
+    ), pick AS (
+      SELECT cutoff, r FROM ladder ORDER BY r DESC LIMIT 1
+    )
+    SELECT prio, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           (SELECT cutoff FROM pick) AS cutoff_cents,
+           CAST((SELECT r FROM pick) AS INT) AS n_rounds
+    FROM cents WHERE c >= (SELECT cutoff FROM pick)
+    GROUP BY prio
+    """,
+)
+def q9z_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE cutoff BIGINT DEFAULT 0;
+          DECLARE rounds INT DEFAULT 0;
+          SET cutoff = (SELECT MAX(CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                                        AS BIGINT)) FROM orders);
+          WHILE (SELECT COUNT(*) FROM orders
+                 WHERE CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                       >= cutoff) < 100 DO
+            SET cutoff = cutoff - cutoff DIV 1000;
+            SET rounds = rounds + 1;
+          END WHILE;
+          SELECT o_orderpriority AS prio,
+                 COUNT(*) AS n_orders,
+                 cutoff AS cutoff_cents,
+                 rounds AS n_rounds
+          FROM orders
+          WHERE CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) >= cutoff
+          GROUP BY o_orderpriority;
+        END
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# q9j — parameterized SQL with named markers + IDENTIFIER() (round-11
+# mint; SPARK-44140 named parameters, SPARK-43205 IDENTIFIER clause):
+# the injection-safe templating surface — values bind as :name
+# markers, the table name binds through IDENTIFIER(:tbl) (an
+# identifier can never come from a value parameter), and every bound
+# parameter is load-bearing in the value hash (the table scanned, the
+# segment filter, the balance floor). q2l touched `args=` as a probe;
+# this row makes it the query. The oracle inlines the same literals —
+# if binding changed semantics (type coercion, quoting) the hash
+# catches it. Scale shape: parameters are plan literals after binding,
+# so pushdown/pruning work exactly as with inline constants.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q9j_parameterized_sql",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal >= 5000.0
+    ORDER BY bal_cents DESC, c_custkey
+    LIMIT 15
+    """,
+)
+def q9j_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents
+        FROM IDENTIFIER(:tbl)
+        WHERE c_mktsegment = :seg AND c_acctbal >= :min_bal
+        ORDER BY bal_cents DESC, c_custkey
+        LIMIT 15
+        """,
+        args={"tbl": "customer", "seg": "BUILDING", "min_bal": 5000.0},
+    )
+
+
+# --------------------------------------------------------------------------
+# qa0 — TABLESAMPLE … REPEATABLE (round-11 mint): the SQL sampling
+# surface, checked the only way a seeded engine-specific draw can be
+# (the q58 envelope pattern): the sample must be (a) a SUBSET of the
+# table (anti-join count 0), (b) sized within the Bernoulli ±6σ
+# envelope per priority (P(violation) ~ 2e-9), (c) REPEATABLE — the
+# same seed drawn twice yields the identical row set (symmetric
+# difference empty), and (d) the (100 ROWS) form returns exactly 100
+# rows. All four contracts are hashed columns the DuckDB oracle
+# asserts as constants + exact totals. Partition note: the draw is
+# seed+partition deterministic; shuffle-width/AQE sweeps don't touch
+# scan partitioning, so the row set is stable under the invariance
+# battery (and the probe pins it).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qa0_tablesample",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_total,
+           TRUE AS in_bounds, TRUE AS subset_ok, TRUE AS stable,
+           CAST(100 AS BIGINT) AS n_rows_form
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def qa0_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    sample_sql = (
+        "SELECT o_orderkey, o_orderpriority FROM orders "
+        "TABLESAMPLE (10 PERCENT) REPEATABLE (42)"
+    )
+    s1, s2 = spark.sql(sample_sql), spark.sql(sample_sql)
+    totals = spark.table("orders").groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    sampled = s1.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_sampled")
+    )
+    # scalar contract bits, computed once and broadcast (1-row joins)
+    diff = (
+        s1.exceptAll(s2).unionByName(s2.exceptAll(s1))
+        .agg(F.count(F.lit(1)).alias("n_diff"))
+        .select((F.col("n_diff") == 0).alias("stable"))
+    )
+    subset = (
+        s1.join(spark.table("orders"), "o_orderkey", "left_anti")
+        .agg((F.count(F.lit(1)) == 0).alias("subset_ok"))
+    )
+    rows_form = spark.sql(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_form "
+        "FROM orders TABLESAMPLE (100 ROWS)"
+    )
+    sigma = F.sqrt(F.col("n_total") * 0.1 * 0.9)
+    return (
+        totals.join(sampled, "o_orderpriority", "left")
+        .select(
+            "o_orderpriority",
+            "n_total",
+            (
+                F.abs(F.coalesce("n_sampled", F.lit(0)) - 0.1 * F.col("n_total"))
+                <= 6 * sigma + 1
+            ).alias("in_bounds"),
+        )
+        .crossJoin(F.broadcast(subset))
+        .crossJoin(F.broadcast(diff))
+        .crossJoin(F.broadcast(rows_form))
+        .select(
+            "o_orderpriority", "n_total", "in_bounds", "subset_ok",
+            "stable", "n_rows_form",
+        )
+    )

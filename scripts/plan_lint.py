@@ -103,6 +103,7 @@ ALLOW_CARTESIAN = {
     "q2r_rendezvous_sharding",  # 1-row (n_total, n_moved) broadcast cross
     "q2s_bloom_file_skip",      # 1-row probe-value + 1-row probe-bits crosses
     "q9w_bitmap_distinct",      # 1-row all-types-total broadcast cross
+    "qa0_tablesample",          # three 1-row contract-bit broadcast crosses
 }
 # Python-eval nodes allowed: q5i IS the scalar-UDF surface; q5g IS the
 # UDTF surface (UDTF eval is row-generating Python by definition).

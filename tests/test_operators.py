@@ -115,6 +115,70 @@ class TestDedup:
         assert (1, 2) in pairs  # near-dup caught by some band
         assert not any(4 in p for p in pairs)
 
+    def test_sharded_lsh_union_equals_unsharded(self, spark):
+        """Shard-union losslessness, exact: the union of the K(K+1)/2
+        shard-pair runs equals minhash_lsh_pairs row-for-row INCLUDING
+        n_bands, the runs are pairwise disjoint on pairs, and every
+        pair lands in the run (shard(a), shard(b)) — for a corpus with
+        within-shard dups, cross-shard dups, and an isolated doc,
+        under both shard functions (default xxhash64, replayable %K)
+        and several K including K=1 (degenerate: one self-join run)."""
+        from fcs_etl_reactor_spark.operators.dedup import (
+            lsh_shard_runs,
+            minhash_lsh_pairs_sharded,
+        )
+        from pyspark.sql import functions as SF
+
+        base = "w%d " * 12
+        docs = spark.createDataFrame(
+            [
+                # cluster A: ids 1,2,6 (spread over shards for K>=3)
+                (1, (base % tuple(range(12))).strip()),
+                (2, (base % tuple(range(12))).strip()),
+                (6, (base % tuple(range(12))).strip() + " tail"),
+                # cluster B: ids 4,8 (same shard for K=4)
+                (4, ("x%d " * 12 % tuple(range(12))).strip()),
+                (8, ("x%d " * 12 % tuple(range(12))).strip()),
+                (9, "totally unrelated isolated content z0 z1 z2 z3"),
+            ],
+            "doc_id INT, text STRING",
+        )
+        expect = sorted(
+            tuple(r)
+            for r in minhash_lsh_pairs(docs, "doc_id", "text", bands=16).collect()
+        )
+        assert len(expect) >= 4  # the fixture really produces pairs
+        for k, shard_expr in [
+            (1, None),
+            (3, None),
+            (4, SF.col("doc_id") % 4),
+            (5, None),
+        ]:
+            got = sorted(
+                tuple(r)
+                for r in minhash_lsh_pairs_sharded(
+                    docs, "doc_id", "text", bands=16,
+                    n_shards=k, shard_expr=shard_expr,
+                ).collect()
+            )
+            assert got == expect, f"K={k}"
+        # disjointness + correct run assignment under the %K function
+        runs = lsh_shard_runs(
+            docs, "doc_id", "text", bands=16,
+            n_shards=4, shard_expr=SF.col("doc_id") % 4,
+        )
+        assert len(runs) == 10
+        seen = {}
+        for i, j, pairs in runs:
+            for r in pairs.collect():
+                key = (r["doc_a"], r["doc_b"])
+                assert key not in seen, f"pair {key} in runs {seen[key]} and {(i,j)}"
+                seen[key] = (i, j)
+                assert (i, j) == tuple(sorted((key[0] % 4, key[1] % 4)))
+        assert sorted((a, b) for (a, b) in seen) == [
+            (a, b) for (a, b, _) in expect
+        ]
+
     def test_span_dedup_counts(self, spark):
         from fcs_etl_reactor_spark.operators.dedup import span_dedup
 
