@@ -274,6 +274,7 @@ def lsh_shard_runs(
     bands: int = 16,
     n_shards: int = 4,
     shard_expr=None,
+    materialize: bool = False,
 ) -> list[tuple[int, int, DataFrame]]:
     """The sharded deployment shape of minhash_lsh_pairs: partition the
     corpus into `n_shards` disjoint shards and return the K·(K+1)/2
@@ -305,11 +306,27 @@ def lsh_shard_runs(
     `shard_expr` defaults to pmod(xxhash64(id), K) — uniform even for
     clustered id spaces; pass e.g. `F.col(id) % K` when the shard
     decision must be replayable in plain SQL (the q9y oracle).
+
+    `materialize=True` localCheckpoints the banded rows before
+    fanning out the runs — each of the K(K+1)/2 run branches otherwise
+    re-executes the whole shingle→signature subtree (Spark unions
+    share no common subexpressions). Default False, measured: at sf0.1
+    the lazy form is FASTER (7.8 s vs 11.6 s cold) because the
+    checkpointed LogicalRDD loses size statistics and every run's
+    band-bucket join degrades from broadcast to sort-merge; the
+    redundant subtree is 20 cheap scans of a small corpus. The real
+    cure at scale is not an in-plan checkpoint at all: the deployment
+    (scripts/sharded_dedup_probe.py) writes minhash_band_rows to
+    parquet ONCE, partitioned by shard, and each shard-pair job reads
+    two partitions — this union form exists as the losslessness PROOF
+    at fixture scale, where lazy wins.
     """
     if shard_expr is None:
         shard_expr = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
     band_rows = minhash_band_rows(df, id_col, text_col, n, num_perm, bands)
     band_rows = band_rows.withColumn("__shard", shard_expr.cast("int"))
+    if materialize:
+        band_rows = band_rows.localCheckpoint(eager=True)
     runs = []
     for i in range(n_shards):
         rows_i = band_rows.filter(F.col("__shard") == i).drop("__shard")
@@ -331,6 +348,7 @@ def minhash_lsh_pairs_sharded(
     bands: int = 16,
     n_shards: int = 4,
     shard_expr=None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Union of the lsh_shard_runs — exactly equal (rows AND n_bands)
     to minhash_lsh_pairs; the in-plan form used by the q9y losslessness
@@ -338,7 +356,8 @@ def minhash_lsh_pairs_sharded(
     (see lsh_shard_runs); this union exists to make the equality a
     checkable single plan."""
     runs = lsh_shard_runs(
-        df, id_col, text_col, n, num_perm, bands, n_shards, shard_expr
+        df, id_col, text_col, n, num_perm, bands, n_shards, shard_expr,
+        materialize,
     )
     out = runs[0][2]
     for _, _, pairs in runs[1:]:
