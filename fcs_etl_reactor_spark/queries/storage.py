@@ -1644,9 +1644,10 @@ def q2y_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), ladder(r, cutoff) AS (
       SELECT 0, (SELECT MAX(c) FROM cents)
       UNION ALL
-      SELECT r + 1, cutoff - cutoff // 1000
+      SELECT r + 1, cutoff - GREATEST(cutoff // 1000, 1)
       FROM ladder
-      WHERE (SELECT COUNT(*) FROM cents WHERE c >= cutoff) < 100
+      WHERE cutoff > 0
+        AND (SELECT COUNT(*) FROM cents WHERE c >= cutoff) < 100
     ), pick AS (
       SELECT cutoff, r FROM ladder ORDER BY r DESC LIMIT 1
     )
@@ -1669,10 +1670,18 @@ def q9z_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
           DECLARE rounds INT DEFAULT 0;
           SET cutoff = (SELECT MAX(CAST(FLOOR(o_totalprice * 100.0 + 0.5)
                                         AS BIGINT)) FROM orders);
-          WHILE (SELECT COUNT(*) FROM orders
-                 WHERE CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)
-                       >= cutoff) < 100 DO
-            SET cutoff = cutoff - cutoff DIV 1000;
+          WHILE cutoff > 0
+                AND (SELECT COUNT(*) FROM orders
+                     WHERE CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                           >= cutoff) < 100 DO
+            -- GREATEST(..., 1) keeps the decay strictly decreasing once
+            -- cutoff < 1000 (where DIV 1000 = 0 would stall), and the
+            -- cutoff > 0 guard terminates even on a sub-100-row table:
+            -- the ladder can never loop forever on ANY input. On the
+            -- driver fixtures both guards are inert (cutoff stays in
+            -- the tens of millions of cents), so the oracle replay --
+            -- which mirrors both guards -- is unchanged there.
+            SET cutoff = cutoff - GREATEST(cutoff DIV 1000, 1);
             SET rounds = rounds + 1;
           END WHILE;
           SELECT o_orderpriority AS prio,

@@ -1507,3 +1507,47 @@ class TestMergeIntoSql:
             "WHEN MATCHED THEN DELETE",
         )
         assert sorted(r["k"] for r in out.collect()) == [2, 3, 4]
+
+
+class TestSqlScriptingEdges:
+    def test_ratchet_terminates_on_degenerate_tables(self, spark):
+        """The q9z WHILE ratchet must terminate on ANY input: a
+        sub-100-row table with tiny prices would stall forever under
+        the naive `cutoff - cutoff DIV 1000` decay (DIV 1000 = 0 once
+        cutoff < 1000). The GREATEST(..., 1) strict-decrease floor plus
+        the cutoff > 0 guard make it finish with every row qualifying
+        at cutoff <= 0; an empty table exits immediately (NULL max ->
+        NULL WHILE condition -> not TRUE -> loop never entered)."""
+        spark.conf.set("spark.sql.scripting.enabled", "true")
+        script = """
+        BEGIN
+          DECLARE cutoff BIGINT DEFAULT 0;
+          DECLARE rounds INT DEFAULT 0;
+          SET cutoff = (SELECT MAX(CAST(FLOOR(p * 100.0 + 0.5) AS BIGINT))
+                        FROM tiny_orders);
+          WHILE cutoff > 0
+                AND (SELECT COUNT(*) FROM tiny_orders
+                     WHERE CAST(FLOOR(p * 100.0 + 0.5) AS BIGINT)
+                           >= cutoff) < 100 DO
+            SET cutoff = cutoff - GREATEST(cutoff DIV 1000, 1);
+            SET rounds = rounds + 1;
+          END WHILE;
+          SELECT COUNT(*) AS n, cutoff AS cutoff_cents, rounds AS n_rounds
+          FROM tiny_orders
+          WHERE CAST(FLOOR(p * 100.0 + 0.5) AS BIGINT) >= cutoff;
+        END
+        """
+        spark.createDataFrame(
+            [(0.05,), (0.02,), (0.01,)], "p DOUBLE"
+        ).createOrReplaceTempView("tiny_orders")
+        row = spark.sql(script).collect()[0]
+        # 3 rows can never reach 100: the loop must run the cutoff to 0
+        # (max 5 cents -> 5 rounds of -1 after the DIV floor hits)
+        assert row["cutoff_cents"] == 0 and row["n"] == 3
+        assert row["n_rounds"] == 5
+
+        spark.createDataFrame([], "p DOUBLE").createOrReplaceTempView(
+            "tiny_orders"
+        )
+        row = spark.sql(script).collect()[0]
+        assert row["n"] == 0 and row["n_rounds"] == 0
