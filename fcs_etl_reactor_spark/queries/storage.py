@@ -1812,3 +1812,65 @@ def qa0_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stable", "n_rows_form",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# qa1 — SQL UDFs (round-11 mint; SPARK-46057, Spark 4): CREATE
+# TEMPORARY FUNCTION in pure SQL — a scalar function and a
+# table-valued function (the scalar composed INSIDE the TVF body),
+# consumed through a correlated LATERAL call. This is the
+# warehouse-migration surface that matters at 100 TB for a reason the
+# plan shows: SQL UDFs are INLINED by Catalyst at analysis time — no
+# serialization boundary, no Python worker, predicates still push
+# through the call sites (tests/test_plans.py asserts the executed
+# plan contains no *EvalPython node) — whereas the same helper written
+# as a Python UDF walls off codegen and pushdown. The oracle replays
+# with the definitions hand-inlined: if Spark's inlining changed
+# semantics (type coercion at the RETURNS boundary, correlation
+# scope), the value hash catches it.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qa1_sql_udf",
+    oracle="""
+    SELECT c_mktsegment AS seg,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS HUGEINT))
+                AS BIGINT) AS sum_cents
+    FROM customer
+    WHERE c_acctbal >= 5000.0
+    GROUP BY c_mktsegment
+    """,
+)
+def qa1_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION fcs_cents(x DOUBLE)
+        RETURNS BIGINT
+        RETURN CAST(FLOOR(x * 100.0 + 0.5) AS BIGINT)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION fcs_seg_top(
+            seg STRING, min_bal DOUBLE)
+        RETURNS TABLE(c_custkey BIGINT, bal_cents BIGINT)
+        RETURN SELECT c_custkey, fcs_cents(c_acctbal)
+               FROM customer
+               WHERE c_mktsegment = seg AND c_acctbal >= min_bal
+        """
+    )
+    return spark.sql(
+        """
+        SELECT t.seg,
+               COUNT(*) AS n_cust,
+               SUM(s.bal_cents) AS sum_cents
+        FROM (SELECT DISTINCT c_mktsegment AS seg FROM customer) t,
+             LATERAL fcs_seg_top(t.seg, 5000.0) s
+        GROUP BY t.seg
+        """
+    )

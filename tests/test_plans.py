@@ -415,3 +415,14 @@ def test_global_window_detector(spark):
         "f(a#1, b#2) ASC NULLS FIRST",
         "c#3 DESC",
     ]
+
+
+def test_sql_udf_inlines_without_python(spark):
+    """SQL UDFs (qa1) must be Catalyst-inlined: the executed plan may
+    contain no Python eval node of any kind — the whole point of the
+    surface vs a Python UDF — and the TVF's segment/balance predicates
+    must still reach the parquet scan through the call site."""
+    plan = plan_of(spark, "qa1_sql_udf")
+    assert "EvalPython" not in plan and "Python" not in plan
+    ex = explain_str(spark, "qa1_sql_udf")
+    assert "PushedFilters" in ex and "c_acctbal" in ex
