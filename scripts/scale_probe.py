@@ -166,6 +166,21 @@ PROBE_QUERIES = [  # all run on the replicated tables
     "q3z_frame_exclusion",    # two shared-sort RANGE windows
     "q2u_unpivot_sql",        # Expand node, pure map fanout
     "q2v_limit_offset",       # grouped agg + offset+limit top-k
+    # round-10 mints:
+    "q1z_link_prediction_budgeted",  # escalated wedge-budget regime
+    "q2w_merge_insert_cols",  # MERGE columns-list INSERT (one key shuffle)
+    "q2x_merge_by_source",    # MERGE BY SOURCE cascade (one key shuffle)
+    "q2y_keyset_pagination",  # seek predicate -> TakeOrderedAndProject
+    "q9u_collated_grouping",  # UTF8_LCASE comparator groupBy
+    "q9v_lateral_topn",       # decorrelated LATERAL -> WindowGroupLimit
+    "q9w_bitmap_distinct",    # fixed-size bitmap agg shuffle
+    "q9x_listagg",            # ordered string agg (group-bounded sort)
+    # round-11 mints:
+    "q9y_sharded_lsh_dedup",  # in-plan shard-union losslessness proof
+    "q9z_sql_scripting",      # WHILE ratchet: rounds x pushed count scans
+    "q9j_parameterized_sql",  # bound params -> pushdown + top-k
+    "qa0_tablesample",        # sampled scans + envelope aggs
+    "qa1_sql_udf",            # inlined SQL UDFs, LATERAL TVF
 ]
 
 
