@@ -1874,3 +1874,68 @@ def qa1_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY t.seg
         """
     )
+
+
+# --------------------------------------------------------------------------
+# qa2 — ANSI interval types (round-11 mint): the TYPED time-arithmetic
+# surface — timestamp − timestamp yields an INTERVAL DAY TO SECOND
+# COLUMN (not a bigint), intervals order (MIN/MAX) and SUM as
+# intervals, and timestamp + INTERVAL literal shifts inside a
+# predicate. q62 covers datetime FUNCTIONS; this row covers the
+# interval TYPE, which is what a warehouse SLA/retention workload
+# actually carries around. Cross-engine protocol: every interval is
+# hashed as exact SECONDS (Spark CAST(day-time interval AS BIGINT) is
+# the total-seconds value; DuckDB replays with EPOCH(...) — its 1.0
+# engine has no SUM(INTERVAL), so the oracle sums the exact per-gap
+# epoch seconds, which is identity-equal for day-resolution inputs).
+# Interval AVG is deliberately NOT hashed: the two engines truncate
+# fractional averages differently; sum+count carries the same
+# information exactly. Scale shape: one lag window per customer
+# partition + one groupBy — the q40-class topology with interval
+# payloads.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "qa2_interval_types",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority AS prio, o_orderdate,
+             o_orderdate - LAG(o_orderdate) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS gap
+      FROM orders)
+    SELECT prio,
+           CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+           CAST(SUM(CAST(EPOCH(gap) AS BIGINT)) AS BIGINT) AS sum_gap_s,
+           CAST(EPOCH(MIN(gap)) AS BIGINT) AS min_gap_s,
+           CAST(EPOCH(MAX(gap)) AS BIGINT) AS max_gap_s,
+           CAST(SUM(CASE WHEN o_orderdate + INTERVAL 45 DAY
+                              > TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_recent
+    FROM g GROUP BY prio
+    """,
+)
+def qa2_interval_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fcs_etl_reactor_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH g AS (
+          SELECT o_orderpriority AS prio, o_orderdate,
+                 o_orderdate - LAG(o_orderdate) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS gap
+          FROM orders)
+        SELECT prio,
+               COUNT(gap) AS n_gaps,
+               CAST(SUM(gap) AS BIGINT) AS sum_gap_s,
+               CAST(MIN(gap) AS BIGINT) AS min_gap_s,
+               CAST(MAX(gap) AS BIGINT) AS max_gap_s,
+               SUM(CASE WHEN o_orderdate + INTERVAL '45' DAY
+                             > TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END)
+                 AS n_recent
+        FROM g GROUP BY prio
+        """
+    )

@@ -181,6 +181,7 @@ PROBE_QUERIES = [  # all run on the replicated tables
     "q9j_parameterized_sql",  # bound params -> pushdown + top-k
     "qa0_tablesample",        # sampled scans + envelope aggs
     "qa1_sql_udf",            # inlined SQL UDFs, LATERAL TVF
+    "qa2_interval_types",     # interval-typed lag window + groupBy
 ]
 
 
