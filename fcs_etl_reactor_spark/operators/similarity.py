@@ -121,12 +121,16 @@ def cosine_topk_vectorized(
     out_id_type = corpus.schema[id_col].dataType.simpleString()
     schema = f"query_id {out_id_type}, match_id {out_id_type}, cosine double"
 
-    # chunk so the m×b'×d scoring tensor stays ~16M elements (~128 MB)
-    # regardless of query count — a fixed chunk lets the tensor grow
-    # linearly with |Q| and thrash the allocator (measured: q91 at 10×
-    # swung 0.7→5.7 s purely on GC pressure)
+    # Block BOTH sides so the m'×b'×d scoring tensor stays ~2M elements
+    # (~16 MB). Two measured failure modes motivate this: a fixed
+    # corpus chunk lets the tensor grow linearly with |Q| and thrash
+    # the allocator (q91 at 10× swung 0.7→5.7 s), and a monolithic
+    # q-side tensor in the ~100 MB range pays seconds of first-touch
+    # page faults per task on fresh worker memory (9.0 s first call vs
+    # 0.08 s blocked for 2000×125×64, identical arithmetic).
     dim = max(qmat.shape[1], 1)
-    chunk = max(16, 16_000_000 // (max(len(qids), 1) * dim))
+    _QB = 256
+    chunk = max(16, 2_000_000 // (_QB * dim))
 
     def score(batches):
         import pandas as pd
@@ -141,21 +145,26 @@ def cosine_topk_vectorized(
             mids = pdf[id_col].to_numpy()
             for j0 in range(0, len(pdf), chunk):
                 c = cmat[j0 : j0 + chunk]
-                dots = (
-                    np.floor(qmat[:, None, :] * c[None, :, :] * _SCALE)
-                    .astype(np.int64)
-                    .sum(axis=2)
-                    / _SCALE
-                )  # m × b'
-                cos = dots / (qn[:, None] * cn[None, j0 : j0 + chunk])
-                m, b = cos.shape
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.repeat(qids, b),
-                        "match_id": np.tile(mids[j0 : j0 + chunk], m),
-                        "cosine": cos.ravel(),
-                    }
-                )
+                mslice = mids[j0 : j0 + chunk]
+                for i0 in range(0, len(qids), _QB):
+                    qm = qmat[i0 : i0 + _QB]
+                    dots = (
+                        np.floor(qm[:, None, :] * c[None, :, :] * _SCALE)
+                        .astype(np.int64)
+                        .sum(axis=2)
+                        / _SCALE
+                    )  # m' × b'
+                    cos = dots / (
+                        qn[i0 : i0 + _QB, None] * cn[None, j0 : j0 + chunk]
+                    )
+                    m, b = cos.shape
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.repeat(qids[i0 : i0 + _QB], b),
+                            "match_id": np.tile(mslice, m),
+                            "cosine": cos.ravel(),
+                        }
+                    )
 
     scored = corpus.select(id_col, vec_col).mapInPandas(score, schema)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "match_id")
@@ -209,8 +218,14 @@ def cosine_pairs_vectorized(
     id_type = df.schema[id_col].dataType.simpleString()
     schema = f"id_a {id_type}, id_b {id_type}, cosine double"
 
+    # Block BOTH sides so the m'×b'×d product tensor stays ~2M elements
+    # (~16 MB): a monolithic q-side tensor (2000×125×64 ≈ 128 MB here)
+    # pays seconds of first-touch page faults PER TASK on fresh worker
+    # memory and runs ~2× slower even warm (measured 9.0 s first call
+    # vs 0.08 s blocked, identical arithmetic).
     dim = max(qmat.shape[1], 1)
-    chunk = max(16, 16_000_000 // (max(len(qids), 1) * dim))
+    _QB = 256
+    chunk = max(16, 2_000_000 // (_QB * dim))
 
     def score(batches):
         import pandas as pd
@@ -225,21 +240,26 @@ def cosine_pairs_vectorized(
             mids = pdf[id_col].to_numpy()
             for j0 in range(0, len(pdf), chunk):
                 c = cmat[j0 : j0 + chunk]
-                dots = (
-                    np.floor(qmat[:, None, :] * c[None, :, :] * _SCALE)
-                    .astype(np.int64)
-                    .sum(axis=2)
-                    / _SCALE
-                )  # m × b'
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    cos = dots / (qn[:, None] * cn[None, j0 : j0 + chunk])
                 m = mids[j0 : j0 + chunk]
-                keep = (qids[:, None] < m[None, :]) & ~(cos < threshold)
-                qi, cj = np.nonzero(keep)
-                if len(qi):
-                    yield pd.DataFrame(
-                        {"id_a": qids[qi], "id_b": m[cj], "cosine": cos[qi, cj]}
-                    )
+                for i0 in range(0, len(qids), _QB):
+                    qm = qmat[i0 : i0 + _QB]
+                    dots = (
+                        np.floor(qm[:, None, :] * c[None, :, :] * _SCALE)
+                        .astype(np.int64)
+                        .sum(axis=2)
+                        / _SCALE
+                    )  # m' × b'
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = dots / (
+                            qn[i0 : i0 + _QB, None] * cn[None, j0 : j0 + chunk]
+                        )
+                    qs = qids[i0 : i0 + _QB]
+                    keep = (qs[:, None] < m[None, :]) & ~(cos < threshold)
+                    qi, cj = np.nonzero(keep)
+                    if len(qi):
+                        yield pd.DataFrame(
+                            {"id_a": qs[qi], "id_b": m[cj], "cosine": cos[qi, cj]}
+                        )
 
     return df.select(id_col, vec_col).mapInPandas(score, schema)
 
