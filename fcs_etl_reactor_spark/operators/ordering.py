@@ -143,7 +143,22 @@ def global_rank(
 ) -> DataFrame:
     """Append a 1-based dense global rank by ``order_by`` without a
     single-reducer window. One hash shuffle on the bucket id + one
-    count-only job; ranks are exact and gap-free."""
+    count-only job; ranks are exact and gap-free.
+
+    The input is localCheckpoint-materialized first: this operator is
+    inherently multi-pass (approxQuantile boundary job + per-bucket
+    count job + the ranked execution itself), so without it the
+    caller's upstream plan executes 3× PER RANK — and chained rank
+    calls (q3f's three NTILE axes, q1o's two rank passes) re-execute
+    every earlier rank's shuffle+assignment inside every later rank's
+    build jobs, a quadratic recompute stack (measured: q3f 8.0 →
+    2.6 s cold at sf0.1). Materializing one pass before a multi-pass
+    ordering is what a 100 TB pipeline does anyway; the fallback keeps
+    exotic callers (no checkpoint dir, etc.) correct-but-slower."""
+    try:
+        df = df.localCheckpoint(eager=True)
+    except Exception:
+        pass  # materialization is an optimization, not a correctness need
     n_parts = int(
         num_partitions
         or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
@@ -214,7 +229,14 @@ def global_cumsum(
     ROWS UNBOUNDED PRECEDING AND 1 PRECEDING frame used by greedy
     packing). Values must be integral — exact at any partition count;
     float prefix sums would be order-of-association dependent.
+
+    Input is localCheckpoint-materialized for the same multi-pass
+    reason as :func:`global_rank` (see its docstring).
     """
+    try:
+        df = df.localCheckpoint(eager=True)
+    except Exception:
+        pass  # materialization is an optimization, not a correctness need
     n_parts = int(
         num_partitions
         or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
