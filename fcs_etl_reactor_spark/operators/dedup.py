@@ -63,7 +63,8 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
                             seen.add(g)
                             ids_out.append(i)
                             sh_out.append(g)
-            yield pd.DataFrame({id_col: ids_out, "shingle": sh_out})
+            if ids_out:  # empty frames only cost serializer churn
+                yield pd.DataFrame({id_col: ids_out, "shingle": sh_out})
 
     id_t = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, text_col).mapInPandas(
@@ -96,7 +97,8 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
                     grams = []
                 ids_out.append(i)
                 set_out.append(grams)
-            yield pd.DataFrame({id_col: ids_out, "_sh_set": set_out})
+            if ids_out:
+                yield pd.DataFrame({id_col: ids_out, "_sh_set": set_out})
 
     id_t = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, text_col).mapInPandas(
@@ -539,6 +541,14 @@ def dedup_clusters(
     """
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    try:
+        # materialize the edge set ONCE: it is joined every round, and
+        # without this each round's join + convergence sum re-executes
+        # the whole upstream pair pipeline (LSH banding + exact verify
+        # for q5b/q6e — measured ~2 full recomputes per round)
+        edges = edges.localCheckpoint(eager=True)
+    except Exception:
+        pass  # materialization is an optimization, not a correctness need
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
@@ -651,6 +661,14 @@ def dedup_clusters_star(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    try:
+        # materialize the initial edge set: round 0's large-star reads
+        # it twice (both union branches), so without this the upstream
+        # pair pipeline (q6t's vectorized scorer, q5f's LSH + verify)
+        # executes twice before the per-round checkpoints take over
+        e = e.localCheckpoint(eager=True)
+    except Exception:
+        pass  # materialization is an optimization, not a correctness need
     prev_sig = None
     for _ in range(max_iter):
         e = _small_star(_large_star(e))
