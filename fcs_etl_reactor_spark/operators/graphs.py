@@ -221,6 +221,10 @@ def hits_fixed_point(edges: DataFrame, iters: int) -> tuple[DataFrame, DataFrame
     if iters < 1:
         raise ValueError(f"hits_fixed_point requires iters >= 1, got {iters}")
     s = HITS_SCALE
+    # edges is read 2x per round (+ the seed distinct); materialize it
+    # once like pagerank does — otherwise the caller's upstream edge
+    # derivation re-executes 2*iters+1 times
+    edges = materialize(edges)
     h = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "h", F.lit(s).cast("bigint")
     )
@@ -288,6 +292,9 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     two semi joins, state materialized per round (the iterative-graph
     checkpoint cadence). Run to fixed point this IS the k-core; a
     fixed round count is the bounded-latency filter form (q1h)."""
+    # round 0 reads the input 3x (degree count + both semi joins);
+    # materialize it once, same cadence as the per-round state below
+    edges = materialize(edges)
     for _ in range(rounds):
         deg = (
             edges.select(F.col("a").alias("node"))
