@@ -195,9 +195,15 @@ def cosine_pairs_vectorized(
     pair ARM is LSH/IVF candidates (q92/q89) — this exact arm is the
     verify/oracle baseline, same contract as cosine_topk_exact.
 
-    NaN parity: Spark SQL orders NaN above every double, so the
-    theta-join form KEPT a NaN cosine (zero-norm vector); the mask
-    here is ``~(cos < threshold)``, which keeps NaN identically.
+    Zero-norm edge: under ANSI (the Spark 4 default) the theta-join
+    form RAISED DIVIDE_BY_ZERO on a zero-norm vector; this kernel is
+    deliberately more permissive — the ``~(cos < threshold)`` mask
+    keeps the pair under any threshold (mirroring Spark's
+    NaN-compares-greatest ordering, and the long-standing behavior of
+    ``cosine_topk_vectorized``), and its cosine lands as NULL (the
+    Arrow boundary's pandas NaN→null convention). On
+    non-degenerate inputs results are bit-identical to the theta-join
+    form (pinned in tests/test_r11_optimizations.py).
     """
     import numpy as np
 
