@@ -540,7 +540,24 @@ def dedup_clusters(
     dataflow (join on edge, min per node) is identical.
     """
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    # symmetrize in ONE pass: the union-of-swapped form plans the
+    # upstream pair pipeline (LSH banding + exact verify for q5b/q6e)
+    # into BOTH branches and executes it twice before the checkpoint
+    # below can help (measured 6.5 s vs 3.3 s at sf0.1); exploding a
+    # 2-struct array emits the identical row multiset from a single
+    # upstream execution.
+    edges = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.a", "_e.b")
+        .distinct()
+    )
     try:
         # materialize the edge set ONCE: it is joined every round, and
         # without this each round's join + convergence sum re-executes
@@ -573,8 +590,14 @@ def dedup_clusters(
         try:
             # truncate lineage per round (same hygiene as the star
             # path): without it, round k's plan nests k joins deep and
-            # analysis time grows superlinearly with the diameter
-            labels = labels.localCheckpoint(eager=True)
+            # analysis time grows superlinearly with the diameter.
+            # LAZY checkpoint: the convergence aggregate below is the
+            # materializing action, so one job per round computes the
+            # new labels, persists them, AND returns the label sum —
+            # instead of an eager checkpoint job followed by a separate
+            # convergence-collect job (round-12 fold; the next round's
+            # two label reads hit the persisted blocks).
+            labels = labels.localCheckpoint(eager=False)
         except Exception:
             pass
         cur_sum = labels.agg(F.sum("label")).first()[0]
@@ -673,7 +696,13 @@ def dedup_clusters_star(
     for _ in range(max_iter):
         e = _small_star(_large_star(e))
         try:
-            e = e.localCheckpoint(eager=True)
+            # LAZY checkpoint + the signature aggregate as the
+            # materializing action: one job per round computes the
+            # contracted edge set, persists it, and returns the
+            # (count, xor) signature — the eager-checkpoint-then-agg
+            # form paid two jobs per round (round-12 fold). The next
+            # round's two union-branch reads hit the persisted blocks.
+            e = e.localCheckpoint(eager=False)
         except Exception:
             pass  # checkpointing is an optimization, not a correctness need
         row = e.agg(

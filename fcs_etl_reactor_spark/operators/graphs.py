@@ -29,9 +29,9 @@ PR_SCALE = 1_000_000_000_000  # 1e12 fixed-point
 DAMP_NUM, DAMP_DEN = 85, 100  # d = 0.85 in exact integer arithmetic
 
 
-def materialize(df: DataFrame) -> DataFrame:
-    """Eagerly localCheckpoint iteration state — the standard cadence
-    for iterative algorithms (MLlib checkpoints ALS/GraphX the same
+def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
+    """localCheckpoint iteration state — the standard cadence for
+    iterative algorithms (MLlib checkpoints ALS/GraphX the same
     way). Without it a k-iteration loop hands AQE one deep plan whose
     stages materialize CONCURRENTLY: measured on a vanilla 1g
     local[16] heap, three 3-iteration graph queries run back-to-back
@@ -42,9 +42,18 @@ def materialize(df: DataFrame) -> DataFrame:
     growing plan. Values are unchanged — the arithmetic is exact
     fixed-point, so materialization cannot perturb results. Falls
     back to the lazy plan where checkpointing is unavailable (e.g.
-    Spark Connect)."""
+    Spark Connect).
+
+    ``eager=False`` truncates the logical plan immediately but defers
+    the block persist to the caller's next action over the frame — use
+    it when a per-round aggregate (convergence signature, renorm max)
+    follows directly, so that ONE job both materializes the round
+    state and computes the aggregate instead of paying a separate
+    checkpoint job (round-12 fold). The caller must guarantee such an
+    action runs before the frame is read concurrently from two
+    stages."""
     try:
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=eager)
     except Exception:
         return df
 
@@ -52,11 +61,6 @@ def materialize(df: DataFrame) -> DataFrame:
 def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
     """Simplified PageRank (dangling mass dropped) over (src, dst)
     edge rows; returns (node, rank_scaled BIGINT) at PR_SCALE."""
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
     # outdeg via a whole-partition window on src: ONE shuffle of the
     # edge rows (no sort — unordered frame) instead of the
     # groupBy+join-back two-shuffle shape; measured 2.76 s → 1.78 s
@@ -64,17 +68,39 @@ def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
     edges_w = edges.withColumn(
         "outdeg", F.count(F.lit(1)).over(WindowSpec.partitionBy("src"))
     )
-    n = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
-    base = F.floor(
-        F.lit(float(PR_SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN)) / F.col("n_nodes")
-    ).cast("bigint")
-
-    ranks = nodes.crossJoin(F.broadcast(n)).select(
-        "node",
-        F.floor(F.lit(float(PR_SCALE)) / F.col("n_nodes")).cast("bigint").alias("r"),
-    )
     edges_w = materialize(edges_w)
-    nodes = materialize(nodes)
+    # node set from the CHECKPOINTED edge rows, exploded in one pass —
+    # the union-of-two-selects form planned the caller's raw edge
+    # derivation into both branches and executed it twice (round-12;
+    # same row set either way).
+    nodes = (
+        edges_w.select(
+            F.explode(F.array(F.col("src"), F.col("dst"))).alias("node")
+        )
+        .distinct()
+    )
+    # Fold the node count into the nodes materialization (lazy
+    # checkpoint + count as the materializing action — one job), and
+    # embed base/seed rank as exact literals: floor(float(...) / n) is
+    # the same IEEE double division + floor whether computed here or
+    # per row in the JVM (pagerank_reference has always used this
+    # Python form), so values are bit-identical — while every round's
+    # plan drops the crossJoin(broadcast(n)) whose 1-row broadcast was
+    # rebuilt (a job re-reading the node set) on each eager-checkpoint
+    # action (round-12 fold).
+    import math
+
+    nodes = materialize(nodes, eager=False)
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select("node", F.lit(0).cast("bigint").alias("rank_scaled"))
+    base_val = math.floor(
+        float(PR_SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN) / n_nodes
+    )
+    ranks = nodes.select(
+        "node",
+        F.lit(math.floor(float(PR_SCALE) / n_nodes)).cast("bigint").alias("r"),
+    )
     for _ in range(iters):
         contribs = (
             edges_w.join(ranks, edges_w.src == ranks.node)
@@ -86,12 +112,11 @@ def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
             .agg(F.sum("c").alias("m"))
         )
         ranks = (
-            nodes.crossJoin(F.broadcast(n))
-            .join(contribs, "node", "left")
+            nodes.join(contribs, "node", "left")
             .select(
                 "node",
                 (
-                    base
+                    F.lit(base_val).cast("bigint")
                     + F.floor(
                         F.coalesce(F.col("m"), F.lit(0))
                         * DAMP_NUM
@@ -235,24 +260,31 @@ def hits_fixed_point(edges: DataFrame, iters: int) -> tuple[DataFrame, DataFrame
             .groupBy("dst")
             .agg(F.sum("h").alias("a"))
         )
+        # LAZY checkpoint of the raw sums: the 1-row max broadcast
+        # build is the materializing action, so each half-round is ONE
+        # job that computes the join+groupBy, persists it, and returns
+        # the max — the old shape (max job over the lazy plan + eager
+        # checkpoint of the renormalized frame) executed the join+
+        # groupBy twice and ran two jobs per half-round (round-12
+        # fold). The renormalize join then reads persisted blocks, so
+        # a/h stay shallow two-node plans and need no checkpoint of
+        # their own.
+        ar = materialize(ar, eager=False)
         am = ar.agg(F.max("a").alias("am"))
-        a = materialize(
-            ar.join(F.broadcast(am)).select(
-                F.col("dst").alias("node"),
-                F.expr(f"a * {s} div am").cast("bigint").alias("a"),
-            )
+        a = ar.join(F.broadcast(am)).select(
+            F.col("dst").alias("node"),
+            F.expr(f"a * {s} div am").cast("bigint").alias("a"),
         )
         hr = (
             edges.join(a, edges["dst"] == a["node"])
             .groupBy("src")
             .agg(F.sum("a").alias("hsum"))
         )
+        hr = materialize(hr, eager=False)
         hm = hr.agg(F.max("hsum").alias("hm"))
-        h = materialize(
-            hr.join(F.broadcast(hm)).select(
-                F.col("src").alias("node"),
-                F.expr(f"hsum * {s} div hm").cast("bigint").alias("h"),
-            )
+        h = hr.join(F.broadcast(hm)).select(
+            F.col("src").alias("node"),
+            F.expr(f"hsum * {s} div hm").cast("bigint").alias("h"),
         )
     return a, h
 
@@ -379,10 +411,19 @@ def label_propagation(und: DataFrame, rounds: int) -> DataFrame:
     total."""
     if rounds < 1:
         raise ValueError(f"label_propagation requires rounds >= 1, got {rounds}")
+    # symmetrize in ONE pass (explode of a 2-struct array): the
+    # unionAll-of-swapped form plans the caller's edge derivation into
+    # both branches and executes it twice inside the materialize job
+    # (round-12; identical row multiset either way).
     adj = materialize(
-        und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-            und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-        )
+        und.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+                )
+            ).alias("_e")
+        ).select("_e.src", "_e.dst")
     )
     labels = (
         adj.select(F.col("src").alias("node"))

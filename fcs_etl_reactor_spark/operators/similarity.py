@@ -176,6 +176,7 @@ def cosine_pairs_vectorized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.0,
+    max_side: int = 100_000,
 ) -> DataFrame:
     """Exact all-pairs cosine over one table: (id_a, id_b, cosine) for
     id_a < id_b and cosine ≥ threshold, with the pair dot-product
@@ -204,70 +205,118 @@ def cosine_pairs_vectorized(
     Arrow boundary's pandas NaN→null convention). On
     non-degenerate inputs results are bit-identical to the theta-join
     form (pinned in tests/test_r11_optimizations.py).
+
+    Above ``max_side`` rows the operator no longer raises (round-12):
+    it falls back to a DISTRIBUTED chunked form — the id space is
+    hash-split into ceil(2n/max_side) chunks, each chunk is collected
+    (bounded by the same smallness contract), shipped as a broadcast
+    variable, and streamed against the corpus through the identical
+    kernel. Every unordered pair (a, b) with a < b is emitted exactly
+    once, by the single chunk that owns a: the kernel's
+    ``qs < match_id`` mask plus the disjoint hash partition make the
+    union of chunk outputs equal the single-pass result row-for-row
+    (pinned in tests/test_r12_optimizations.py with a forced-small
+    max_side). Cost: one corpus scan per chunk — the exact-pair arm
+    stays available at any size instead of ERRORing past the cap; at
+    true corpus scale the right arm is still LSH/IVF candidates.
     """
     import numpy as np
 
-    _MAX_SIDE = 100_000
-    rows = df.select(id_col, vec_col).limit(_MAX_SIDE + 1).collect()
-    if len(rows) > _MAX_SIDE:
-        raise ValueError(
-            f"cosine_pairs_vectorized side exceeds {_MAX_SIDE} rows; it is "
-            "driver-collected by design (broadcast build side). Use the "
-            "LSH/IVF candidate generators for large corpora."
-        )
-    qids = np.array([r[0] for r in rows])
-    qmat = np.array([r[1] for r in rows], dtype=np.float64)  # m × d
-    qn = np.sqrt(
-        np.floor(qmat * qmat * _SCALE).astype(np.int64).sum(axis=1) / _SCALE
-    )
-
+    src = df.select(id_col, vec_col)
     id_type = df.schema[id_col].dataType.simpleString()
     schema = f"id_a {id_type}, id_b {id_type}, cosine double"
 
-    # Block BOTH sides so the m'×b'×d product tensor stays ~2M elements
-    # (~16 MB): a monolithic q-side tensor (2000×125×64 ≈ 128 MB here)
-    # pays seconds of first-touch page faults PER TASK on fresh worker
-    # memory and runs ~2× slower even warm (measured 9.0 s first call
-    # vs 0.08 s blocked, identical arithmetic).
-    dim = max(qmat.shape[1], 1)
-    _QB = 256
-    chunk = max(16, 2_000_000 // (_QB * dim))
+    def _kernel(qids, qmat, qn, bc=None):
+        # Block BOTH sides so the m'×b'×d product tensor stays ~2M
+        # elements (~16 MB): a monolithic q-side tensor (2000×125×64 ≈
+        # 128 MB here) pays seconds of first-touch page faults PER TASK
+        # on fresh worker memory and runs ~2× slower even warm
+        # (measured 9.0 s first call vs 0.08 s blocked, identical
+        # arithmetic).
+        dim = max(qmat.shape[1] if qmat is not None else 1, 1)
+        _QB = 256
+        chunk = max(16, 2_000_000 // (_QB * dim))
 
-    def score(batches):
-        import pandas as pd
+        def score(batches):
+            import pandas as pd
 
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            cmat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # b × d
-            cn = np.sqrt(
-                np.floor(cmat * cmat * _SCALE).astype(np.int64).sum(axis=1) / _SCALE
-            )
-            mids = pdf[id_col].to_numpy()
-            for j0 in range(0, len(pdf), chunk):
-                c = cmat[j0 : j0 + chunk]
-                m = mids[j0 : j0 + chunk]
-                for i0 in range(0, len(qids), _QB):
-                    qm = qmat[i0 : i0 + _QB]
-                    dots = (
-                        np.floor(qm[:, None, :] * c[None, :, :] * _SCALE)
-                        .astype(np.int64)
-                        .sum(axis=2)
-                        / _SCALE
-                    )  # m' × b'
-                    with np.errstate(divide="ignore", invalid="ignore"):
-                        cos = dots / (
-                            qn[i0 : i0 + _QB, None] * cn[None, j0 : j0 + chunk]
-                        )
-                    qs = qids[i0 : i0 + _QB]
-                    keep = (qs[:, None] < m[None, :]) & ~(cos < threshold)
-                    qi, cj = np.nonzero(keep)
-                    if len(qi):
-                        yield pd.DataFrame(
-                            {"id_a": qs[qi], "id_b": m[cj], "cosine": cos[qi, cj]}
-                        )
+            if bc is not None:
+                ids, qm_full, qn_full = bc.value
+            else:
+                ids, qm_full, qn_full = qids, qmat, qn
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                cmat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                cn = np.sqrt(
+                    np.floor(cmat * cmat * _SCALE).astype(np.int64).sum(axis=1)
+                    / _SCALE
+                )
+                mids = pdf[id_col].to_numpy()
+                for j0 in range(0, len(pdf), chunk):
+                    c = cmat[j0 : j0 + chunk]
+                    m = mids[j0 : j0 + chunk]
+                    for i0 in range(0, len(ids), _QB):
+                        qm = qm_full[i0 : i0 + _QB]
+                        dots = (
+                            np.floor(qm[:, None, :] * c[None, :, :] * _SCALE)
+                            .astype(np.int64)
+                            .sum(axis=2)
+                            / _SCALE
+                        )  # m' × b'
+                        with np.errstate(divide="ignore", invalid="ignore"):
+                            cos = dots / (
+                                qn_full[i0 : i0 + _QB, None]
+                                * cn[None, j0 : j0 + chunk]
+                            )
+                        qs = ids[i0 : i0 + _QB]
+                        keep = (qs[:, None] < m[None, :]) & ~(cos < threshold)
+                        qi, cj = np.nonzero(keep)
+                        if len(qi):
+                            yield pd.DataFrame(
+                                {
+                                    "id_a": qs[qi],
+                                    "id_b": m[cj],
+                                    "cosine": cos[qi, cj],
+                                }
+                            )
 
-    return df.select(id_col, vec_col).mapInPandas(score, schema)
+        return score
+
+    def _arrays(rows):
+        ids = np.array([r[0] for r in rows])
+        qmat = np.array([r[1] for r in rows], dtype=np.float64)  # m × d
+        qn = np.sqrt(
+            np.floor(qmat * qmat * _SCALE).astype(np.int64).sum(axis=1) / _SCALE
+        )
+        return ids, qmat, qn
+
+    rows = src.limit(max_side + 1).collect()
+    if len(rows) <= max_side:
+        qids, qmat, qn = _arrays(rows)
+        return src.mapInPandas(_kernel(qids, qmat, qn), schema)
+
+    # distributed fallback: hash-partition the collected side into
+    # chunks of expected size max_side/2, one broadcast + one corpus
+    # pass per chunk; chunks partition the id space, so the union is
+    # the exact single-pass pair set.
+    del rows
+    n = src.count()
+    n_chunks = max(2, int(-(-2 * n // max_side)))
+    sc = df.sparkSession.sparkContext
+    chunk_of = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks))
+    out = None
+    for i in range(n_chunks):
+        crows = src.filter(chunk_of == i).collect()
+        if not crows:
+            continue
+        bc = sc.broadcast(_arrays(crows))
+        del crows
+        part = src.mapInPandas(_kernel(None, None, None, bc=bc), schema)
+        out = part if out is None else out.unionByName(part)
+    if out is None:  # unreachable in practice (n > max_side > 0)
+        return df.sparkSession.createDataFrame([], schema)
+    return out
 
 
 def _dot_fold(a, b):

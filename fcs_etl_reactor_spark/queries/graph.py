@@ -237,9 +237,17 @@ def q5r_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     l = load(spark, sf_dir, "lineitem")
     pairs = copurchase_pairs(l).select("a", "b")
-    und = pairs.selectExpr("a AS src", "b AS dst").unionAll(
-        pairs.selectExpr("b AS src", "a AS dst")
-    )
+    # one-pass symmetrization (explode, not unionAll-of-swapped): the
+    # union form executes the co-purchase self-join twice inside
+    # bfs_hops' materialize job; the row multiset is identical
+    und = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     dist = bfs_hops(und, _BFS_HOPS)
     return dist.groupBy(F.col("d").cast("int").alias("hop")).agg(
         F.count(F.lit(1)).alias("n_nodes")
@@ -476,13 +484,23 @@ def q5s_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
     pairs = copurchase_pairs(l)
     wcol = (F.lit(6) - F.least(F.col("n_orders"), F.lit(5))).cast("int")
+    # one-pass symmetrization (explode, not unionAll-of-swapped): the
+    # union form executes the co-purchase self-join twice inside the
+    # materialize job; the row multiset is identical
     und = pairs.select(
-        F.col("a").alias("src"), F.col("b").alias("dst"), wcol.alias("w")
-    ).unionAll(
-        pairs.select(
-            F.col("b").alias("src"), F.col("a").alias("dst"), wcol.alias("w")
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a").alias("src"), F.col("b").alias("dst"),
+                    wcol.alias("w"),
+                ),
+                F.struct(
+                    F.col("b").alias("src"), F.col("a").alias("dst"),
+                    wcol.alias("w"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst", "_e.w")
     und = materialize(und)
     dist = (
         und.agg(F.min("src").alias("node"))
