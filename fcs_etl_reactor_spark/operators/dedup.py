@@ -33,7 +33,13 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    with_count: bool = False,
+) -> DataFrame:
     """Distinct word n-gram shingles per document, as (id, shingle) rows.
 
     Arrow-batched mapInPandas: Spark's higher-order functions
@@ -46,13 +52,19 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     is projected to exactly (id, text) so scan pruning is unaffected,
     the generator is stateless per batch, and the output is the same
     (id, shingle) row shape every caller joined on before.
+
+    ``with_count=True`` (round 12) additionally emits the document's
+    DISTINCT shingle count on every row (``_n_sh`` INT) — the quantity
+    the Jaccard denominators need — so inverted-index consumers can
+    carry it through their self-join instead of re-running this Python
+    pass a third time and joining the sizes back on.
     """
 
     def gen(batches):
         import pandas as pd
 
         for pdf in batches:
-            ids_out, sh_out = [], []
+            ids_out, sh_out, n_out = [], [], []
             for i, txt in zip(pdf[id_col].values, pdf[text_col].values):
                 toks = txt.split(" ") if isinstance(txt, str) else []
                 if len(toks) >= n:
@@ -63,13 +75,19 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
                             seen.add(g)
                             ids_out.append(i)
                             sh_out.append(g)
+                    if with_count:
+                        n_out.extend([len(seen)] * len(seen))
             if ids_out:  # empty frames only cost serializer churn
-                yield pd.DataFrame({id_col: ids_out, "shingle": sh_out})
+                out = {id_col: ids_out, "shingle": sh_out}
+                if with_count:
+                    out["_n_sh"] = n_out
+                yield pd.DataFrame(out)
 
     id_t = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, text_col).mapInPandas(
-        gen, f"{id_col} {id_t}, shingle string"
-    )
+    schema = f"{id_col} {id_t}, shingle string"
+    if with_count:
+        schema += ", _n_sh int"
+    return df.select(id_col, text_col).mapInPandas(gen, schema)
 
 
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
@@ -123,27 +141,39 @@ def ngram_jaccard_pairs(
     # executor storage across callers (round-1 q10 lesson); the shingle
     # explode is recomputed per use, which Catalyst pipelines with the
     # downstream aggregations — callers that reuse the frame repeatedly
-    # can persist at their own scope
-    sh = shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    # can persist at their own scope.
+    # Denominator counts ride WITH the shingle rows (with_count —
+    # round 12): the sizes-aggregate-plus-two-joins form ran the
+    # tokenization Python pass a third time and re-shuffled the pair
+    # table twice just to attach two ints that are constant per doc;
+    # carrying them through the self-join costs 4 bytes/row in the
+    # exchange and makes the whole query one self-join + one pair
+    # aggregation. first() over a group is order-sensitive in general
+    # but constant within these groups (every row of a (doc_a, doc_b)
+    # group carries the same _na/_nb), so the result is deterministic
+    # and bit-identical to the join form.
+    sh = shingles(df, id_col, text_col, n, with_count=True)
+    a = sh.select(
+        F.col(id_col).alias("doc_a"), "shingle", F.col("_n_sh").alias("_na")
+    )
+    b = sh.select(
+        F.col(id_col).alias("doc_b"), "shingle", F.col("_n_sh").alias("_nb")
+    )
     pairs = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("_na").alias("n_a"),
+            F.first("_nb").alias("n_b"),
+        )
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")
     )
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
 
 
@@ -178,40 +208,45 @@ def jaccard_verify_pairs(
     threshold in Spark SQL — a both-empty pair must drop out, not
     sail through.
     """
-    sets = shingle_sets(df, id_col, text_col, n)
-    # Lossless size prefilter BEFORE any array travels or intersects:
-    # J(A,B) = |A∩B| / |A∪B| ≤ min(|A|,|B|) / max(|A|,|B|), so a pair
-    # whose set sizes differ by more than the threshold ratio can
-    # never verify — drop it while the pair row still carries two
-    # ints. Candidate generators (SimHash bands, LSH) over-generate
-    # heavily when buckets collapse (q57 at sf0.1: 5.1M candidates,
-    # 12% size-compatible at t=0.9), and per-pair array_intersect is
-    # the whole cost of this stage, so filtering on the integer proxy
-    # first is the guide-§2.3 "decide with small rows" move. Pairs
-    # with NULL-set sides fail the size comparison and drop here; they
-    # produced NULL jaccard (dropped) before, so the result set is
-    # identical for every input.
-    sizes = sets.select(F.col(id_col), F.size("_sh_set").alias("_n_sh"))
-    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("_n_sh").alias("_na"))
-    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("_n_sh").alias("_nb"))
-    cands = (
+    # ONE join per side carrying (set, size) together — round 12. The
+    # r11 shape ran the size gate as two separate integer-only joins
+    # before the array joins (4 joins, and the shingle_sets Python
+    # pass executed 4×); measured against every live caller that was
+    # the wrong trade: LSH candidates are bucket-collision-bounded
+    # (q56 at sf0.1: 256 pairs, 100% size-compatible) and the one
+    # over-generating caller (q57's 5.1M SimHash collisions) now gates
+    # at candidate GENERATION (simhash_candidates size_prefilter —
+    # guide §2.3 says decide with small rows at the earliest point,
+    # which is inside the band join, not here). Fusing halves the
+    # Python passes and the join count with bit-identical output
+    # (pinned in tests): the size gate below is the same lossless
+    # J ≤ min/max bound, now evaluated with the arrays already in the
+    # row. A future caller with a heavily over-generating candidate
+    # stage should gate at generation like q57 does.
+    sets = shingle_sets(df, id_col, text_col, n).withColumn(
+        "_n_sh", F.size("_sh_set")
+    )
+    sa = sets.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("_sh_set").alias("_sa"),
+        F.col("_n_sh").alias("_na"),
+    )
+    sb = sets.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("_sh_set").alias("_sb"),
+        F.col("_n_sh").alias("_nb"),
+    )
+    common = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    denom = F.col("_na") + F.col("_nb") - common
+    jac = common.cast("double") / F.nullif(denom, F.lit(0))
+    return (
         cands.select("doc_a", "doc_b")
-        .join(na, "doc_a")
-        .join(nb, "doc_b")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(
             F.least("_na", "_nb").cast("double")
             >= F.lit(threshold) * F.greatest("_na", "_nb").cast("double")
         )
-        .select("doc_a", "doc_b")
-    )
-    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("_sh_set").alias("_sa"))
-    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("_sh_set").alias("_sb"))
-    common = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
-    denom = F.size("_sa") + F.size("_sb") - common
-    jac = common.cast("double") / F.nullif(denom, F.lit(0))
-    return (
-        cands.join(sa, "doc_a")
-        .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -763,15 +798,44 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
 
 
 def simhash_candidates(
-    df: DataFrame, id_col: str, text_col: str, band_bits: int = 16
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    band_bits: int = 16,
+    size_prefilter_n: int | None = None,
+    size_prefilter_t: float | None = None,
 ) -> DataFrame:
     """Near-dup candidates: docs whose simhash agrees on ≥1 of the
-    64/band_bits bands (Hamming-distance pigeonhole)."""
+    64/band_bits bands (Hamming-distance pigeonhole).
+
+    ``size_prefilter_n``/``size_prefilter_t`` (round-12, opt-in): when
+    the candidates feed ``jaccard_verify_pairs`` with the same n-gram
+    n and threshold t, attach each doc's distinct-shingle count to its
+    fingerprint BEFORE banding and apply the lossless size gate
+    ``least(na, nb) ≥ t·greatest(na, nb)`` INSIDE the band self-join —
+    J(A,B) ≤ min/max of the set sizes, so a pair failing the gate can
+    never verify, and a pair with a zero-size side never verifies
+    either (0 ≥ t·x fails for x > 0; a 0–0 pair's jaccard is NULL and
+    drops at the verify filter), so dropping them here leaves the
+    verified output identical. SimHash over-generates heavily when
+    8-bit buckets collapse (q57 at sf0.1: 5.1M band-match rows, ~12%
+    size-compatible at t=0.9); gating before the pair aggregation
+    shrinks the exchange and the verify probe side ~8× instead of
+    materializing every collision (guide §2.3: decide with small
+    rows). Raw-candidate callers (no verify downstream) must leave the
+    prefilter off — it drops candidates that could never verify but
+    ARE band collisions."""
     fp = simhash(df, id_col, text_col)
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
+    if size_prefilter_t is not None:
+        sizes = shingle_sets(df, id_col, text_col, size_prefilter_n or 3).select(
+            F.col(id_col), F.size("_sh_set").alias("_n_sh")
+        )
+        fp = fp.join(sizes, id_col)
     bands = fp.select(
         F.col(id_col),
+        *(["_n_sh"] if size_prefilter_t is not None else []),
         F.posexplode(
             F.array(
                 *[
@@ -781,6 +845,28 @@ def simhash_candidates(
             )
         ).alias("band", "band_key"),
     )
+    if size_prefilter_t is not None:
+        a = bands.select(
+            F.col(id_col).alias("doc_a"), F.col("_n_sh").alias("_na"),
+            "band", "band_key",
+        )
+        b = bands.select(
+            F.col(id_col).alias("doc_b"), F.col("_n_sh").alias("_nb"),
+            "band", "band_key",
+        )
+        return (
+            a.join(b, ["band", "band_key"])
+            .filter(
+                (F.col("doc_a") < F.col("doc_b"))
+                & (
+                    F.least("_na", "_nb").cast("double")
+                    >= F.lit(size_prefilter_t)
+                    * F.greatest("_na", "_nb").cast("double")
+                )
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_bands"))
+        )
     a = bands.select(F.col(id_col).alias("doc_a"), "band", "band_key")
     b = bands.select(F.col(id_col).alias("doc_b"), "band", "band_key")
     return (

@@ -88,7 +88,12 @@ def q57_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantees a shared band up to distance 7) must all surface as
     candidates."""
     d = load(spark, sf_dir, "documents")
-    cands = simhash_candidates(d, "doc_id", "text", band_bits=8)
+    # size prefilter INSIDE the band self-join (same n/t as the verify
+    # stage → lossless for the verified output; see simhash_candidates)
+    cands = simhash_candidates(
+        d, "doc_id", "text", band_bits=8, size_prefilter_n=3,
+        size_prefilter_t=0.9,
+    )
     verified = jaccard_verify_pairs(d, cands, "doc_id", "text", n=3, threshold=0.9)
     return verified.select("doc_a", "doc_b", F.round("jaccard", 9).alias("jaccard"))
 
@@ -491,25 +496,31 @@ def q6v_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fcs_etl_reactor_spark.operators.dedup import shingles
 
     d = load(spark, sf_dir, "documents")
-    sh = shingles(d, "doc_id", "text", 3)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # denominator counts ride WITH the shingle rows (round 12, same
+    # restructure as ngram_jaccard_pairs): drops the sizes aggregate +
+    # two pair-table joins and the third tokenization Python pass;
+    # first() is constant within each pair group, so values and the
+    # bounded top-20 are identical
+    sh = shingles(d, "doc_id", "text", 3, with_count=True)
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle",
+                  F.col("_n_sh").alias("_na"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle",
+                  F.col("_n_sh").alias("_nb"))
     pairs = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("_na").alias("n_a"),
+            F.first("_nb").alias("n_b"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     containment = F.col("n_common").cast("double") / F.least(
         F.col("n_a"), F.col("n_b")
     )
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
+        pairs.select(
             "doc_a",
             "doc_b",
             F.col("n_common").cast("bigint").alias("n_common"),

@@ -105,3 +105,21 @@ class TestIterativeFoldEquivalence:
         # cluster; the star form drops self-pairs before contraction
         assert [r for r in got_lp if r[0] != 9] == want
         assert got_star == want
+
+
+class TestShinglesWithCount:
+    """with_count=True must emit the same (id, shingle) rows plus the
+    doc's distinct-shingle count on every row."""
+
+    def test_count_rides_rows(self, spark):
+        texts = [(1, "a b c d"), (2, "a b"), (3, None), (4, "x y z x y z x y z")]
+        df = spark.createDataFrame(texts, "doc_id BIGINT, text STRING")
+        from fcs_etl_reactor_spark.operators.dedup import shingles
+
+        plain = sorted(tuple(r) for r in shingles(df, "doc_id", "text", 2).collect())
+        counted = shingles(df, "doc_id", "text", 2, with_count=True).collect()
+        assert sorted((r.doc_id, r.shingle) for r in counted) == plain
+        per_doc = {}
+        for r in counted:
+            per_doc.setdefault(r.doc_id, set()).add(r.shingle)
+        assert all(r._n_sh == len(per_doc[r.doc_id]) for r in counted)
