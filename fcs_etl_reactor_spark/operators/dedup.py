@@ -364,7 +364,7 @@ def lsh_shard_runs(
     bands: int = 16,
     n_shards: int = 4,
     shard_expr=None,
-    materialize: bool = False,
+    materialize: bool | str = False,
 ) -> list[tuple[int, int, DataFrame]]:
     """The sharded deployment shape of minhash_lsh_pairs: partition the
     corpus into `n_shards` disjoint shards and return the K·(K+1)/2
@@ -397,25 +397,42 @@ def lsh_shard_runs(
     clustered id spaces; pass e.g. `F.col(id) % K` when the shard
     decision must be replayable in plain SQL (the q9y oracle).
 
-    `materialize=True` localCheckpoints the banded rows before
-    fanning out the runs — each of the K(K+1)/2 run branches otherwise
-    re-executes the whole shingle→signature subtree (Spark unions
-    share no common subexpressions). Default False, measured: at sf0.1
-    the lazy form is FASTER (7.8 s vs 11.6 s cold) because the
-    checkpointed LogicalRDD loses size statistics and every run's
-    band-bucket join degrades from broadcast to sort-merge; the
-    redundant subtree is 20 cheap scans of a small corpus. The real
-    cure at scale is not an in-plan checkpoint at all: the deployment
-    (scripts/sharded_dedup_probe.py) writes minhash_band_rows to
-    parquet ONCE, partitioned by shard, and each shard-pair job reads
-    two partitions — this union form exists as the losslessness PROOF
-    at fixture scale, where lazy wins.
+    `materialize` selects how the banded rows are shared across the
+    K(K+1)/2 run branches (Spark unions share no common
+    subexpressions, so the default re-plans the shingle→signature
+    subtree into every branch):
+
+    - False (default for the deployment list form): lazy — each run
+      branch re-executes the subtree.
+    - True: eager localCheckpoint. Measured r11: LOSES at sf0.1
+      (7.8 s lazy vs 11.6 s) because the LogicalRDD drops size
+      statistics and every band-bucket join degrades broadcast→SMJ.
+    - "persist" (round 12, the in-plan union's mode): MEMORY_AND_DISK
+      persist — the InMemoryRelation keeps the child plan's
+      statistics so join strategies are unchanged, while the ~2K
+      subtree executions collapse to one (q9y union at sf0.1 measured
+      16.6→11.4 s and 12.2→10.9 s total on two box states — never
+      worse, and the saved execution count grows with the corpus).
+      Blocks are freed by the ContextCleaner when the plan is GC'd;
+      the one-shot driver run and the small band-row footprint (~40k
+      rows at sf0.1) make the no-unpersist lifetime acceptable here,
+      unlike a base-table cache (round-1 q10 lesson).
+
+    The real cure at scale is still not an in-plan boundary at all:
+    the deployment (scripts/sharded_dedup_probe.py) writes
+    minhash_band_rows to parquet ONCE, partitioned by shard, and each
+    shard-pair job reads two partitions — this union form exists as
+    the losslessness PROOF at fixture scale.
     """
     if shard_expr is None:
         shard_expr = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
     band_rows = minhash_band_rows(df, id_col, text_col, n, num_perm, bands)
     band_rows = band_rows.withColumn("__shard", shard_expr.cast("int"))
-    if materialize:
+    if materialize == "persist":
+        from pyspark import StorageLevel
+
+        band_rows = band_rows.persist(StorageLevel.MEMORY_AND_DISK)
+    elif materialize:
         band_rows = band_rows.localCheckpoint(eager=True)
     runs = []
     for i in range(n_shards):
@@ -438,7 +455,7 @@ def minhash_lsh_pairs_sharded(
     bands: int = 16,
     n_shards: int = 4,
     shard_expr=None,
-    materialize: bool = False,
+    materialize: bool | str = False,
 ) -> DataFrame:
     """Union of the lsh_shard_runs — exactly equal (rows AND n_bands)
     to minhash_lsh_pairs; the in-plan form used by the q9y losslessness
