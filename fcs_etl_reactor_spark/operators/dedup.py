@@ -614,10 +614,21 @@ def dedup_clusters(
         # materialize the edge set ONCE: it is joined every round, and
         # without this each round's join + convergence sum re-executes
         # the whole upstream pair pipeline (LSH banding + exact verify
-        # for q5b/q6e — measured ~2 full recomputes per round)
-        edges = edges.localCheckpoint(eager=True)
+        # for q5b/q6e — measured ~2 full recomputes per round). LAZY +
+        # count() as the materializing action (round-12 fold): the one
+        # count job pins the blocks AND detects the empty graph, which
+        # skips the label rounds outright — above-threshold pair sets
+        # are often empty (q6t at sf0.1), and each round costs two
+        # shuffles of fixed overhead even on zero rows.
+        edges = edges.localCheckpoint(eager=False)
     except Exception:
         pass  # materialization is an optimization, not a correctness need
+    if edges.count() == 0:
+        return edges.select(
+            F.col("a").alias("node"),
+            F.col("a").alias("cluster_id"),
+            F.lit(True).alias("is_canonical"),
+        )
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
@@ -740,10 +751,20 @@ def dedup_clusters_star(
         # materialize the initial edge set: round 0's large-star reads
         # it twice (both union branches), so without this the upstream
         # pair pipeline (q6t's vectorized scorer, q5f's LSH + verify)
-        # executes twice before the per-round checkpoints take over
-        e = e.localCheckpoint(eager=True)
+        # executes twice before the per-round checkpoints take over.
+        # LAZY + count() as the materializing action (round-12 fold):
+        # one job pins the blocks AND detects the empty graph, which
+        # skips the contraction rounds outright (q6t at sf0.1 finds no
+        # above-threshold pairs yet paid two rounds of fixed overhead).
+        e = e.localCheckpoint(eager=False)
     except Exception:
         pass  # materialization is an optimization, not a correctness need
+    if e.count() == 0:
+        return e.select(
+            F.col("b").alias("node"),
+            F.col("a").alias("cluster_id"),
+            F.lit(True).alias("is_canonical"),
+        )
     prev_sig = None
     for _ in range(max_iter):
         e = _small_star(_large_star(e))

@@ -291,6 +291,16 @@ def cosine_pairs_vectorized(
         )
         return ids, qmat, qn
 
+    # Measured negative (round 12, kept for the record): repartitioning
+    # the corpus side before the kernel so the O(m²·d) scoring spreads
+    # over the cores LOSES on a cold one-shot run at fixture scale —
+    # 3.1 s single-task vs 4.0 s at 5 tasks vs 5.2 s at 32, because
+    # each extra task pays a Python-worker cold-start (pandas/numpy
+    # import ≈ 1.5 s) that dwarfs its compute share; warm it wins
+    # (0.75-0.96 s vs ~1 s), but the driver's protocol is cold. At
+    # corpus scale the scan arrives with ample partitions anyway, so
+    # the split is only ever injected in exactly the regime where it
+    # loses. Left single-pass.
     rows = src.limit(max_side + 1).collect()
     if len(rows) <= max_side:
         qids, qmat, qn = _arrays(rows)
