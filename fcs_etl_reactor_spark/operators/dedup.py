@@ -413,10 +413,14 @@ def lsh_shard_runs(
       subtree executions collapse to one (q9y union at sf0.1 measured
       16.6→11.4 s and 12.2→10.9 s total on two box states — never
       worse, and the saved execution count grows with the corpus).
-      Blocks are freed by the ContextCleaner when the plan is GC'd;
-      the one-shot driver run and the small band-row footprint (~40k
-      rows at sf0.1) make the no-unpersist lifetime acceptable here,
-      unlike a base-table cache (round-1 q10 lesson).
+      Lifetime caveat, eyes open: Dataset.persist registers in the
+      session's CacheManager, which holds the entry until
+      unpersist()/clearCache() — this operator has no lazy unpersist
+      hook, so each call pins its band rows (a few MB at sf0.1) for
+      the session. Bounded and derived (NOT the round-1 q10 class,
+      which cached unbounded base scans); moot in the driver's
+      one-shot process. Long-lived sessions calling this repeatedly
+      should pass False or clear the cache themselves.
 
     The real cure at scale is still not an in-plan boundary at all:
     the deployment (scripts/sharded_dedup_probe.py) writes
@@ -428,6 +432,10 @@ def lsh_shard_runs(
         shard_expr = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
     band_rows = minhash_band_rows(df, id_col, text_col, n, num_perm, bands)
     band_rows = band_rows.withColumn("__shard", shard_expr.cast("int"))
+    if isinstance(materialize, str) and materialize != "persist":
+        raise ValueError(
+            f"materialize={materialize!r}: expected False, True, or 'persist'"
+        )
     if materialize == "persist":
         from pyspark import StorageLevel
 
@@ -591,25 +599,13 @@ def dedup_clusters(
     checkpoint between rounds to truncate lineage — the per-round
     dataflow (join on edge, min per node) is identical.
     """
+    from fcs_etl_reactor_spark.operators.graphs import symmetrize
+
+    # one-pass symmetrization (see symmetrize): the union-of-swapped
+    # form executed the upstream pair pipeline (LSH banding + exact
+    # verify for q5b/q6e) twice before the checkpoint below could help
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    # symmetrize in ONE pass: the union-of-swapped form plans the
-    # upstream pair pipeline (LSH banding + exact verify for q5b/q6e)
-    # into BOTH branches and executes it twice before the checkpoint
-    # below can help (measured 6.5 s vs 3.3 s at sf0.1); exploding a
-    # 2-struct array emits the identical row multiset from a single
-    # upstream execution.
-    edges = (
-        e.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("a"), F.col("b")),
-                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
-                )
-            ).alias("_e")
-        )
-        .select("_e.a", "_e.b")
-        .distinct()
-    )
+    edges = symmetrize(e, "a", "b", "a", "b").distinct()
     try:
         # materialize the edge set ONCE: it is joined every round, and
         # without this each round's join + convergence sum re-executes
@@ -621,9 +617,14 @@ def dedup_clusters(
         # are often empty (q6t at sf0.1), and each round costs two
         # shuffles of fixed overhead even on zero rows.
         edges = edges.localCheckpoint(eager=False)
+        _ckpt_ok = True
     except Exception:
-        pass  # materialization is an optimization, not a correctness need
-    if edges.count() == 0:
+        _ckpt_ok = False  # materialization is an optimization only
+    # the empty-graph probe is free ONLY when it doubles as the
+    # checkpoint's materializing action; without a checkpoint (Spark
+    # Connect fallback) it would re-execute the whole upstream once
+    # just to test emptiness, so skip it there
+    if _ckpt_ok and edges.count() == 0:
         return edges.select(
             F.col("a").alias("node"),
             F.col("a").alias("cluster_id"),
@@ -757,9 +758,12 @@ def dedup_clusters_star(
         # skips the contraction rounds outright (q6t at sf0.1 finds no
         # above-threshold pairs yet paid two rounds of fixed overhead).
         e = e.localCheckpoint(eager=False)
+        _ckpt_ok = True
     except Exception:
-        pass  # materialization is an optimization, not a correctness need
-    if e.count() == 0:
+        _ckpt_ok = False  # materialization is an optimization only
+    # same guard as dedup_clusters: the empty probe is free only as
+    # the checkpoint's materializing action
+    if _ckpt_ok and e.count() == 0:
         return e.select(
             F.col("b").alias("node"),
             F.col("a").alias("cluster_id"),

@@ -58,6 +58,36 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
         return df
 
 
+def symmetrize(
+    df: DataFrame,
+    a: str,
+    b: str,
+    out_a: str,
+    out_b: str,
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """Emit each (a, b) row in BOTH orientations from ONE upstream
+    execution, as (out_a, out_b, *carry): explode of a 2-struct array.
+    The unionAll-of-swapped-selects form plans the upstream into both
+    branches — an expensive edge derivation (LSH+verify, a co-purchase
+    self-join) then executes twice on a cold plan and compiles twice
+    the code (measured 13.7 → 8.8 s cold for q5b's edge materialize;
+    steady-state equal because exchange reuse already deduplicated the
+    union). Row multiset identical by construction."""
+    carry = list(carry or [])
+    fwd = F.struct(
+        F.col(a).alias(out_a), F.col(b).alias(out_b),
+        *[F.col(c) for c in carry],
+    )
+    rev = F.struct(
+        F.col(b).alias(out_a), F.col(a).alias(out_b),
+        *[F.col(c) for c in carry],
+    )
+    return df.select(F.explode(F.array(fwd, rev)).alias("_e")).select(
+        *[F.col(f"_e.{c}") for c in (out_a, out_b, *carry)]
+    )
+
+
 def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
     """Simplified PageRank (dangling mass dropped) over (src, dst)
     edge rows; returns (node, rank_scaled BIGINT) at PR_SCALE."""
@@ -411,20 +441,9 @@ def label_propagation(und: DataFrame, rounds: int) -> DataFrame:
     total."""
     if rounds < 1:
         raise ValueError(f"label_propagation requires rounds >= 1, got {rounds}")
-    # symmetrize in ONE pass (explode of a 2-struct array): the
-    # unionAll-of-swapped form plans the caller's edge derivation into
-    # both branches and executes it twice inside the materialize job
-    # (round-12; identical row multiset either way).
-    adj = materialize(
-        und.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
-                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
-                )
-            ).alias("_e")
-        ).select("_e.src", "_e.dst")
-    )
+    # one-pass symmetrization (see symmetrize): the unionAll form
+    # executed the caller's edge derivation twice in the materialize job
+    adj = materialize(symmetrize(und, "a", "b", "src", "dst"))
     labels = (
         adj.select(F.col("src").alias("node"))
         .distinct()

@@ -61,12 +61,20 @@ _EXPENSIVE_NODES = (
     "Join", "Aggregate", "Window", "Generate", "Sort", "Expand",
     "EvalPython", "InPandas", "InArrow", "MapGroups", "Distinct",
     "Deduplicate", "Union", "CoGroup",
-    # not expensive, but NON-DETERMINISTIC across re-executions — the
-    # multi-pass boundary/offsets/assignment jobs must agree on the
-    # exact row set, which only materialization guarantees for these:
+)
+
+#: NON-DETERMINISTIC across re-executions: the multi-pass boundary/
+#: offsets/assignment jobs must agree on the exact row set, which only
+#: a LINEAGE-TRUNCATING materialization guarantees (a lineage-retaining
+#: persist can recompute a lost block to a DIFFERENT row set) — these
+#: always localCheckpoint regardless of the configured mode. Substring
+#: match over the optimized-plan string; a match triggered by a data
+#: literal (a filter on the text "rand(") only costs an unnecessary
+#: materialization, never a missed one, so false positives are safe.
+_NONDETERMINISTIC_MARKS = (
     "Limit", "Sample", "Offset", "Tail",
-    "rand(", "uuid(", "monotonically_increasing_id", "shuffle(",
-    "spark_partition_id", "input_file",
+    "rand(", "randn(", "uuid(", "monotonically_increasing_id",
+    "shuffle(", "spark_partition_id", "input_file",
 )
 
 
@@ -91,7 +99,13 @@ def _materialize_multipass_input(df: DataFrame) -> DataFrame:
     - ``persist_disk``: ``persist(StorageLevel.DISK_ONLY_2)`` — blocks
       on disk with a second replica, so the multi-pass plan survives a
       lost executor (recompute falls back to lineage, which persist —
-      unlike checkpoint — retains). The cluster/fault-tolerant mode.
+      unlike checkpoint — retains). The cluster/fault-tolerant mode
+      for DETERMINISTIC upstreams; a plan containing a
+      non-deterministic node (limit/sample/rand/...) still gets
+      localCheckpoint even in this mode, because a lineage recompute
+      of a twice-lost block could rebuild a DIFFERENT row set and
+      silently misalign the passes — fail-stop beats silent
+      corruption there.
     - ``none``: never materialize (the pre-r11 behavior; every pass
       re-executes the upstream).
     """
@@ -106,10 +120,15 @@ def _materialize_multipass_input(df: DataFrame) -> DataFrame:
         plan = df._jdf.queryExecution().optimizedPlan().toString()
     except Exception:
         plan = None
-    if plan is not None and not any(n in plan for n in _EXPENSIVE_NODES):
+    nondet = plan is None or any(n in plan for n in _NONDETERMINISTIC_MARKS)
+    if (
+        plan is not None
+        and not nondet
+        and not any(n in plan for n in _EXPENSIVE_NODES)
+    ):
         return df
     try:
-        if mode == "persist_disk":
+        if mode == "persist_disk" and not nondet:
             from pyspark import StorageLevel
 
             return df.persist(StorageLevel.DISK_ONLY_2)

@@ -226,14 +226,16 @@ def cosine_pairs_vectorized(
     id_type = df.schema[id_col].dataType.simpleString()
     schema = f"id_a {id_type}, id_b {id_type}, cosine double"
 
-    def _kernel(qids, qmat, qn, bc=None):
+    def _kernel(qids, qmat, qn, dim, bc=None):
         # Block BOTH sides so the m'×b'×d product tensor stays ~2M
         # elements (~16 MB): a monolithic q-side tensor (2000×125×64 ≈
         # 128 MB here) pays seconds of first-touch page faults PER TASK
         # on fresh worker memory and runs ~2× slower even warm
         # (measured 9.0 s first call vs 0.08 s blocked, identical
-        # arithmetic).
-        dim = max(qmat.shape[1] if qmat is not None else 1, 1)
+        # arithmetic). `dim` is passed explicitly because the broadcast
+        # path has no qmat here — sizing the block from a placeholder
+        # would defeat exactly this cap.
+        dim = max(dim, 1)
         _QB = 256
         chunk = max(16, 2_000_000 // (_QB * dim))
 
@@ -304,7 +306,10 @@ def cosine_pairs_vectorized(
     rows = src.limit(max_side + 1).collect()
     if len(rows) <= max_side:
         qids, qmat, qn = _arrays(rows)
-        return src.mapInPandas(_kernel(qids, qmat, qn), schema)
+        return src.mapInPandas(
+            _kernel(qids, qmat, qn, qmat.shape[1] if qmat.ndim == 2 else 1),
+            schema,
+        )
 
     # distributed fallback: hash-partition the collected side into
     # chunks of expected size max_side/2, one broadcast + one corpus
@@ -320,9 +325,11 @@ def cosine_pairs_vectorized(
         crows = src.filter(chunk_of == i).collect()
         if not crows:
             continue
-        bc = sc.broadcast(_arrays(crows))
+        arrs = _arrays(crows)
         del crows
-        part = src.mapInPandas(_kernel(None, None, None, bc=bc), schema)
+        cdim = arrs[1].shape[1] if arrs[1].ndim == 2 else 1
+        bc = sc.broadcast(arrs)
+        part = src.mapInPandas(_kernel(None, None, None, cdim, bc=bc), schema)
         out = part if out is None else out.unionByName(part)
     if out is None:  # unreachable in practice (n > max_side > 0)
         return df.sparkSession.createDataFrame([], schema)

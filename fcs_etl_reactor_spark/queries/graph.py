@@ -236,18 +236,12 @@ def q5r_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fcs_etl_reactor_spark.operators.graphs import bfs_hops, copurchase_pairs
 
     l = load(spark, sf_dir, "lineitem")
+    from fcs_etl_reactor_spark.operators.graphs import symmetrize
+
     pairs = copurchase_pairs(l).select("a", "b")
-    # one-pass symmetrization (explode, not unionAll-of-swapped): the
-    # union form executes the co-purchase self-join twice inside
-    # bfs_hops' materialize job; the row multiset is identical
-    und = pairs.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
-                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
-            )
-        ).alias("_e")
-    ).select("_e.src", "_e.dst")
+    # one-pass symmetrization: the unionAll form executed the
+    # co-purchase self-join twice inside bfs_hops' materialize job
+    und = symmetrize(pairs, "a", "b", "src", "dst")
     dist = bfs_hops(und, _BFS_HOPS)
     return dist.groupBy(F.col("d").cast("int").alias("hop")).agg(
         F.count(F.lit(1)).alias("n_nodes")
@@ -483,24 +477,15 @@ def q5s_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     l = load(spark, sf_dir, "lineitem")
     pairs = copurchase_pairs(l)
+    from fcs_etl_reactor_spark.operators.graphs import symmetrize
+
     wcol = (F.lit(6) - F.least(F.col("n_orders"), F.lit(5))).cast("int")
-    # one-pass symmetrization (explode, not unionAll-of-swapped): the
-    # union form executes the co-purchase self-join twice inside the
-    # materialize job; the row multiset is identical
-    und = pairs.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("a").alias("src"), F.col("b").alias("dst"),
-                    wcol.alias("w"),
-                ),
-                F.struct(
-                    F.col("b").alias("src"), F.col("a").alias("dst"),
-                    wcol.alias("w"),
-                ),
-            )
-        ).alias("_e")
-    ).select("_e.src", "_e.dst", "_e.w")
+    # one-pass symmetrization: the unionAll form executed the
+    # co-purchase self-join twice inside the materialize job
+    und = symmetrize(
+        pairs.select("a", "b", wcol.alias("w")), "a", "b", "src", "dst",
+        carry=["w"],
+    )
     und = materialize(und)
     dist = (
         und.agg(F.min("src").alias("node"))
