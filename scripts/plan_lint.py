@@ -38,7 +38,10 @@ from fcs_etl_reactor_spark.session import get_spark, tune_for_input
 ALLOW_CARTESIAN = {
     "q14_cross_join_grid",      # deliberate small-dims grid
     "q15_theta_join_bands",     # banded theta join (broadcast side)
-    "q88_cosine_neardup",       # exact quadratic near-dup (oracle arm)
+    "q5x_hits",                 # 1-row max-renorm broadcast cross per HITS
+                                # round (visible since the r12 lazy fold —
+                                # the eager checkpoint used to hide the
+                                # last round's join behind a LogicalRDD)
     "q59_cosine_topk_fast",     # exact float fast path (same contract)
     "q92_lsh_topk",             # recall envelope: exact arm inside
     "q89_ivf_topk",             # recall envelope: exact arm inside
